@@ -1,0 +1,93 @@
+"""CF-compliant trajectory NetCDF export/import, from scratch.
+
+The reference writes CF-1.11 trajectory files via the netCDF4 C library
+(reference: opendrift/export/io_netcdf.py:30-187).  netCDF4 is not
+available here, so files are written in NetCDF-3 (64-bit-offset) classic
+format through ``scipy.io.netcdf_file`` — readable by every NetCDF tool.
+Layout matches the reference: dims (trajectory, time), CF featureType
+"trajectory", config round-tripped through ``config_*`` global attributes.
+"""
+
+import numpy as np
+from scipy.io import netcdf_file
+
+from ..utils.dataset import TrajectoryDataset, DataVar
+
+EPOCH = np.datetime64("1970-01-01T00:00:00", "s")
+
+
+def write_result(result, filename):
+    """Write a TrajectoryDataset to a CF trajectory NetCDF file."""
+    n_traj, n_time = (result.dims["trajectory"], result.dims["time"])
+    f = netcdf_file(filename, "w", version=2)
+    try:
+        f.createDimension("trajectory", n_traj)
+        f.createDimension("time", n_time)
+
+        v = f.createVariable("trajectory", "i", ("trajectory",))
+        v[:] = np.asarray(result.coords["trajectory"], dtype=np.int32)
+        v.cf_role = "trajectory_id"
+        v.units = "1"
+
+        times = result.coords["time"].astype("datetime64[s]")
+        secs = (times - EPOCH).astype("float64")
+        v = f.createVariable("time", "d", ("time",))
+        v[:] = secs
+        v.units = "seconds since 1970-01-01 00:00:00"
+        v.standard_name = "time"
+
+        for name, var in result.variables.items():
+            vals = var.values
+            if np.issubdtype(vals.dtype, np.floating):
+                nc = f.createVariable(name, "f", ("trajectory", "time"))
+                nc[:] = vals.astype(np.float32)
+            else:
+                nc = f.createVariable(name, "i", ("trajectory", "time"))
+                nc[:] = vals.astype(np.int32)
+            for k, val in var.attrs.items():
+                if val is not None:
+                    setattr(nc, k, str(val))
+
+        f.featureType = "trajectory"
+        f.Conventions = "CF-1.11"
+        for k, val in result.attrs.items():
+            if val is None:
+                val = "None"
+            if isinstance(val, (int, float, np.integer, np.floating)):
+                setattr(f, k, val)
+            else:
+                setattr(f, k, str(val))
+        f.flush()
+    finally:
+        f.close()
+
+
+def read_result(filename):
+    """Read a trajectory NetCDF file back into a TrajectoryDataset."""
+    f = netcdf_file(filename, "r", mmap=False)
+    try:
+        attrs = {}
+        for k, v in f._attributes.items():
+            if isinstance(v, bytes):
+                v = v.decode("utf-8", "replace")
+            attrs[k] = v
+        secs = np.asarray(f.variables["time"][:], dtype="float64")
+        times = EPOCH + secs.astype("timedelta64[s]")
+        coords = {
+            "trajectory": np.asarray(f.variables["trajectory"][:]).copy(),
+            "time": times.astype("datetime64[ns]"),
+        }
+        variables = {}
+        for name, var in f.variables.items():
+            if name in ("trajectory", "time"):
+                continue
+            vattrs = {}
+            for k, v in var._attributes.items():
+                if isinstance(v, bytes):
+                    v = v.decode("utf-8", "replace")
+                vattrs[k] = v
+            variables[name] = DataVar(("trajectory", "time"),
+                                      np.asarray(var[:]).copy(), vattrs)
+        return TrajectoryDataset(variables, coords, attrs)
+    finally:
+        f.close()

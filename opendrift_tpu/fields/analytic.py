@@ -1,0 +1,205 @@
+"""Analytic field readers (test fixtures and idealised flows).
+
+TPU-native re-implementations of the reference's analytic readers:
+``reader_double_gyre`` (reference: opendrift/readers/reader_double_gyre.py:55-79),
+``reader_ArtificialOceanEddy``, ``reader_oscillating``, ``reader_constant``,
+``reader_timeseries`` and ``reader_failing``.  Each sampler is a pure jnp
+closure traced into the step kernel — the velocity field is *evaluated at
+the RK stage positions on device*, which is what makes these exact
+LCS/parity benchmarks.
+"""
+
+import math
+from datetime import datetime
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import ContinuousReader
+
+
+class DoubleGyre(ContinuousReader):
+    """Time-dependent double gyre (Shadden's LCS benchmark flow).
+
+    u = -pi A sin(pi f(x,t)) cos(pi y);  v = pi A cos(pi f) sin(pi y) df/dx
+    with f = a(t) x^2 + b(t) x, a = eps sin(omega t), b = 1 - 2 eps sin(omega t).
+    Domain x in [0, 2], y in [0, 1] on a spherical stereographic plane, as in
+    the reference (reader_double_gyre.py:30-79).
+    """
+
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity",
+                 "land_binary_mask"]
+    proj4 = ("+proj=stere +lat_0=0 +lon_0=0 +lat_ts=0 "
+             "+units=m +a=6.371e+06 +e=0 +no_defs")
+    xmin, xmax, ymin, ymax = 0.0, 2.0, 0.0, 1.0
+
+    def __init__(self, initial_time=datetime(2000, 1, 1, 0, 0),
+                 epsilon=0.1, omega=0.628, A=0.25, proj4=None):
+        if proj4 is not None:
+            self.proj4 = proj4
+        self.initial_time = initial_time
+        self.epsilon = float(epsilon)
+        self.omega = float(omega)
+        self.A = float(A)
+        super().__init__()
+        self.name = "double_gyre"
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        x, y = self.crs.fwd(jnp, lon, lat)
+        t_abs = t + self._t_offset(self.initial_time)
+        eps, om, A = self.epsilon, self.omega, self.A
+        a = eps * jnp.sin(om * t_abs)
+        b = 1.0 - 2.0 * a
+        f = a * x * x + b * x
+        dfdx = 2.0 * a * x + b
+        pi = math.pi
+        u = -pi * A * jnp.sin(pi * f) * jnp.cos(pi * y)
+        v = pi * A * jnp.cos(pi * f) * jnp.sin(pi * y) * dfdx
+        values = {}
+        for name in varnames:
+            if name == "x_sea_water_velocity":
+                values[name] = u
+            elif name == "y_sea_water_velocity":
+                values[name] = v
+            elif name == "land_binary_mask":
+                values[name] = jnp.zeros_like(x)
+        covers = ((x >= self.xmin) & (x <= self.xmax)
+                  & (y >= self.ymin) & (y <= self.ymax))
+        # No rotation needed: near the projection origin grid north == true
+        # north to within the convergence of a 2 m-wide domain.
+        return values, covers
+
+
+class ConstantReader(ContinuousReader):
+    """Fixed values for a set of variables (reference:
+    opendrift/readers/reader_constant.py).  Used for
+    ``environment:constant:<var>`` configs and tests."""
+
+    def __init__(self, parameter_value_map, name=None):
+        self._values = {k: float(v) for k, v in parameter_value_map.items()}
+        self.variables = list(self._values)
+        super().__init__()
+        if name is not None:
+            self.name = name
+        else:
+            self.name = "constant_reader"
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        values = {v: jnp.full_like(lon, self._values[v]) for v in varnames}
+        covers = jnp.ones_like(lon, dtype=bool)
+        return values, covers
+
+
+class OscillatingReader(ContinuousReader):
+    """Sinusoidally time-varying scalar (reference:
+    opendrift/readers/reader_oscillating.py): value = amplitude *
+    sin(2 pi (t - zero_time) / period)."""
+
+    def __init__(self, variable, amplitude, period_seconds=3600.0 * 24,
+                 zero_time=None, phase_degrees=0.0):
+        self.variables = [variable]
+        self._variable = variable
+        self.amplitude = float(amplitude)
+        self.period = float(period_seconds)
+        self.zero_time = zero_time if zero_time is not None else \
+            datetime(2000, 1, 1)
+        self.phase = math.radians(phase_degrees)
+        super().__init__()
+        self.name = f"oscillating_{variable}"
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        t_abs = t + self._t_offset(self.zero_time)
+        val = self.amplitude * jnp.sin(
+            2.0 * math.pi * t_abs / self.period + self.phase)
+        values = {self._variable: jnp.full_like(lon, 1.0) * val}
+        return values, jnp.ones_like(lon, dtype=bool)
+
+
+class ArtificialOceanEddy(ContinuousReader):
+    """Stationary cyclonic eddy on a stereographic plane (reference:
+    opendrift/readers/reader_ArtificialOceanEddy.py): azimuthal speed
+    peaking at radius ``eta0`` from the eddy centre."""
+
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity"]
+
+    def __init__(self, lon=2.0, lat=66.0, eta0=2000.0, proj4=None):
+        self.lon0, self.lat0 = float(lon), float(lat)
+        self.proj4 = proj4 or (
+            f"+proj=stere +lat_0={lat} +lon_0={lon} +lat_ts={lat} "
+            "+units=m +ellps=WGS84")
+        self.eta0 = float(eta0)
+        super().__init__()
+        self.name = "ArtificialOceanEddy"
+        self.xmin, self.xmax = -1e6, 1e6
+        self.ymin, self.ymax = -1e6, 1e6
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        x, y = self.crs.fwd(jnp, lon, lat)
+        r = jnp.sqrt(x * x + y * y)
+        # azimuthal velocity profile: linear rise to peak at eta0*25 km scale
+        umax = 0.3
+        scale = 25000.0
+        speed = umax * (r / scale) * jnp.exp(1.0 - r / scale)
+        safe_r = jnp.where(r == 0.0, 1.0, r)
+        u = -speed * y / safe_r
+        v = speed * x / safe_r
+        values = {}
+        gamma = self.crs.convergence(jnp, lon, lat)
+        vals = {"x_sea_water_velocity": u, "y_sea_water_velocity": v}
+        vals = self.rotate_vectors_sampled(vals, self.variables, gamma)
+        for name in varnames:
+            values[name] = vals.get(name, jnp.zeros_like(x))
+        covers = (jnp.abs(x) <= self.xmax) & (jnp.abs(y) <= self.ymax)
+        return values, covers
+
+
+class FailingReader(ContinuousReader):
+    """Raises on every fetch — exercises the environment's reader-quarantine
+    logic (reference: opendrift/readers/reader_failing.py)."""
+
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity"]
+
+    def __init__(self):
+        super().__init__()
+        self.name = "failing_reader"
+
+    def device_state(self, window_start=None, window_end=None):
+        raise RuntimeError("FailingReader always fails (by design)")
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        raise RuntimeError("FailingReader always fails (by design)")
+
+
+class TimeseriesReader(ContinuousReader):
+    """Spatially uniform, time-varying values from a (time, value) series
+    (reference: opendrift/readers/reader_timeseries.py).  Linear
+    interpolation in time on device."""
+
+    def __init__(self, parameter_series_map, times):
+        """``times``: list of datetimes; ``parameter_series_map``:
+        var -> array of values per time."""
+        self.variables = list(parameter_series_map)
+        self._series = {k: np.asarray(v, dtype=np.float32)
+                        for k, v in parameter_series_map.items()}
+        self._times = list(times)
+        self.start_time = times[0]
+        self.end_time = times[-1]
+        self.always_valid = False
+        super().__init__()
+        self.name = "timeseries_reader"
+
+    def device_state(self, window_start=None, window_end=None):
+        t0 = self._times[0]
+        tsec = np.asarray([(t - t0).total_seconds() for t in self._times],
+                          dtype=np.float32)
+        return (jnp.asarray(tsec),
+                {k: jnp.asarray(v) for k, v in self._series.items()})
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        tsec, series = dev_state
+        t_abs = t + self._t_offset(self._times[0])
+        values = {}
+        for v in varnames:
+            val = jnp.interp(t_abs, tsec, series[v])
+            values[v] = jnp.full_like(lon, 1.0) * val
+        return values, jnp.ones_like(lon, dtype=bool)

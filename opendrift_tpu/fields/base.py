@@ -1,0 +1,191 @@
+"""Field provider framework: host-side readers that produce device samplers.
+
+Architectural inversion vs the reference: upstream, ``Environment.
+get_environment`` walks a Python reader stack on every step (reference:
+opendrift/models/basemodel/environment.py:499-775, re-entered mid-step by
+the RK stages, physics_methods.py:636-670).  Here a *reader* is a host-side
+object whose only runtime job is to provide
+
+* a pytree of device arrays (``device_state``) refreshed between jitted
+  chunks (gridded forcing frames, landmask rasters, ...), and
+* a pure ``sample`` method — traced once into the step kernel — that maps
+  (device_state, t, lon, lat, z) -> ({var: values}, coverage_mask).
+
+Reader priority, fallbacks and vector rotation then become a fixed chain of
+``jnp.where`` merges compiled into the step (see fields/environment.py),
+with zero host involvement per step.
+
+Vector rotation: grid-relative velocity pairs are rotated to true east/north
+using the analytic grid-convergence angle of the reader CRS (reference
+rotates via finite-difference azimuths, basereader/variables.py:59-109).
+"""
+
+import datetime
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import crs as crslib
+
+# Variable pairs that are grid-x/grid-y vector components and must be
+# rotated to east/north when sampled from a projected grid (reference:
+# opendrift/readers/basereader/__init__.py:85-105).
+VECTOR_PAIRS = [
+    ("x_sea_water_velocity", "y_sea_water_velocity"),
+    ("x_wind", "y_wind"),
+    ("sea_ice_x_velocity", "sea_ice_y_velocity"),
+    ("sea_surface_wave_stokes_drift_x_velocity",
+     "sea_surface_wave_stokes_drift_y_velocity"),
+]
+
+# Physically plausible bounds per CF standard name, used to scrub corrupt
+# input (reference: opendrift/readers/basereader/consts.py:2-22 and the
+# masking in variables.py:630-668).
+STANDARD_NAMES = {
+    "x_sea_water_velocity": {"valid_min": -15.0, "valid_max": 15.0,
+                             "units": "m s-1"},
+    "y_sea_water_velocity": {"valid_min": -15.0, "valid_max": 15.0,
+                             "units": "m s-1"},
+    "x_wind": {"valid_min": -50.0, "valid_max": 50.0, "units": "m s-1"},
+    "y_wind": {"valid_min": -50.0, "valid_max": 50.0, "units": "m s-1"},
+    "sea_water_temperature": {"valid_min": -4.0, "valid_max": 40.0,
+                              "units": "degC"},
+    "sea_water_salinity": {"valid_min": 0.0, "valid_max": 45.0, "units": "1"},
+    "sea_floor_depth_below_sea_level": {"valid_min": -20.0,
+                                        "valid_max": 12000.0, "units": "m"},
+    "sea_surface_height": {"valid_min": -15.0, "valid_max": 15.0, "units": "m"},
+    "significant_height_of_combined_wind_waves_and_swell":
+        {"valid_min": 0.0, "valid_max": 30.0, "units": "m"},
+}
+
+
+class BaseReader:
+    """Host-side reader base.
+
+    Subclasses set ``variables`` (list of CF standard names), ``proj4``
+    and coverage metadata, and implement the device-side ``sample``.
+    """
+
+    name = None
+    variables = None
+    proj4 = "+proj=latlong"
+    start_time = None          # datetime or None = always covered
+    end_time = None
+    time_step = None
+    # spatial coverage in reader grid coordinates (None = infinite)
+    xmin = None
+    xmax = None
+    ymin = None
+    ymax = None
+    always_valid = False       # data available for any time
+    # maximum particle speed [m/s] for buffer sizing (reference
+    # variables.py:588-620); used by gridded readers
+    verticalbuffer = 1
+
+    def __init__(self):
+        if self.name is None:
+            self.name = type(self).__name__
+        self.crs = crslib.from_proj4(self.proj4)
+        self.is_lazy = False
+
+    # ------------------------------------------------------------------ API
+    def xy2lonlat(self, x, y):
+        return self.crs.inv(np, np.asarray(x, float), np.asarray(y, float))
+
+    def lonlat2xy(self, lon, lat):
+        return self.crs.fwd(np, np.asarray(lon, float), np.asarray(lat, float))
+
+    def covers_time(self, time):
+        if self.always_valid or self.start_time is None:
+            return True
+        return self.start_time <= time <= self.end_time
+
+    def covers_positions(self, lon, lat):
+        """Host-side coverage check (seeding diagnostics)."""
+        x, y = self.lonlat2xy(lon, lat)
+        return np.asarray(self._covers_xy_host(x, y))
+
+    def _covers_xy_host(self, x, y):
+        ok = np.ones(np.shape(x), dtype=bool)
+        if self.xmin is not None:
+            ok &= (x >= self.xmin) & (x <= self.xmax)
+        if self.ymin is not None:
+            ok &= (y >= self.ymin) & (y <= self.ymax)
+        return ok
+
+    def prepare(self, extent=None, start_time=None, end_time=None,
+                max_speed=None):
+        """Hook called at run start (reference structured.py:149)."""
+
+    # ------------------------------------------------------- device protocol
+    def device_state(self, window_start=None, window_end=None):
+        """Return the pytree of arrays the sampler needs for this window."""
+        return ()
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        """Device-side sampling (jnp, traceable).
+
+        ``t``: float seconds relative to the run epoch (set via
+        ``set_run_epoch``).  Returns ``({var: f32[N]}, covers: bool[N])``.
+        """
+        raise NotImplementedError
+
+    def sample_profiles(self, dev_state, varnames, t, lon, lat, zlevels):
+        """Sample variables at a fixed vector of z-levels for each element.
+
+        Default: loop over levels through ``sample``.  Returns
+        ``({var: f32[L, N]}, covers: bool[N])``.
+        """
+        outs = None
+        covers = None
+        for zi in range(zlevels.shape[0]):
+            zvec = jnp.full_like(lon, zlevels[zi])
+            vals, cov = self.sample(dev_state, varnames, t, lon, lat, zvec)
+            if outs is None:
+                outs = {v: [vals[v]] for v in varnames}
+                covers = cov
+            else:
+                for v in varnames:
+                    outs[v].append(vals[v])
+        return {v: jnp.stack(outs[v]) for v in varnames}, covers
+
+    def set_run_epoch(self, epoch):
+        """Record the run's t=0 (a datetime); samplers convert relative t."""
+        self._run_epoch = epoch
+
+    def _t_offset(self, reference_time):
+        """Seconds from ``reference_time`` to the run epoch (python float,
+        baked into the jitted kernel as a constant)."""
+        if reference_time is None:
+            return 0.0
+        return (self._run_epoch - reference_time).total_seconds()
+
+    # ------------------------------------------------------------- plumbing
+    def rotate_vectors_sampled(self, values, varnames, gamma):
+        """Rotate any known grid-x/y vector pairs in ``values`` to
+        east/north by convergence angle ``gamma`` (radians)."""
+        for xv, yv in VECTOR_PAIRS:
+            if xv in varnames and yv in varnames:
+                u, v = crslib.rotate_to_eastnorth(jnp, values[xv], values[yv],
+                                                  gamma)
+                values[xv] = u
+                values[yv] = v
+        return values
+
+    def __repr__(self):
+        s = f"Reader: {self.name}\n  variables: {self.variables}\n"
+        s += f"  proj4: {self.proj4}\n"
+        if self.xmin is not None:
+            s += f"  x: {self.xmin} .. {self.xmax}\n"
+        if self.ymin is not None:
+            s += f"  y: {self.ymin} .. {self.ymax}\n"
+        if self.start_time is not None:
+            s += f"  time: {self.start_time} .. {self.end_time}\n"
+        return s
+
+
+class ContinuousReader(BaseReader):
+    """Analytic / point-source readers: defined everywhere in their domain,
+    at any time, no blocks (reference: basereader/continuous.py:8-46)."""
+
+    always_valid = True

@@ -1,0 +1,188 @@
+"""Environment orchestration: reader registry, priority lists, fallbacks.
+
+Re-implements the contract of the reference ``Environment``
+(reference: opendrift/models/basemodel/environment.py:20-923) with the
+control flow *compiled into the step kernel*: the priority-ordered reader
+chain becomes a static sequence of sampler calls merged with ``jnp.where``
+on per-variable missing masks, and scalar fallbacks terminate each chain.
+Host-side responsibilities that remain: registry/priority bookkeeping,
+reader relevance checks, failure quarantine
+(environment.py:656-674), and building per-window device states.
+"""
+
+import logging
+from collections import OrderedDict
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..errors import VariableNotCoveredError
+from .analytic import ConstantReader
+
+logger = logging.getLogger(__name__)
+
+
+class Environment:
+    def __init__(self, required_variables, max_reader_fails=1):
+        self.required_variables = required_variables
+        self.readers = OrderedDict()
+        self.priority_list = OrderedDict()
+        self.max_reader_fails = max_reader_fails
+        self.reader_fail_count = {}
+        self.discarded_readers = {}
+        self.fallback_values = {}
+        self._plan = None
+
+    # ------------------------------------------------------------- registry
+    def add_reader(self, readers, variables=None, first=False):
+        if not isinstance(readers, (list, tuple)):
+            readers = [readers]
+        for reader in readers:
+            name = reader.name
+            base = name
+            suffix = 0
+            while name in self.readers:
+                suffix += 1
+                name = f"{base}_{suffix}"
+            reader.name = name
+            self.readers[name] = reader
+            for var in reader.variables:
+                if variables is not None and var not in variables:
+                    continue
+                chain = self.priority_list.setdefault(var, [])
+                if name not in chain:
+                    if first:
+                        chain.insert(0, name)
+                    else:
+                        chain.append(name)
+
+    def set_fallback(self, variable, value):
+        self.fallback_values[variable] = value
+
+    # ------------------------------------------------------------- finalize
+    def finalize(self, run_epoch, required_profiles=(), constant_overrides=(),
+                 fallback_overrides=None):
+        """Resolve the sampling plan before a run.
+
+        ``constant_overrides``: {var: value} from ``environment:constant:*``
+        configs — inserted as a top-priority constant reader (reference
+        environment.py:172-196).  ``fallback_overrides``: {var: value} from
+        ``environment:fallback:*`` configs.
+        """
+        if constant_overrides:
+            cr = ConstantReader(dict(constant_overrides),
+                                name="constant_overrides")
+            self.add_reader(cr, first=True)
+        if fallback_overrides:
+            for var, val in fallback_overrides.items():
+                if val is not None:
+                    self.fallback_values[var] = val
+        # default fallbacks from the model's required_variables spec
+        for var, spec in self.required_variables.items():
+            if var not in self.fallback_values and "fallback" in spec:
+                self.fallback_values[var] = spec["fallback"]
+
+        # build plan: ordered (reader, [vars it serves]) honouring priorities
+        plan = []
+        for reader_name, reader in self.readers.items():
+            served = [v for v in reader.variables
+                      if v in self.required_variables]
+            if served:
+                plan.append((reader, served))
+            reader.set_run_epoch(run_epoch)
+        self._plan = plan
+
+        # coverage check: every required var needs a reader or a fallback
+        missing = [v for v in self.required_variables
+                   if not self.priority_list.get(v)
+                   and self.fallback_values.get(v, None) is None
+                   and "fallback" not in self.required_variables[v]]
+        if missing:
+            raise VariableNotCoveredError(
+                f"Missing required environment variables with no fallback: "
+                f"{missing}")
+        self.required_profiles = list(required_profiles)
+
+    # ----------------------------------------------------- window device IO
+    def build_device_states(self, window_start=None, window_end=None):
+        """Collect per-reader device pytrees for a time window, applying the
+        failure-quarantine policy (reference environment.py:656-674)."""
+        states = []
+        for reader, served in self._plan:
+            if reader.name in self.discarded_readers:
+                states.append(None)
+                continue
+            try:
+                states.append(reader.device_state(window_start, window_end))
+            except Exception as e:  # noqa: BLE001 — any reader error counts
+                n = self.reader_fail_count.get(reader.name, 0) + 1
+                self.reader_fail_count[reader.name] = n
+                if n >= self.max_reader_fails:
+                    logger.warning(
+                        "Reader %s failed %d time(s) — discarding: %s",
+                        reader.name, n, e)
+                    self.discarded_readers[reader.name] = str(e)
+                states.append(None)
+        return tuple(states)
+
+    # ------------------------------------------------------ device sampling
+    def get_environment(self, dev_states, varnames, t, lon, lat, z):
+        """The fused on-device equivalent of reference
+        ``Environment.get_environment`` (environment.py:499-923).
+
+        Returns (env dict var->f32[N], missing dict var->bool[N]).
+        """
+        varnames = list(varnames)
+        nanval = jnp.full_like(lon, jnp.nan)
+        env = {v: nanval for v in varnames}
+        missing = {v: jnp.ones_like(lon, dtype=bool) for v in varnames}
+
+        for (reader, served), dev_state in zip(self._plan, dev_states):
+            if reader.name in self.discarded_readers:
+                continue
+            want = [v for v in served if v in varnames
+                    and reader.name in self.priority_list.get(v, [])]
+            if not want:
+                continue
+            vals, covers = reader.sample(dev_state, want, t, lon, lat, z)
+            for v in want:
+                good = missing[v] & covers & jnp.isfinite(vals[v])
+                env[v] = jnp.where(good, vals[v], env[v])
+                missing[v] = missing[v] & ~good
+
+        for v in varnames:
+            fb = self.fallback_values.get(v, None)
+            if fb is not None:
+                env[v] = jnp.where(missing[v], fb, env[v])
+                missing[v] = jnp.zeros_like(missing[v])
+
+        # Kelvin -> Celsius sanity (reference environment.py:829)
+        if "sea_water_temperature" in env:
+            T = env["sea_water_temperature"]
+            env["sea_water_temperature"] = jnp.where(T > 100.0, T - 273.15, T)
+        return env, missing
+
+    def get_profiles(self, dev_states, varnames, t, lon, lat, zlevels):
+        """Sample profile variables at fixed z-levels: ({var: f32[L, N]})."""
+        varnames = list(varnames)
+        L = zlevels.shape[0]
+        nanval = jnp.full((L,) + lon.shape, jnp.nan, dtype=lon.dtype)
+        env = {v: nanval for v in varnames}
+        missing = {v: jnp.ones_like(lon, dtype=bool) for v in varnames}
+        for (reader, served), dev_state in zip(self._plan, dev_states):
+            if reader.name in self.discarded_readers:
+                continue
+            want = [v for v in served if v in varnames]
+            if not want:
+                continue
+            vals, covers = reader.sample_profiles(dev_state, want, t, lon,
+                                                  lat, zlevels)
+            for v in want:
+                good = missing[v] & covers
+                env[v] = jnp.where(good[None, :], vals[v], env[v])
+                missing[v] = missing[v] & ~good
+        for v in varnames:
+            fb = self.fallback_values.get(v, None)
+            if fb is not None:
+                env[v] = jnp.where(missing[v][None, :], fb, env[v])
+        return env

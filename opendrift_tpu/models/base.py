@@ -1,0 +1,992 @@
+"""Core simulation engine: ``OpenDriftSimulation``.
+
+TPU-native re-design of the reference's 5000-line runtime
+(reference: opendrift/models/basemodel/__init__.py:193-2340).  The public
+API (ctor, ``set_config``, ``add_reader``, ``seed_*``, ``run``,
+``result``) matches upstream; the internals do not:
+
+* Elements live in a fixed-capacity ``ElementState`` pytree; deactivation is
+  a status flip, never compaction (upstream ``remove_deactivated_elements``,
+  basemodel/__init__.py:1797).
+* The per-step pipeline — release, environment fetch, missing-data/outside/
+  coastline/seafloor handling, aging, the model's ``update`` physics, and
+  horizontal diffusion — is fused into a single jitted function, iterated
+  with ``lax.fori_loop`` between output snapshots.  The step ordering
+  reproduces the reference main loop (basemodel/__init__.py:2193-2304).
+* Each output interval is one device dispatch returning one snapshot frame;
+  frames stream to a host buffer and on to NetCDF.
+
+RNG: a single base key is folded per (interval, step, use) — runs are
+deterministic and reproducible for a fixed seed, matching the reference's
+``np.random.seed(0)`` default contract (basemodel/__init__.py:270-326),
+though the streams themselves differ (statistical, not bitwise, parity).
+"""
+
+import logging
+from datetime import datetime, timedelta
+from enum import Enum
+from functools import wraps
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Configurable, CONFIG_LEVEL_ESSENTIAL, \
+    CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED
+from ..timer import Timeable
+from ..errors import WrongMode
+from ..elements import LagrangianArray, ElementState
+from ..elements.elements import NOT_RELEASED, ACTIVE, \
+    STANDARD_STATUS_CATEGORIES
+from ..fields.environment import Environment
+from ..utils.geodesic import direct_np
+from ..utils.dataset import TrajectoryDataset, DataVar
+from .physics import PhysicsContext
+
+logger = logging.getLogger(__name__)
+
+
+class Mode(Enum):
+    """Simulation lifecycle (reference basemodel/__init__.py:78)."""
+    Config = 1
+    Ready = 2
+    Run = 3
+    Result = 4
+
+
+def require_mode(mode, error=None):
+    """Decorator enforcing/transitioning modes (reference :136-190)."""
+    modes = mode if isinstance(mode, (list, tuple, set)) else [mode]
+
+    def decorator(fn):
+        @wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            if self.mode not in modes:
+                raise WrongMode(modes, self.mode, error)
+            return fn(self, *args, **kwargs)
+        return wrapper
+    return decorator
+
+
+def _seconds(value):
+    """Accept a timedelta or a number of seconds."""
+    if isinstance(value, timedelta):
+        return value.total_seconds()
+    return float(value)
+
+
+class OpenDriftSimulation(Timeable, Configurable):
+    """Abstract base simulation.  Subclasses define ``ElementType``,
+    ``required_variables`` and ``update(ctx)``."""
+
+    ElementType = LagrangianArray
+    required_variables = {}
+    required_profiles_z_range = None   # e.g. [-20, 0] for mixing models
+    max_speed = 1.3                    # m/s, for coverage/halo estimates
+
+    def __init__(self, loglevel=logging.DEBUG, seed=0, logfile=None):
+        self.mode = Mode.Config
+        self.status_categories = list(STANDARD_STATUS_CATEGORIES)
+        self._seedings = []
+        self._origin_marker_names = {}
+        self.num_elements_scheduled_total = 0
+        self.result = None
+        self.rng_seed = seed
+        self._np_random = np.random.RandomState(seed)
+        self.simulation_extent = None
+        self.messages = []
+
+        if loglevel is not None:
+            logging.basicConfig(level=loglevel)
+
+        self.env = Environment(self.required_variables)
+
+        self._add_base_config()
+        self._add_seed_configs()
+        self._add_environment_configs()
+        self.add_config()  # model hook
+
+        self.timer_start("total time")
+
+    # ----------------------------------------------------------- config ---
+    def _add_base_config(self):
+        self._add_config({
+            "general:coastline_action": {
+                "type": "enum", "enum": ["none", "stranding", "previous"],
+                "default": "stranding", "level": CONFIG_LEVEL_BASIC,
+                "description": "What happens at the coastline"},
+            "general:seafloor_action": {
+                "type": "enum",
+                "enum": ["none", "lift_to_seafloor", "deactivate", "previous"],
+                "default": "lift_to_seafloor", "level": CONFIG_LEVEL_BASIC,
+                "description": "What happens at the seafloor"},
+            "general:use_auto_landmask": {
+                "type": "bool", "default": True, "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Add a coastline landmask automatically"},
+            "general:time_step_minutes": {
+                "type": "float", "default": 60.0, "min": 1e-6, "max": 1e5,
+                "units": "minutes", "level": CONFIG_LEVEL_BASIC,
+                "description": "Calculation time step"},
+            "general:time_step_output_minutes": {
+                "type": "float", "default": None, "min": 1e-6, "max": 1e6,
+                "units": "minutes", "level": CONFIG_LEVEL_BASIC,
+                "description": "Output time step"},
+            "drift:advection_scheme": {
+                "type": "enum", "enum": ["euler", "runge-kutta", "runge-kutta4"],
+                "default": "euler", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Numerical advection scheme"},
+            "drift:current_uncertainty": {
+                "type": "float", "default": 0.0, "min": 0, "max": 5,
+                "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Std of gaussian noise added to current"},
+            "drift:current_uncertainty_uniform": {
+                "type": "float", "default": 0.0, "min": 0, "max": 5,
+                "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Half-width of uniform noise added to current"},
+            "drift:wind_uncertainty": {
+                "type": "float", "default": 0.0, "min": 0, "max": 5,
+                "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Std of gaussian noise added to wind"},
+            "drift:horizontal_diffusivity": {
+                "type": "float", "default": 0.0, "min": 0, "max": 100000,
+                "units": "m2/s", "level": CONFIG_LEVEL_BASIC,
+                "description": "Horizontal diffusivity"},
+            "drift:max_age_seconds": {
+                "type": "float", "default": None, "min": 0, "max": 1e10,
+                "units": "s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Retire elements older than this"},
+            "drift:max_speed": {
+                "type": "float", "default": 2.0, "min": 0, "max": 100,
+                "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Speed bound used for coverage/halo sizing"},
+            "drift:deactivate_north_of": {
+                "type": "float", "default": None, "min": -90, "max": 90,
+                "units": "degrees", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Deactivate elements north of this latitude"},
+            "drift:deactivate_south_of": {
+                "type": "float", "default": None, "min": -90, "max": 90,
+                "units": "degrees", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Deactivate elements south of this latitude"},
+            "drift:deactivate_east_of": {
+                "type": "float", "default": None, "min": -360, "max": 360,
+                "units": "degrees", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Deactivate elements east of this longitude"},
+            "drift:deactivate_west_of": {
+                "type": "float", "default": None, "min": -360, "max": 360,
+                "units": "degrees", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Deactivate elements west of this longitude"},
+            "readers:max_number_of_fails": {
+                "type": "int", "default": 1, "min": 1, "max": 100,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Discard readers failing more often than this"},
+            "seed:ocean_only": {
+                "type": "bool", "default": True, "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Relocate land-seeded elements to the ocean"},
+            "seed:number": {
+                "type": "int", "default": 1, "min": 1, "max": 10 ** 9,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Default number of elements per seeding"},
+        })
+
+    def _add_seed_configs(self):
+        """Auto-generate ``seed:<var>`` configs from the element schema
+        (reference basemodel/__init__.py:529-545)."""
+        specs = {}
+        for name, spec in self.ElementType.variables.items():
+            if not spec.get("seed", True):
+                continue
+            if name in ("lon", "lat"):
+                continue
+            default = spec.get("default", 0.0)
+            specs[f"seed:{name}"] = {
+                "type": "float" if not isinstance(default, str) else "str",
+                "default": default, "units": spec.get("units"),
+                "min": spec.get("min", -1e30), "max": spec.get("max", 1e30),
+                "level": CONFIG_LEVEL_BASIC,
+                "description": spec.get("description", f"Seed value of {name}")}
+        self._add_config(specs)
+
+    def _add_environment_configs(self):
+        """Auto-generate ``environment:constant/fallback:<var>`` configs
+        (reference environment.py:41-76)."""
+        specs = {}
+        for var, spec in self.required_variables.items():
+            specs[f"environment:constant:{var}"] = {
+                "type": "float", "default": None, "min": -1e30, "max": 1e30,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": f"Use constant value for {var}"}
+            specs[f"environment:fallback:{var}"] = {
+                "type": "float", "default": spec.get("fallback", None),
+                "min": -1e30, "max": 1e30, "level": CONFIG_LEVEL_ADVANCED,
+                "description": f"Fallback value for {var} when missing"}
+        self._add_config(specs)
+
+    def add_config(self):
+        """Model hook to register extra config keys."""
+
+    # ----------------------------------------------------------- readers --
+    @require_mode([Mode.Config, Mode.Ready])
+    def add_reader(self, readers, variables=None, first=False):
+        self.env.add_reader(readers, variables=variables, first=first)
+        return self
+
+    def add_readers_from_list(self, urls, timeout=None, lazy=True,
+                              variables=None):
+        """Open readers for a list of paths/URLs (reference
+        environment.py:248-265).  Local NetCDF paths only in this build."""
+        from ..fields.factory import reader_from_url
+        readers = [reader_from_url(u) for u in urls]
+        readers = [r for r in readers if r is not None]
+        self.add_reader(readers, variables=variables)
+        return self
+
+    # ----------------------------------------------------------- seeding --
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_elements(self, lon, lat, time=None, radius=0, number=None,
+                      radius_type="gaussian", origin_marker=None,
+                      origin_marker_name=None, **kwargs):
+        """Seed elements at point(s), optionally scattered within ``radius``
+        metres, at one or more times (reference basemodel/__init__.py:1033).
+
+        ``time`` may be a datetime, a [start, end] pair (elements spread
+        linearly in the interval), or an array of per-element datetimes.
+        """
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64)).ravel()
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64)).ravel()
+        if len(lon) != len(lat):
+            raise ValueError("lon and lat must have equal length")
+        num_points = len(lon)
+
+        if number is None:
+            number = len(kwargs.get("z", [])) \
+                if np.ndim(kwargs.get("z", 0)) else 0
+            number = max(number, num_points,
+                         int(self.get_config("seed:number")))
+        number = int(number)
+        if number < 1:
+            raise ValueError(
+                f"Number of elements to seed must be >= 1, got {number}")
+        if num_points not in (1, number):
+            if number % num_points == 0 or number == num_points:
+                pass
+            else:
+                raise ValueError(
+                    f"Number of elements ({number}) must equal or be a "
+                    f"multiple of number of points ({num_points})")
+        if num_points == 1:
+            lon = np.repeat(lon, number)
+            lat = np.repeat(lat, number)
+        elif num_points != number:
+            reps = number // num_points
+            lon = np.repeat(lon, reps)
+            lat = np.repeat(lat, reps)
+            number = len(lon)
+
+        # time handling
+        if time is None:
+            raise ValueError("Time of seeding must be specified")
+        if isinstance(time, (list, tuple)) and len(time) == 2 \
+                and isinstance(time[0], datetime):
+            t0, t1 = time
+            frac = np.linspace(0, 1, number)
+            times = np.array(
+                [t0 + frac[i] * (t1 - t0) for i in range(number)])
+        elif isinstance(time, datetime):
+            times = np.array([time] * number)
+        else:
+            times = np.asarray(time)
+            if len(times) == 1:
+                times = np.repeat(times, number)
+            elif len(times) != number:
+                raise ValueError("Length of time array must match number")
+
+        # radius scatter (gaussian default, as reference :1150-1166)
+        radius = np.atleast_1d(np.asarray(radius, dtype=np.float64)).ravel()
+        if len(radius) == 1:
+            radius = np.repeat(radius, number)
+        if radius.max() > 0:
+            az = self._np_random.uniform(0, 360, number)
+            if radius_type == "gaussian":
+                dist = abs(self._np_random.normal(0, 1, number)) * radius
+            elif radius_type == "uniform":
+                dist = np.sqrt(self._np_random.uniform(0, 1, number)) * radius
+            else:
+                raise ValueError(f"Unknown radius_type: {radius_type}")
+            lat, lon = direct_np(lat, lon, az, dist)
+
+        # origin marker bookkeeping (reference :1082-1099)
+        if origin_marker is None:
+            origin_marker = len(self._seedings)
+        if origin_marker_name is not None:
+            self._origin_marker_names[int(origin_marker)] = origin_marker_name
+
+        # element properties: user kwargs > seed:* config > schema default
+        props = {}
+        for name in self.ElementType.seedable_variables():
+            if name in ("lon", "lat", "origin_marker"):
+                continue
+            if name in kwargs:
+                v = kwargs.pop(name)
+            else:
+                v = self.get_config(f"seed:{name}", default=None)
+                if v is None:
+                    v = self.ElementType.default(name)
+            v = np.atleast_1d(np.asarray(v))
+            if len(v) == 1:
+                v = np.repeat(v, number)
+            elif len(v) != number:
+                raise ValueError(
+                    f"Seed property {name} has length {len(v)} != {number}")
+            props[name] = v
+        unknown = [k for k in kwargs if k not in ("z",)]
+        if unknown:
+            raise ValueError(
+                f"Unknown seed properties for "
+                f"{type(self).__name__}: {unknown}")
+
+        seeding = {
+            "lon": lon.astype(np.float32),
+            "lat": lat.astype(np.float32),
+            "time": times,
+            "origin_marker": np.full(number, origin_marker, dtype=np.int32),
+        }
+        for name, v in props.items():
+            dtype = self.ElementType.variables[name].get("dtype", np.float32)
+            seeding[name] = v.astype(dtype)
+        self._seedings.append(seeding)
+        self.num_elements_scheduled_total += number
+        self.mode = Mode.Ready
+        return self
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_cone(self, lon, lat, time, radius=0, number=None, **kwargs):
+        """Seed along a cone (line from (lon0,lat0) to (lon1,lat1) with
+        radius varying linearly), elements spread uniformly in time if a
+        time interval is given (reference basemodel/__init__.py:1240)."""
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+        if number is None:
+            number = int(self.get_config("seed:number"))
+        if len(lon) == 1:
+            lons = np.repeat(lon, number)
+            lats = np.repeat(lat, number)
+        elif len(lon) == 2:
+            frac = np.linspace(0, 1, number)
+            # interpolate along the geodesic between the two endpoints
+            from ..utils.geodesic import inverse_np
+            az12, _, dist = inverse_np(lat[0], lon[0], lat[1], lon[1])
+            lats, lons = direct_np(np.repeat(lat[0], number),
+                                   np.repeat(lon[0], number),
+                                   np.repeat(az12, number), frac * dist)
+        else:
+            raise ValueError("seed_cone needs 1 or 2 points")
+        radius = np.atleast_1d(np.asarray(radius, dtype=np.float64))
+        if len(radius) == 2:
+            radius = np.linspace(radius[0], radius[1], number)
+        return self.seed_elements(lons, lats, time=time, radius=radius,
+                                  number=number, **kwargs)
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_within_polygon(self, lons, lats, number=None, **kwargs):
+        """Seed uniformly inside a polygon given by vertex arrays
+        (reference basemodel/__init__.py:1459), via rejection sampling on
+        an equal-area-ish local projection."""
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        if number is None:
+            number = int(self.get_config("seed:number"))
+        from matplotlib.path import Path
+        poly = Path(np.column_stack([lons, lats]))
+        lo0, lo1 = lons.min(), lons.max()
+        la0, la1 = lats.min(), lats.max()
+        out_lon = np.empty(0)
+        out_lat = np.empty(0)
+        # rejection-sample with cos(lat) area weighting
+        while len(out_lon) < number:
+            n_try = max(4 * number, 128)
+            cand_lon = self._np_random.uniform(lo0, lo1, n_try)
+            sin0, sin1 = np.sin(np.radians([la0, la1]))
+            cand_lat = np.degrees(np.arcsin(
+                self._np_random.uniform(sin0, sin1, n_try)))
+            inside = poly.contains_points(
+                np.column_stack([cand_lon, cand_lat]))
+            out_lon = np.concatenate([out_lon, cand_lon[inside]])
+            out_lat = np.concatenate([out_lat, cand_lat[inside]])
+        return self.seed_elements(out_lon[:number], out_lat[:number],
+                                  number=number, **kwargs)
+
+    # --------------------------------------------------------- status -----
+    def register_status(self, reason):
+        """Ensure a deactivation reason has a status code; return it."""
+        if reason not in self.status_categories:
+            self.status_categories.append(reason)
+        return self.status_categories.index(reason)
+
+    def status_code(self, reason):
+        return self.register_status(reason)
+
+    # ------------------------------------------------------------- run ----
+    @require_mode(Mode.Ready, "Elements must be seeded before running")
+    def run(self, time_step=None, steps=None, duration=None, end_time=None,
+            time_step_output=None, outfile=None, export_variables=None,
+            export_buffer_length=100):
+        self.timer_start("preparing main loop")
+        self.mode = Mode.Run
+
+        # ---- time resolution (reference :1930-2013)
+        if time_step is None:
+            time_step = timedelta(
+                minutes=self.get_config("general:time_step_minutes"))
+        dt = _seconds(time_step)
+        if dt == 0:
+            raise ValueError("time_step must be non-zero")
+        all_times = np.concatenate([s["time"] for s in self._seedings])
+        tmin, tmax = all_times.min(), all_times.max()
+        self.start_time = tmin if dt > 0 else tmax
+
+        if steps is None:
+            if duration is None:
+                if end_time is None:
+                    out_cfg = self.get_config(
+                        "general:time_step_output_minutes")
+                    raise ValueError(
+                        "Provide one of steps, duration or end_time")
+                duration = abs(_seconds(end_time - self.start_time))
+            else:
+                duration = abs(_seconds(duration))
+            steps = int(round(duration / abs(dt)))
+        steps = int(steps)
+        if steps < 1:
+            raise ValueError("Simulation needs at least one step")
+
+        if time_step_output is None:
+            out_cfg = self.get_config("general:time_step_output_minutes")
+            dt_out = out_cfg * 60.0 if out_cfg else abs(dt)
+        else:
+            dt_out = abs(_seconds(time_step_output))
+        K = max(1, int(round(dt_out / abs(dt))))
+        if abs(K * abs(dt) - dt_out) > 1e-9 * abs(dt):
+            raise ValueError(
+                "Output time step must be an integer multiple of time step")
+        n_intervals = steps // K
+        if n_intervals * K != steps:
+            steps = n_intervals * K
+            logger.warning("Rounding steps down to %d (whole output steps)",
+                           steps)
+        self.time_step = timedelta(seconds=dt)
+        self.time_step_output = timedelta(seconds=K * dt)
+        self.steps_calculation = steps
+
+        advance, final_snap, state, base_key = self.prepare_run(
+            dt, K, export_variables=export_variables)
+
+        self.timer_end("preparing main loop")
+        self.timer_start("main loop")
+        frames = []
+        frame_times = []
+        try:
+            for k in range(n_intervals):
+                t_rel = k * K * dt
+                dev_states = self.env.build_device_states()
+                key = jax.random.fold_in(base_key, k)
+                state, snap = advance(state, dev_states, jnp.float32(t_rel),
+                                      key)
+                frames.append(jax.device_get(snap))
+                frame_times.append(self.start_time
+                                   + timedelta(seconds=t_rel))
+            # final snapshot at end time
+            t_rel = n_intervals * K * dt
+            dev_states = self.env.build_device_states()
+            snap = final_snap(state, dev_states, jnp.float32(t_rel))
+            frames.append(jax.device_get(snap))
+            frame_times.append(self.start_time + timedelta(seconds=t_rel))
+            self.state = jax.device_get(state)
+        except Exception:
+            self.timer_end("main loop")
+            raise
+        self.timer_end("main loop")
+
+        self.timer_start("postprocessing")
+        self.result = self._assemble_result(frames, frame_times)
+        if outfile is not None:
+            from ..export.io_netcdf import write_result
+            write_result(self.result, outfile)
+        self.timer_end("postprocessing")
+        self.timer_end("total time")
+        self.mode = Mode.Result
+        return self
+
+    def prepare_run(self, dt, K, export_variables=None, jit=True):
+        """Finalise the environment, build the initial device state and the
+        compiled (advance, final_snapshot) kernels.  Split out of ``run``
+        so benchmarks and the multichip dry-run can drive the kernel
+        directly."""
+        if getattr(self, "start_time", None) is None:
+            all_times = np.concatenate([s["time"] for s in self._seedings])
+            self.start_time = all_times.min() if dt > 0 else all_times.max()
+            self.time_step = timedelta(seconds=dt)
+            self.time_step_output = timedelta(seconds=K * dt)
+
+        # ---- build initial state arrays (host)
+        state_np = self._build_initial_state(dt)
+
+        # ---- environment finalisation
+        constant_overrides = {}
+        fallback_overrides = {}
+        for var in self.required_variables:
+            c = self.get_config(f"environment:constant:{var}", default=None)
+            if c is not None:
+                constant_overrides[var] = c
+            f = self.get_config(f"environment:fallback:{var}", default=None)
+            if f is not None:
+                fallback_overrides[var] = f
+        # drift:horizontal_diffusivity config acts as the fallback for the
+        # horizontal_diffusivity variable (reference oceandrift behaviour)
+        hd = self.get_config("drift:horizontal_diffusivity")
+        if hd and "horizontal_diffusivity" in self.required_variables:
+            fallback_overrides["horizontal_diffusivity"] = hd
+        self.env.max_reader_fails = self.get_config(
+            "readers:max_number_of_fails")
+        profiles = self.required_profiles()
+        self.env.finalize(self.start_time,
+                          required_profiles=profiles,
+                          constant_overrides=constant_overrides,
+                          fallback_overrides=fallback_overrides)
+        self._auto_landmask_fallback()
+
+        # ---- compile step
+        self.export_variables = export_variables
+        advance, final_snap = self._make_advance(K, dt, jit=jit)
+
+        state = ElementState({k: jnp.asarray(v) for k, v in state_np.items()})
+        base_key = jax.random.PRNGKey(self.rng_seed)
+        return advance, final_snap, state, base_key
+
+    # ------------------------------------------------- initial state ------
+    def _build_initial_state(self, dt):
+        n = self.num_elements_scheduled_total
+        sign = 1.0 if dt > 0 else -1.0
+        arrays = {}
+        for name, spec in self.ElementType.variables.items():
+            dtype = spec.get("dtype", np.float32)
+            default = spec.get("default", 0)
+            arrays[name] = np.full(n, default, dtype=dtype)
+        offset = 0
+        for s in self._seedings:
+            m = len(s["lon"])
+            sl = slice(offset, offset + m)
+            for kname, v in s.items():
+                if kname == "time":
+                    continue
+                if kname in arrays:
+                    arrays[kname][sl] = v
+            offset += m
+        arrays["ID"] = np.arange(1, n + 1, dtype=np.int32)
+        arrays["status"] = np.full(n, NOT_RELEASED, dtype=np.int32)
+        all_times = np.concatenate([s["time"] for s in self._seedings])
+        rel = np.array([(t - self.start_time).total_seconds()
+                        for t in all_times], dtype=np.float32)
+        arrays["release_tau"] = (rel * sign).astype(np.float32)
+        arrays["prev_lon"] = arrays["lon"].copy()
+        arrays["prev_lat"] = arrays["lat"].copy()
+        arrays["prev_z"] = arrays["z"].copy()
+        return arrays
+
+    def _auto_landmask_fallback(self):
+        """If no reader provides land_binary_mask and no fallback is set,
+        fall back to all-ocean with a warning (the rasterised landmask
+        reader is added by the user or a concrete deployment)."""
+        if "land_binary_mask" not in self.required_variables:
+            return
+        has_reader = bool(self.env.priority_list.get("land_binary_mask"))
+        fb = self.env.fallback_values.get("land_binary_mask", None)
+        if not has_reader and fb is None:
+            if self.get_config("general:use_auto_landmask"):
+                try:
+                    from ..fields.landmask import GlobalLandmask
+                    self.env.add_reader(GlobalLandmask())
+                    self.env._plan.append(
+                        (self.env.readers[list(self.env.readers)[-1]],
+                         ["land_binary_mask"]))
+                    return
+                except Exception as e:  # no landmask data available
+                    logger.warning(
+                        "No landmask data available (%s); assuming all "
+                        "ocean", e)
+            self.env.fallback_values["land_binary_mask"] = 0.0
+
+    def _skip_if_holds(self, spec):
+        """Evaluate a ``skip_if`` condition like
+        ``['drift:vertical_mixing', 'is', False]`` (reference
+        basemodel/__init__.py:4966 ``evaluate_conditional``)."""
+        cond = spec.get("skip_if")
+        if cond is None:
+            return False
+        key, op, value = cond
+        current = self.get_config(key, default=None)
+        if op == "is":
+            return current is value or current == value
+        if op == "is_not":
+            return not (current is value or current == value)
+        raise ValueError(f"Unknown skip_if operator: {op}")
+
+    def active_required_variables(self):
+        """Required variables minus those skipped by config conditions."""
+        return [v for v, spec in self.required_variables.items()
+                if not self._skip_if_holds(spec)]
+
+    def required_profiles(self):
+        """Variables needing vertical profiles (model hook)."""
+        return [v for v, spec in self.required_variables.items()
+                if spec.get("profiles", False)
+                and not self._skip_if_holds(spec)]
+
+    # --------------------------------------------------- the fused step ---
+    def _dynamic_params(self):
+        """Config values resolved to a dict used inside the step (floats are
+        baked as constants; recompile on change is accepted)."""
+        maxage = self.get_config("drift:max_age_seconds")
+        return {
+            "dt": None,  # filled by _make_advance
+            "hdiff": float(self.get_config("drift:horizontal_diffusivity")),
+            "current_unc": float(self.get_config("drift:current_uncertainty")),
+            "current_unc_uniform": float(
+                self.get_config("drift:current_uncertainty_uniform")),
+            "wind_unc": float(self.get_config("drift:wind_uncertainty")),
+            "max_age": float(maxage) if maxage is not None else np.inf,
+        }
+
+    def _make_advance(self, K, dt, jit=True):
+        """Build jitted (advance_interval, final_snapshot) callables."""
+        params = self._dynamic_params()
+        params["dt"] = float(dt)
+        env = self.env
+        sign = 1.0 if dt > 0 else -1.0
+        coastline_action = self.get_config("general:coastline_action")
+        seafloor_action = self.get_config("general:seafloor_action")
+        env_vars = self.active_required_variables()
+        profile_vars = self.env.required_profiles
+        zlevels = self._profile_zlevels()
+
+        has_seafloor = "sea_floor_depth_below_sea_level" in env_vars
+        no_fallback_vars = [
+            v for v in env_vars
+            if env.fallback_values.get(v, None) is None]
+        status_outside = self.status_code("outside")
+        status_stranded = self.status_code("stranded")
+        status_retired = self.status_code("retired")
+        status_missing = self.status_code("missing_data")
+        status_seafloor = self.status_code("seafloor")
+        west = self.get_config("drift:deactivate_west_of")
+        east = self.get_config("drift:deactivate_east_of")
+        north = self.get_config("drift:deactivate_north_of")
+        south = self.get_config("drift:deactivate_south_of")
+
+        def pre_update(state, dev_states, t_rel, tau):
+            """Release, env fetch, deactivations, coastline/seafloor —
+            the phase before motion (reference loop :2193-2265)."""
+            d = dict(state.data)
+            release = (d["status"] == NOT_RELEASED) & \
+                (d["release_tau"] < tau + abs(params["dt"]))
+            d["status"] = jnp.where(release, ACTIVE, d["status"])
+            active = d["status"] == ACTIVE
+
+            envs, missing = env.get_environment(
+                dev_states, env_vars, t_rel, d["lon"], d["lat"], d["z"])
+
+            # deactivate elements missing mandatory data (reference :2501)
+            if no_fallback_vars:
+                miss_any = jnp.zeros_like(active)
+                for v in no_fallback_vars:
+                    miss_any = miss_any | missing[v]
+                d["status"] = jnp.where(active & miss_any, status_missing,
+                                        d["status"])
+                active = d["status"] == ACTIVE
+
+            # deactivate outside validity box / invalid coordinates
+            bad = (~jnp.isfinite(d["lon"])) | (~jnp.isfinite(d["lat"])) \
+                | (jnp.abs(d["lat"]) > 90.0)
+            if west is not None:
+                bad = bad | (d["lon"] < west)
+            if east is not None:
+                bad = bad | (d["lon"] > east)
+            if south is not None:
+                bad = bad | (d["lat"] < south)
+            if north is not None:
+                bad = bad | (d["lat"] > north)
+            d["status"] = jnp.where(active & bad, status_outside, d["status"])
+            active = d["status"] == ACTIVE
+
+            # coastline interaction (reference :670-746)
+            if "land_binary_mask" in envs and coastline_action != "none":
+                on_land = envs["land_binary_mask"] > 0.5
+                if coastline_action == "stranding":
+                    d["status"] = jnp.where(active & on_land, status_stranded,
+                                            d["status"])
+                    active = d["status"] == ACTIVE
+                elif coastline_action == "previous":
+                    d["lon"] = jnp.where(active & on_land, d["prev_lon"],
+                                         d["lon"])
+                    d["lat"] = jnp.where(active & on_land, d["prev_lat"],
+                                         d["lat"])
+
+            # seafloor interaction (reference :748-784)
+            if has_seafloor and seafloor_action != "none":
+                depth = envs["sea_floor_depth_below_sea_level"]
+                below = d["z"] < -depth
+                if seafloor_action == "lift_to_seafloor":
+                    d["z"] = jnp.where(active & below, -depth, d["z"])
+                elif seafloor_action == "deactivate":
+                    d["status"] = jnp.where(active & below, status_seafloor,
+                                            d["status"])
+                    active = d["status"] == ACTIVE
+                elif seafloor_action == "previous":
+                    d["z"] = jnp.where(active & below, d["prev_z"], d["z"])
+
+            return ElementState(d), envs, missing
+
+        def snapshot(state, envs):
+            snap = {}
+            export = self.export_variables
+            for name in self.ElementType.variables:
+                if export is None or name in export or \
+                        name in ("lon", "lat", "z", "status"):
+                    snap[name] = state.data[name]
+            for name, v in envs.items():
+                if export is None or name in export:
+                    snap[name] = v
+            return snap
+
+        def post_update(state, envs, dev_states, t_rel, tau, key):
+            """Aging/retirement, model physics, horizontal diffusion —
+            the phase after the output snapshot (reference :2266-2304)."""
+            d = dict(state.data)
+            active = d["status"] == ACTIVE
+            d["age_seconds"] = jnp.where(
+                active, d["age_seconds"] + abs(params["dt"]),
+                d["age_seconds"])
+            d["status"] = jnp.where(
+                active & (d["age_seconds"] > params["max_age"]),
+                status_retired, d["status"])
+            # previous positions, for 'previous'-type interactions
+            d["prev_lon"] = d["lon"]
+            d["prev_lat"] = d["lat"]
+            d["prev_z"] = d["z"]
+            state = ElementState(d)
+
+            profiles = None
+            if profile_vars:
+                profiles = env.get_profiles(dev_states, profile_vars, t_rel,
+                                            state.data["lon"],
+                                            state.data["lat"], zlevels)
+
+            ctx = StepContext(self, state, envs, profiles, dev_states,
+                              t_rel, params, key, zlevels)
+            self.update(ctx)
+            ctx.horizontal_diffusion()
+            return ctx.state
+
+        def step(state, dev_states, t_rel, tau, key, want_snap):
+            state, envs, missing = pre_update(state, dev_states, t_rel, tau)
+            snap = snapshot(state, envs) if want_snap else None
+            state = post_update(state, envs, dev_states, t_rel, tau, key)
+            return state, snap
+
+        def advance(state, dev_states, t0_rel, key):
+            tau0 = t0_rel * sign
+            state, snap = step(state, dev_states, t0_rel, tau0,
+                               jax.random.fold_in(key, 0), True)
+
+            def body(i, st):
+                t_rel = t0_rel + i.astype(jnp.float32) * params["dt"]
+                st, _ = step(st, dev_states, t_rel, t_rel * sign,
+                             jax.random.fold_in(key, i), False)
+                return st
+            if K > 1:
+                state = jax.lax.fori_loop(1, K, body, state)
+            return state, snap
+
+        def final_snapshot(state, dev_states, t_rel):
+            state, envs, missing = pre_update(state, dev_states, t_rel,
+                                              t_rel * sign)
+            return snapshot(state, envs)
+
+        if not jit:
+            return advance, final_snapshot
+        return (jax.jit(advance, donate_argnums=(0,)),
+                jax.jit(final_snapshot))
+
+    def _profile_zlevels(self):
+        zr = self.required_profiles_z_range
+        if zr is None:
+            zr = [-20.0, 0.0]
+        return jnp.linspace(zr[1], zr[0], 9, dtype=jnp.float32)
+
+    def update(self, ctx):
+        """Model physics for one time step — must be overridden."""
+        raise NotImplementedError(
+            "Subclasses must define an update(ctx) method")
+
+    # --------------------------------------------------- result assembly --
+    def _assemble_result(self, frames, frame_times):
+        T = len(frames)
+        names = list(frames[0].keys())
+        stacked = {n: np.stack([f[n] for f in frames], axis=-1)
+                   for n in names}  # (N, T)
+        status = stacked["status"]
+        released = status >= ACTIVE
+        dead = status > ACTIVE
+        # valid: active frames plus the first dead frame (the reference
+        # records deactivated elements once, at the output step covering
+        # their deactivation, basemodel/__init__.py:2390-2396)
+        first_dead = np.zeros_like(dead)
+        first_dead[:, 0] = dead[:, 0]
+        first_dead[:, 1:] = dead[:, 1:] & ~dead[:, :-1]
+        valid = (status == ACTIVE) | first_dead
+
+        variables = {}
+        for n in names:
+            vals = stacked[n]
+            attrs = {}
+            if n in self.ElementType.variables:
+                spec = self.ElementType.variables[n]
+                attrs = {k: v for k, v in spec.items()
+                         if k in ("units", "standard_name", "description")}
+            if np.issubdtype(vals.dtype, np.floating):
+                vals = np.where(valid, vals, np.nan)
+            variables[n] = DataVar(("trajectory", "time"), vals, attrs)
+        n_elem = status.shape[0]
+        coords = {
+            "trajectory": np.arange(1, n_elem + 1),
+            "time": np.array(frame_times, dtype="datetime64[ns]"),
+        }
+        attrs = {
+            "opendrift_class": type(self).__name__,
+            "opendrift_module": type(self).__module__,
+            "time_coverage_start": str(frame_times[0]),
+            "time_coverage_end": str(frame_times[-1]),
+            "time_step_calculation": str(self.time_step),
+            "time_step_output": str(self.time_step_output),
+            "status_categories": " ".join(self.status_categories),
+        }
+        attrs.update(self._config_to_attributes())
+        return TrajectoryDataset(variables, coords, attrs)
+
+    # ------------------------------------------------------ diagnostics ---
+    def num_elements_active(self):
+        if self.result is not None:
+            status = self.result["status"].values
+            return int((status[:, -1] == ACTIVE).sum())
+        return 0
+
+    def num_elements_scheduled(self):
+        return self.num_elements_scheduled_total
+
+    def num_elements_deactivated(self):
+        if self.result is not None:
+            status = self.result["status"].values
+            return int((status[:, -1] > ACTIVE).sum())
+        return 0
+
+    def store_message(self, msg):
+        self.messages.append(msg)
+        logger.warning(msg)
+
+    def get_messages(self):
+        return "\n".join(self.messages)
+
+    def __repr__(self):
+        s = f"Model: {type(self).__name__} (mode: {self.mode.name})\n"
+        s += f"  {self.num_elements_scheduled_total} elements scheduled\n"
+        s += f"  readers: {list(self.env.readers)}\n"
+        return s
+
+
+class StepContext(PhysicsContext):
+    """Per-step context handed to model ``update`` implementations.
+
+    Carries the element state, fetched environment, profiles and RNG, and
+    provides the physics methods of the reference ``PhysicsMethods`` mixin
+    (reference: opendrift/models/physics_methods.py:570) as methods that
+    mutate ``self.state`` functionally.
+    """
+
+    def __init__(self, sim, state, env, profiles, dev_states, t_rel, params,
+                 key, zlevels):
+        self.sim = sim
+        self.state = state
+        self.environment = env
+        self.profiles = profiles
+        self.dev_states = dev_states
+        self.t_rel = t_rel
+        self.params = params
+        self.zlevels = zlevels
+        self._key = key
+        self._key_counter = 0
+
+    # -- RNG ---------------------------------------------------------------
+    def next_key(self):
+        self._key_counter += 1
+        return jax.random.fold_in(self._key, self._key_counter)
+
+    # -- state update helpers ---------------------------------------------
+    @property
+    def active(self):
+        return self.state.data["status"] == ACTIVE
+
+    def get_environment(self, varnames, t_rel, lon, lat, z):
+        envs, _ = self.sim.env.get_environment(
+            self.dev_states, varnames, t_rel, lon, lat, z)
+        return envs
+
+    def update_positions(self, x_vel, y_vel):
+        """Geodesic position update (reference basemodel/__init__.py:4631):
+        masked to active, moving elements."""
+        from ..utils.geodesic import geodesic_step
+        d = self.state.data
+        mask = self.active
+        u = x_vel * d["moving"]
+        v = y_vel * d["moving"]
+        lat2, lon2 = geodesic_step(jnp, d["lat"], d["lon"], u, v,
+                                   self.params["dt"])
+        self.state = self.state.replace(
+            lon=jnp.where(mask, lon2, d["lon"]),
+            lat=jnp.where(mask, lat2, d["lat"]))
+
+    def update_z(self, dz=None, new_z=None):
+        d = self.state.data
+        mask = self.active & (d["moving"] > 0)
+        if new_z is None:
+            new_z = d["z"] + dz
+        self.state = self.state.replace(
+            z=jnp.where(mask, new_z, d["z"]))
+
+    def deactivate_elements(self, mask, reason):
+        code = self.sim.status_code(reason)
+        d = self.state.data
+        self.state = self.state.replace(
+            status=jnp.where(self.active & mask, code, d["status"]))
+
+    def set_var(self, name, values, mask=None):
+        d = self.state.data
+        if mask is None:
+            mask = self.active
+        self.state = self.state.replace(
+            **{name: jnp.where(mask, values, d[name])})
+
+    # -- base stochastics --------------------------------------------------
+    def horizontal_diffusion(self):
+        """Random-walk horizontal diffusion (reference
+        basemodel/__init__.py:1746-1772): v = sqrt(2 D / dt) * N(0,1)."""
+        if "horizontal_diffusivity" in self.environment:
+            D = self.environment["horizontal_diffusivity"]
+        else:
+            D = self.params["hdiff"]
+            if D == 0.0:
+                return
+        d = self.state.data
+        dt = abs(self.params["dt"])
+        std = jnp.sqrt(2.0 * D / dt)
+        noise = jax.random.normal(self.next_key(), (2,) + d["lon"].shape,
+                                  dtype=d["lon"].dtype)
+        self.update_positions(std * noise[0], std * noise[1])

@@ -1,0 +1,330 @@
+"""OceanDrift: generic 3D buoyant tracer model.
+
+TPU-native re-implementation of the reference's ``OceanDrift``
+(reference: opendrift/models/oceandrift.py:54-714): current + wind + Stokes
+advection, vertical advection, buoyancy, and Visser (1997) random-walk
+vertical mixing.  The mixing inner loop — the reference's dominant hot loop
+(60x the outer step count, oceandrift.py:397-571) — runs as a
+``lax.fori_loop`` fused into the step kernel with counter-based RNG.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from collections import OrderedDict
+
+from ..elements import LagrangianArray
+from ..config import CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED, \
+    CONFIG_LEVEL_ESSENTIAL
+from ..ops import physics as ph
+from .base import OpenDriftSimulation
+
+
+class Lagrangian3DArray(LagrangianArray):
+    """3D element with windage/current factors and terminal velocity
+    (reference oceandrift.py:28-51)."""
+
+    variables = LagrangianArray.add_variables([
+        ("wind_drift_factor", {
+            "dtype": np.float32, "units": "1", "default": 0.02,
+            "description": "Elements at surface are moved with this "
+            "fraction of the wind vector, in addition to currents and "
+            "Stokes drift"}),
+        ("current_drift_factor", {
+            "dtype": np.float32, "units": "1", "default": 1.0,
+            "description": "Elements are moved with this fraction of the "
+            "current vector"}),
+        ("terminal_velocity", {
+            "dtype": np.float32, "units": "m/s", "default": 0.0,
+            "description": "Terminal rise/sinking velocity (buoyancy) in "
+            "the ocean column"}),
+    ])
+
+
+class OceanDrift(OpenDriftSimulation):
+    """Generic 3-dimensional buoyant particle model
+    (reference oceandrift.py:54)."""
+
+    ElementType = Lagrangian3DArray
+
+    required_variables = {
+        "x_sea_water_velocity": {"fallback": 0},
+        "y_sea_water_velocity": {"fallback": 0},
+        "sea_surface_height": {"fallback": 0},
+        "x_wind": {"fallback": 0},
+        "y_wind": {"fallback": 0},
+        "upward_sea_water_velocity": {
+            "fallback": 0, "skip_if": ["drift:vertical_advection", "is", False]},
+        "ocean_vertical_diffusivity": {
+            "fallback": 0, "profiles": True,
+            "skip_if": ["drift:vertical_mixing", "is", False]},
+        "horizontal_diffusivity": {"fallback": 0},
+        "sea_surface_wave_significant_height": {"fallback": 0},
+        "sea_surface_wave_stokes_drift_x_velocity": {
+            "fallback": 0, "skip_if": ["drift:stokes_drift", "is", False]},
+        "sea_surface_wave_stokes_drift_y_velocity": {
+            "fallback": 0, "skip_if": ["drift:stokes_drift", "is", False]},
+        "ocean_mixed_layer_thickness": {
+            "fallback": 50, "skip_if": ["drift:vertical_mixing", "is", False]},
+        "sea_floor_depth_below_sea_level": {"fallback": 10000},
+        "land_binary_mask": {"fallback": None},
+    }
+
+    def add_config(self):
+        self._add_config({
+            "drift:vertical_advection": {
+                "type": "bool", "default": True, "level": CONFIG_LEVEL_BASIC,
+                "description": "Advect elements with vertical component of "
+                "ocean current"},
+            "drift:vertical_advection_at_surface": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Allow vertical advection of elements at "
+                "the very surface (z=0)"},
+            "drift:vertical_mixing": {
+                "type": "bool", "default": False, "level": CONFIG_LEVEL_BASIC,
+                "description": "Activate vertical mixing scheme with inner "
+                "loop"},
+            "drift:vertical_mixing_at_surface": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Allow mixing of elements at the very "
+                "surface (z=0)"},
+            "vertical_mixing:timestep": {
+                "type": "float", "default": 60.0, "min": 0.1, "max": 3600,
+                "units": "seconds", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Inner time step of vertical mixing"},
+            "vertical_mixing:diffusivitymodel": {
+                "type": "enum", "default": "environment",
+                "enum": ["environment", "stepfunction",
+                         "windspeed_Sundby1983", "windspeed_Large1994",
+                         "constant"],
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Algorithm/source for vertical diffusivity "
+                "profile"},
+            "vertical_mixing:background_diffusivity": {
+                "type": "float", "default": 1.2e-5, "min": 0, "max": 1,
+                "units": "m2s-1", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Background diffusivity below mixed layer"},
+            "vertical_mixing:TSprofiles": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Use T/S profiles in the mixing inner loop"},
+            "drift:wind_drift_depth": {
+                "type": "float", "default": 0.1, "min": 0, "max": 10,
+                "units": "meters", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Windage decays linearly from the surface "
+                "to zero at this depth"},
+            "drift:stokes_drift": {
+                "type": "bool", "default": True,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Advect elements with Stokes drift"},
+            "drift:stokes_drift_profile": {
+                "type": "enum", "default": "Phillips",
+                "enum": ["monochromatic", "exponential", "Phillips",
+                         "windsea_swell"],
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Stokes drift depth-decay profile"},
+            "drift:relative_wind": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Use wind relative to ocean current for "
+                "windage"},
+            "drift:profile_depth": {
+                "type": "float", "default": 50.0, "min": 0, "max": 1000,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Depth to which environment profiles are "
+                "fetched"},
+            "vertical_mixing:profile_levels": {
+                "type": "int", "default": 26, "min": 2, "max": 201,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Number of fixed z-levels for environment "
+                "profiles (the reference uses the reader's native levels; "
+                "fixed levels keep the kernel static)"},
+            "seed:seafloor": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Seed elements at seafloor"},
+        })
+
+    def _profile_zlevels(self):
+        depth = float(self.get_config("drift:profile_depth"))
+        L = int(self.get_config("vertical_mixing:profile_levels"))
+        return jnp.linspace(0.0, -depth, L, dtype=jnp.float32)
+
+    # ------------------------------------------------------------ update --
+    def update(self, ctx):
+        """One physics step (reference oceandrift.py:185-211)."""
+        ctx.advect_ocean_current()
+        ctx.advect_wind()
+        ctx.stokes_drift()
+        self.update_terminal_velocity(ctx)
+        if self.get_config("drift:vertical_mixing"):
+            self.vertical_mixing(ctx)
+        else:
+            self.vertical_buoyancy(ctx)
+        self.vertical_advection(ctx)
+
+    # ------------------------------------------------------ model hooks ---
+    def update_terminal_velocity(self, ctx, Tprofiles=None, Sprofiles=None,
+                                 zi=None):
+        """Subclass hook: buoyancy from element/environment properties
+        (reference oceandrift.py:285-291)."""
+
+    def prepare_vertical_mixing(self, ctx):
+        """Subclass hook (reference oceandrift.py:293)."""
+
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+        """Terminal velocity evaluated inside the mixing inner loop at
+        depth ``z``; default is the element property (subclasses may depend
+        on T/S profiles, reference oceandrift.py:509-512)."""
+        return ctx.state.data["terminal_velocity"]
+
+    def surface_stick(self, ctx, z):
+        """Keep elements at/above the surface at z=0
+        (reference oceandrift.py:374-378)."""
+        return jnp.minimum(z, 0.0)
+
+    def surface_wave_mixing(self, ctx, z, dt_mix, key):
+        """Subclass hook, e.g. oil wave entrainment
+        (reference oceandrift.py:383-386)."""
+        return z
+
+    def bottom_interaction(self, ctx, z, zmin):
+        """Subclass hook (reference oceandrift.py:380-381)."""
+        return z
+
+    # --------------------------------------------------- vertical physics -
+    def vertical_advection(self, ctx):
+        """(reference oceandrift.py:315-350)."""
+        if not self.get_config("drift:vertical_advection"):
+            return
+        d = ctx.state.data
+        w = ctx.environment["upward_sea_water_velocity"]
+        if self.get_config("drift:vertical_advection_at_surface"):
+            applicable = d["z"] <= 0.0
+        else:
+            applicable = d["z"] < 0.0
+        new_z = jnp.minimum(0.0, d["z"] + d["moving"] * w * ctx.params["dt"])
+        ctx.set_var("z", jnp.where(applicable, new_z, d["z"]))
+
+    def vertical_buoyancy(self, ctx):
+        """Buoyancy-only vertical motion (reference oceandrift.py:354-372)."""
+        d = ctx.state.data
+        in_ocean = d["z"] < 0.0
+        new_z = jnp.minimum(
+            0.0, d["z"] + d["terminal_velocity"] * ctx.params["dt"])
+        z = jnp.where(in_ocean, new_z, d["z"])
+        zmin = -(ctx.environment["sea_floor_depth_below_sea_level"]
+                 + ctx.sea_surface_height())
+        z = jnp.maximum(z, zmin)
+        ctx.set_var("z", z)
+
+    def _diffusivity_at(self, ctx, z, Kprof, gradK):
+        """Diffusivity and gradient at element depth.
+
+        For profile-based models: nearest-level lookup like the reference's
+        rounded interp1d index (oceandrift.py:515-519).  For wind-speed
+        parameterisations: direct elementwise evaluation with an analytic
+        central-difference gradient (equivalent, cheaper than building the
+        dynamic-length profile of the reference, oceandrift.py:431-455).
+        """
+        model = self.get_config("vertical_mixing:diffusivitymodel")
+        if model in ("environment", "constant"):
+            zlev = ctx.zlevels
+            h = float(zlev[0] - zlev[1])  # uniform spacing, positive
+            L = zlev.shape[0]
+            zi = jnp.clip(jnp.round(-z / h).astype(jnp.int32), 0, L - 1)
+            Kz = jnp.take_along_axis(Kprof, zi[None, :], axis=0)[0]
+            dKdz = jnp.take_along_axis(gradK, zi[None, :], axis=0)[0]
+            return Kz, dKdz
+        wind = ctx.wind_speed()
+        MLD = ctx.environment["ocean_mixed_layer_thickness"]
+        bg = float(self.get_config("vertical_mixing:background_diffusivity"))
+        delta = 0.5
+
+        def K_of(depth):
+            if model == "windspeed_Sundby1983":
+                return ph.verticaldiffusivity_Sundby1983(wind, depth, MLD, bg)
+            if model == "windspeed_Large1994":
+                return ph.verticaldiffusivity_Large1994(wind, depth, MLD, bg)
+            if model == "stepfunction":
+                return ph.verticaldiffusivity_stepfunction(depth)
+            raise ValueError(f"Unknown diffusivity model: {model}")
+        depth = jnp.abs(z)
+        Kz = K_of(depth)
+        # dK/dz with z negative downward: dK/dz = -dK/d(depth)
+        dKdz = -(K_of(depth + delta) - K_of(jnp.maximum(depth - delta, 0.0))
+                 ) / (2.0 * delta)
+        return Kz, dKdz
+
+    def vertical_mixing(self, ctx, store_depths=False):
+        """Visser (1997) random-walk mixing inner loop
+        (reference oceandrift.py:397-571)."""
+        d = ctx.state.data
+        dt = ctx.params["dt"]
+        dt_mix = float(self.get_config("vertical_mixing:timestep"))
+        dt_mix = dt_mix * (1.0 if dt > 0 else -1.0)
+        ntimes = max(1, abs(int(dt / dt_mix)))
+
+        zmin = -(ctx.environment["sea_floor_depth_below_sea_level"]
+                 + ctx.sea_surface_height())
+        self.prepare_vertical_mixing(ctx)
+
+        model = self.get_config("vertical_mixing:diffusivitymodel")
+        Kprof = gradK = None
+        if model == "environment":
+            Kprof = ctx.profiles["ocean_vertical_diffusivity"]
+        elif model == "constant":
+            fb = self.env.fallback_values.get("ocean_vertical_diffusivity",
+                                              0.0)
+            Kprof = jnp.full((ctx.zlevels.shape[0],) + d["z"].shape, fb)
+        if Kprof is not None:
+            # -d(K)/d(level) like the reference's gradK
+            # (oceandrift.py:503-505); zlevels descend so gradient along
+            # axis 0 uses the (negative) level spacing.
+            h = float(ctx.zlevels[0] - ctx.zlevels[1])
+            gradK = -jnp.gradient(Kprof, axis=0) / (-h)
+            gradK = jnp.where(jnp.abs(gradK) < 1e-10, 0.0, gradK)
+
+        mixing_at_surface = self.get_config("drift:vertical_mixing_at_surface")
+        moving = d["moving"]
+        active = ctx.active
+        base_key = ctx.next_key()
+
+        Tprof = Sprof = None
+        if self.get_config("vertical_mixing:TSprofiles") and ctx.profiles \
+                and "sea_water_temperature" in ctx.profiles:
+            Tprof = ctx.profiles["sea_water_temperature"]
+            Sprof = ctx.profiles["sea_water_salinity"]
+
+        def body(i, z):
+            key = jax.random.fold_in(base_key, i)
+            surface = z == 0.0
+            # terminal velocity may depend on depth/T/S (subclass hook,
+            # reference oceandrift.py:509-512)
+            w = self.terminal_velocity_inner(ctx, z, Tprof, Sprof)
+            Kz, dKdz = self._diffusivity_at(ctx, z, Kprof, gradK)
+            R = 2.0 * jax.random.uniform(key, z.shape, dtype=z.dtype) - 1.0
+            # Visser random walk: z -= moving*(dK/dz*dt - R*sqrt(6 K dt))
+            # (reference oceandrift.py:521-531, r=1/3)
+            z = z - moving * (dKdz * dt_mix
+                              - R * jnp.sqrt(Kz * abs(dt_mix) * 6.0))
+            # reflect at surface
+            z = jnp.where(z >= 0.0, -z, z)
+            # reflect at seafloor (for moving elements)
+            z = jnp.where((z < zmin) & (moving == 1.0), 2.0 * zmin - z, z)
+            # buoyancy
+            z = z + w * dt_mix * moving
+            if not mixing_at_surface:
+                z = jnp.where(surface, 0.0, z)
+            z = self.surface_stick(ctx, z)
+            z = self.surface_wave_mixing(ctx, z, abs(dt_mix), key)
+            # stick to bottom
+            z = jnp.maximum(z, zmin)
+            z = self.bottom_interaction(ctx, z, zmin)
+            return z
+
+        z = jax.lax.fori_loop(0, ntimes, body, d["z"])
+        ctx.set_var("z", jnp.where(active, z, d["z"]))
