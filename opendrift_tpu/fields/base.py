@@ -113,8 +113,7 @@ class BaseReader:
             ok &= (y >= self.ymin) & (y <= self.ymax)
         return ok
 
-    def prepare(self, extent=None, start_time=None, end_time=None,
-                max_speed=None):
+    def prepare(self, **kwargs):
         """Hook called at run start (reference structured.py:149)."""
 
     # ------------------------------------------------------- device protocol

@@ -103,6 +103,22 @@ class Environment:
                 f"{missing}")
         self.required_profiles = list(required_profiles)
 
+    def prepare_readers(self, extent=None, start_time=None, end_time=None,
+                        max_speed=None, interval_seconds=None):
+        """Give every reader its run context: simulation extent (for halo
+        subsetting), time range and per-interval window length (reference:
+        ``reader.prepare`` at basemodel/__init__.py:2064 ->
+        structured.py:149)."""
+        for reader in self.readers.values():
+            try:
+                reader.prepare(extent=extent, start_time=start_time,
+                               end_time=end_time, max_speed=max_speed,
+                               interval_seconds=interval_seconds,
+                               variables=list(self.required_variables))
+            except TypeError:
+                reader.prepare(extent=extent, start_time=start_time,
+                               end_time=end_time, max_speed=max_speed)
+
     # ----------------------------------------------------- window device IO
     def build_device_states(self, window_start=None, window_end=None):
         """Collect per-reader device pytrees for a time window, applying the

@@ -1,0 +1,314 @@
+"""Structured (regular-grid) reader base: device field blocks + sampling.
+
+Architectural replacement for the reference's ``StructuredReader`` +
+``ReaderBlock`` machinery (reference: opendrift/readers/basereader/
+structured.py:15-628, opendrift/readers/interpolation/structured.py:12-186):
+
+* Host side: a subclass reads raw frames (``_read_frame``); the base
+  scrubs, NaN-fills (nearest-valid + towards-seafloor), subsets to the
+  simulation extent with a speed-derived halo (the reference's buffer
+  formula ``max_speed*dt/pixelsize + 2``, basereader/variables.py:616-617),
+  and stacks a fixed-shape window of frames into device arrays.
+* Device side: ``sample`` projects particle lon/lat into fractional grid
+  indices with the jnp CRS transform and runs the fused space-time
+  interpolation kernel (ops/interp.py) — no Python in the loop; RK stage
+  refetches re-enter the same kernel at displaced positions.
+
+Frame windows keep a constant shape across jit calls (fixed frame count,
+fixed spatial subset) so the step never recompiles mid-run.
+"""
+
+import logging
+from datetime import timedelta
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import BaseReader, STANDARD_NAMES
+from ..ops.interp import (interp_xyzt, interp_nearest_xyt, fill_invalid,
+                          fill_towards_seafloor)
+
+logger = logging.getLogger(__name__)
+
+# variables sampled with nearest-neighbour rather than bilinear
+NEAREST_VARIABLES = {"land_binary_mask"}
+# variables with no time dependence (sampled from frame 0)
+STATIC_VARIABLES = {"land_binary_mask", "sea_floor_depth_below_sea_level"}
+
+
+class StructuredGridReader(BaseReader):
+    """Base for readers on regular (equidistant x/y) grids.
+
+    Subclasses must set, before calling ``super().__init__()``:
+      ``self.x``, ``self.y`` (1D metres, equidistant), ``self.times``
+      (list of datetimes), ``self.depths`` (1D positive-down ascending,
+      or None), ``self.proj4``, ``self.variables`` (list of std names),
+      ``self._var_has_z`` (dict std name -> bool)
+    and implement ``_read_frame(stdname, time_index, zslice, yslice,
+    xslice) -> float32 ndarray`` ((Z,y,x) or (y,x)), raw (base scrubs).
+    """
+
+    def __init__(self):
+        x = np.asarray(self.x, dtype=np.float64)
+        y = np.asarray(self.y, dtype=np.float64)
+        # enforce ascending axes (flip handled at read time)
+        self._flip_x = x[0] > x[-1] if len(x) > 1 else False
+        self._flip_y = y[0] > y[-1] if len(y) > 1 else False
+        if self._flip_x:
+            x = x[::-1]
+        if self._flip_y:
+            y = y[::-1]
+        if len(x) > 1:
+            dxs = np.diff(x)
+            if dxs.max() - dxs.min() > 0.01 * abs(dxs.mean()):
+                raise ValueError(
+                    f"{self.name}: x axis is not equidistant")
+        if len(y) > 1:
+            dys = np.diff(y)
+            if dys.max() - dys.min() > 0.01 * abs(dys.mean()):
+                raise ValueError(
+                    f"{self.name}: y axis is not equidistant")
+        self.x = x
+        self.y = y
+        self.delta_x = float(x[1] - x[0]) if len(x) > 1 else 1.0
+        self.delta_y = float(y[1] - y[0]) if len(y) > 1 else 1.0
+        self.xmin, self.xmax = float(x[0]), float(x[-1])
+        self.ymin, self.ymax = float(y[0]), float(y[-1])
+        self.times = list(self.times)
+        self.start_time = self.times[0]
+        self.end_time = self.times[-1]
+        if len(self.times) > 1:
+            deltas = [(b - a).total_seconds()
+                      for a, b in zip(self.times[:-1], self.times[1:])]
+            self.time_step = timedelta(seconds=min(deltas))
+        else:
+            self.time_step = None
+        if getattr(self, "depths", None) is not None:
+            self.depths = np.asarray(self.depths, dtype=np.float32)
+        # default window: 2 frames; prepare() may widen
+        self._window_frames = 2
+        self._ix = slice(0, len(x))
+        self._iy = slice(0, len(y))
+        self._frame_cache = {}
+        self._max_cached_frames = 64
+        # static block-group membership (used by both the host packing and
+        # the traced sampler — must not change after construction)
+        self._group3 = [v for v in self.variables
+                        if self._var_has_z.get(v)
+                        and v not in STATIC_VARIABLES]
+        self._group2 = [v for v in self.variables
+                        if not self._var_has_z.get(v)
+                        and v not in STATIC_VARIABLES]
+        self._groups = [v for v in self.variables if v in STATIC_VARIABLES]
+        super().__init__()
+
+    # ------------------------------------------------------------ prepare
+    def prepare(self, extent=None, start_time=None, end_time=None,
+                max_speed=None, interval_seconds=None, variables=None):
+        """Subset the grid to the simulation extent with a halo, restrict
+        the loaded variables to those required, and fix the per-window
+        frame count (constant shapes across jit calls)."""
+        if variables is not None:
+            wanted = [v for v in self.variables if v in variables]
+            self._group3 = [v for v in self._group3 if v in wanted]
+            self._group2 = [v for v in self._group2 if v in wanted]
+            self._groups = [v for v in self._groups if v in wanted]
+        if extent is not None and max_speed is not None:
+            lonmin, latmin, lonmax, latmax = extent
+            # project extent corners + edge midpoints to reader grid
+            lons = np.array([lonmin, lonmax, lonmin, lonmax,
+                             (lonmin + lonmax) / 2, lonmin, lonmax,
+                             (lonmin + lonmax) / 2])
+            lats = np.array([latmin, latmin, latmax, latmax, latmin,
+                             (latmin + latmax) / 2, (latmin + latmax) / 2,
+                             latmax])
+            xs, ys = self.lonlat2xy(lons, lats)
+            dt_r = (self.time_step.total_seconds()
+                    if self.time_step else 3600.0)
+            halo_x = int(abs(max_speed * dt_r / self.delta_x)) + 2
+            halo_y = int(abs(max_speed * dt_r / self.delta_y)) + 2
+            ix0 = int(np.clip((np.min(xs) - self.x[0]) / self.delta_x
+                              - halo_x, 0, len(self.x) - 2))
+            ix1 = int(np.clip((np.max(xs) - self.x[0]) / self.delta_x
+                              + halo_x + 2, ix0 + 2, len(self.x)))
+            iy0 = int(np.clip((np.min(ys) - self.y[0]) / self.delta_y
+                              - halo_y, 0, len(self.y) - 2))
+            iy1 = int(np.clip((np.max(ys) - self.y[0]) / self.delta_y
+                              + halo_y + 2, iy0 + 2, len(self.y)))
+            self._ix = slice(ix0, ix1)
+            self._iy = slice(iy0, iy1)
+            logger.info("%s: grid subset x[%d:%d] y[%d:%d] of (%d, %d)",
+                        self.name, ix0, ix1, iy0, iy1, len(self.x),
+                        len(self.y))
+        if interval_seconds is not None and self.time_step is not None:
+            self._window_frames = min(
+                len(self.times),
+                int(np.ceil(interval_seconds
+                            / self.time_step.total_seconds())) + 2)
+        else:
+            self._window_frames = min(len(self.times), 2)
+
+    # ----------------------------------------------------------- windows -
+    def _frame_indices(self, window_start, window_end):
+        F = self._window_frames
+        n = len(self.times)
+        if window_start is None:
+            i0 = 0
+        else:
+            i0 = np.searchsorted(
+                np.array([t.timestamp() for t in self.times]),
+                window_start.timestamp(), side="right") - 1
+        i0 = int(np.clip(i0, 0, max(n - F, 0)))
+        return list(range(i0, min(i0 + F, n)))
+
+    def _load_frame(self, std, ti):
+        """Scrubbed, NaN-filled frame (host, cached)."""
+        key = (std, ti)
+        if key in self._frame_cache:
+            return self._frame_cache[key]
+        zsl = slice(None)
+        raw = self._read_frame(std, ti, zsl, self._iy, self._ix)
+        arr = np.asarray(raw, dtype=np.float32)
+        if self._flip_x:
+            arr = arr[..., ::-1]
+        if self._flip_y:
+            arr = arr[..., ::-1, :]
+        rng = STANDARD_NAMES.get(std)
+        if rng is not None and std not in NEAREST_VARIABLES:
+            bad = (arr < rng["valid_min"]) | (arr > rng["valid_max"])
+            arr = np.where(bad, np.nan, arr)
+        if std not in NEAREST_VARIABLES:
+            if arr.ndim == 3:
+                arr = fill_towards_seafloor(arr)
+            arr, any_valid = fill_invalid(arr)
+            arr = np.nan_to_num(arr, nan=0.0)
+        else:
+            arr = np.nan_to_num(arr, nan=1.0)  # unknown -> land
+        if len(self._frame_cache) > self._max_cached_frames:
+            self._frame_cache.clear()
+        self._frame_cache[key] = arr
+        return arr
+
+    def device_state(self, window_start=None, window_end=None):
+        """Stack the window's frames into device arrays.
+
+        Layout: {'b3': (V3,F,Z,y,x), 'b2': (V2,F,y,x), 'bs': (Vs,y,x),
+        'times': (F,), 'depths': (Z,)}; group membership is static
+        (attributes ``_group3``, ``_group2``, ``_groups``)."""
+        tidx = self._frame_indices(window_start, window_end)
+        out = {}
+        if self._group3:
+            out["b3"] = jnp.asarray(np.stack(
+                [np.stack([self._load_frame(v, ti) for ti in tidx])
+                 for v in self._group3]))
+        if self._group2:
+            out["b2"] = jnp.asarray(np.stack(
+                [np.stack([self._load_frame(v, ti) for ti in tidx])
+                 for v in self._group2]))
+        if self._groups:
+            out["bs"] = jnp.asarray(np.stack(
+                [self._load_frame(v, 0) for v in self._groups]))
+        epoch = self._run_epoch
+        out["times"] = jnp.asarray(
+            [(self.times[ti] - epoch).total_seconds() for ti in tidx],
+            dtype=jnp.float32)
+        if getattr(self, "depths", None) is not None:
+            out["depths"] = jnp.asarray(self.depths)
+        return out
+
+    # ---------------------------------------------------------- sampling -
+    def _grid_indices(self, lon, lat):
+        x, y = self.crs.fwd(jnp, lon, lat)
+        x0 = self.x[self._ix][0]
+        y0 = self.y[self._iy][0]
+        xi = (x - x0) / self.delta_x
+        yi = (y - y0) / self.delta_y
+        return xi, yi
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        xi, yi = self._grid_indices(lon, lat)
+        covers = self._covers_idx(xi, yi)
+        # temporal coverage with one reader-step slack on either side
+        times = dev_state["times"]
+        if self.time_step is not None:
+            slack = self.time_step.total_seconds()
+            covers = covers & (t >= times[0] - slack) & (t <= times[-1]
+                                                         + slack)
+        depth = jnp.maximum(-z, 0.0)
+        values = {}
+        want3 = [v for v in varnames if v in self._group3]
+        want2 = [v for v in varnames if v in self._group2]
+        wants = [v for v in varnames if v in self._groups]
+        if want3:
+            idx = [self._group3.index(v) for v in want3]
+            out = interp_xyzt(dev_state["b3"][np.array(idx)],
+                              times, xi, yi, depth,
+                              dev_state["depths"], t)
+            for i, v in enumerate(want3):
+                values[v] = out[i]
+        if want2:
+            idx = [self._group2.index(v) for v in want2]
+            out = interp_xyzt(
+                dev_state["b2"][np.array(idx)][:, :, None, :, :],
+                times, xi, yi, jnp.zeros_like(depth),
+                jnp.zeros((1,), dtype=jnp.float32), t)
+            for i, v in enumerate(want2):
+                values[v] = out[i]
+        if wants:
+            idx = [self._groups.index(v) for v in wants]
+            bs = dev_state["bs"][np.array(idx)][:, None, :, :]
+            t0 = jnp.zeros((1,), dtype=jnp.float32)
+            for i, v in enumerate(wants):
+                if v in NEAREST_VARIABLES:
+                    values[v] = interp_nearest_xyt(
+                        bs[i:i + 1], t0, xi, yi, jnp.float32(0.0))[0]
+                else:
+                    values[v] = interp_xyzt(
+                        bs[i:i + 1][:, :, None, :, :], t0, xi, yi,
+                        jnp.zeros_like(depth),
+                        jnp.zeros((1,), dtype=jnp.float32),
+                        jnp.float32(0.0))[0]
+        # rotate grid-relative vector pairs to east/north
+        if not self.crs.is_latlon:
+            gamma = self.crs.convergence(jnp, lon, lat)
+            values = self.rotate_vectors_sampled(values, varnames, gamma)
+        return values, covers
+
+    def sample_profiles(self, dev_state, varnames, t, lon, lat, zlevels):
+        """Profiles at fixed z-levels: vectorised over the level axis."""
+        want3 = [v for v in varnames if v in self._group3]
+        out = {}
+        if want3:
+            xi, yi = self._grid_indices(lon, lat)
+            idx = [self._group3.index(v) for v in want3]
+            blocks = dev_state["b3"][np.array(idx)]
+            L = zlevels.shape[0]
+            res = []
+            for li in range(L):
+                depth = jnp.maximum(-zlevels[li], 0.0) + jnp.zeros_like(xi)
+                res.append(interp_xyzt(blocks, dev_state["times"], xi, yi,
+                                       depth, dev_state["depths"], t))
+            stacked = jnp.stack(res, axis=1)  # (V, L, N)
+            for i, v in enumerate(want3):
+                out[v] = stacked[i]
+        # fall back to level-looped scalar sampling for non-3D vars
+        rest = [v for v in varnames if v not in want3]
+        covers = None
+        if rest:
+            vals, covers = self.sample(dev_state, rest, t, lon, lat,
+                                       jnp.zeros_like(lon))
+            for v in rest:
+                out[v] = jnp.broadcast_to(vals[v],
+                                          (zlevels.shape[0],) + lon.shape)
+        if covers is None:
+            xi, yi = self._grid_indices(lon, lat)
+            covers = self._covers_idx(xi, yi)
+        return out, covers
+
+    def _covers_idx(self, xi, yi, eps=1e-2):
+        """In-grid test with a small index tolerance for f32 edge
+        rounding (grid nodes on the boundary must count as covered)."""
+        nx = self._ix.stop - self._ix.start
+        ny = self._iy.stop - self._iy.start
+        return ((xi >= -eps) & (xi <= nx - 1 + eps)
+                & (yi >= -eps) & (yi <= ny - 1 + eps))

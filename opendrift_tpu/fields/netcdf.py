@@ -1,0 +1,331 @@
+"""Generic CF-compliant NetCDF reader.
+
+TPU-native counterpart of the reference's workhorse reader
+(reference: opendrift/readers/reader_netCDF_CF_generic.py:1-626):
+autodetects coordinate variables, the CF grid mapping (-> our from-scratch
+CRS engine), z levels and the time axis; maps data variables to CF
+standard names with the alias table
+(reference: opendrift/readers/basereader/__init__.py:56-83); reads
+scale/offset-packed frames on demand.  Supports single files or a
+time-sorted list of files (MFDataset-style concatenation along time).
+
+Regular 1D coordinate grids only — curvilinear (2D lon/lat) grids are
+handled by the ROMS reader (fields/roms.py).
+"""
+
+import logging
+
+import numpy as np
+
+from .grid import StructuredGridReader
+from ..utils import ncio
+
+logger = logging.getLogger(__name__)
+
+# semantic alias table: producer standard_name -> framework variable name
+# (reference basereader/__init__.py:56-83)
+VARIABLE_ALIASES = {
+    "sea_water_potential_temperature": "sea_water_temperature",
+    "x_wind_10m": "x_wind",
+    "y_wind_10m": "y_wind",
+    "sea_water_x_velocity": "x_sea_water_velocity",
+    "sea_water_y_velocity": "y_sea_water_velocity",
+    "baroclinic_x_sea_water_velocity": "x_sea_water_velocity",
+    "baroclinic_y_sea_water_velocity": "y_sea_water_velocity",
+    "x_sea_ice_velocity": "sea_ice_x_velocity",
+    "y_sea_ice_velocity": "sea_ice_y_velocity",
+    "salinity_vertical_diffusion_coefficient": "ocean_vertical_diffusivity",
+    "ocean_vertical_salt_diffusivity": "ocean_vertical_diffusivity",
+    "ocean_vertical_tracer_diffusivity": "ocean_vertical_diffusivity",
+    "ocean_mixed_layer_thickness_defined_by_sigma_theta":
+        "ocean_mixed_layer_thickness",
+    "sea_floor_depth_below_sea_surface": "sea_floor_depth_below_sea_level",
+    "sea_floor_depth_below_geoid": "sea_floor_depth_below_sea_level",
+    "sea_surface_elevation": "sea_surface_height",
+    "sea_surface_elevation_anomaly": "sea_surface_height",
+    "sea_surface_height_above_mean_sea_level": "sea_surface_height",
+    "sea_surface_height_above_sea_level": "sea_surface_height",
+    "sea_surface_height_above_geoid": "sea_surface_height",
+}
+
+# variables whose components are already true east/north (no grid rotation)
+EASTNORTH_ALIASES = {
+    "eastward_sea_water_velocity": "x_sea_water_velocity",
+    "surface_eastward_sea_water_velocity": "x_sea_water_velocity",
+    "northward_sea_water_velocity": "y_sea_water_velocity",
+    "surface_northward_sea_water_velocity": "y_sea_water_velocity",
+    "eastward_wind": "x_wind",
+    "northward_wind": "y_wind",
+    "sea_surface_wave_stokes_drift_eastward_velocity":
+        "sea_surface_wave_stokes_drift_x_velocity",
+    "sea_surface_wave_stokes_drift_northward_velocity":
+        "sea_surface_wave_stokes_drift_y_velocity",
+    "eastward_sea_ice_velocity": "sea_ice_x_velocity",
+    "northward_sea_ice_velocity": "sea_ice_y_velocity",
+}
+
+_X_STANDARD_NAMES = {"projection_x_coordinate", "grid_longitude",
+                     "longitude"}
+_Y_STANDARD_NAMES = {"projection_y_coordinate", "grid_latitude", "latitude"}
+
+
+def _cf_grid_mapping_to_proj4(attrs):
+    """Build a proj4 string from CF grid-mapping attributes
+    (reference reader_netCDF_CF_generic.py:102-150 equivalent)."""
+    if "proj4_string" in attrs:
+        return attrs["proj4_string"]
+    if "proj4" in attrs:
+        return attrs["proj4"]
+    name = attrs.get("grid_mapping_name")
+    a = attrs.get("earth_radius",
+                  attrs.get("semi_major_axis", 6371000.0))
+    b = attrs.get("semi_minor_axis", None)
+    ell = f"+a={a} +b={b}" if b is not None else f"+R={a}"
+    if name == "polar_stereographic":
+        lat0 = attrs.get("latitude_of_projection_origin", 90.0)
+        lon0 = attrs.get("straight_vertical_longitude_from_pole",
+                         attrs.get("longitude_of_projection_origin", 0.0))
+        latts = attrs.get("standard_parallel", lat0)
+        return (f"+proj=stere +lat_0={lat0} +lon_0={lon0} "
+                f"+lat_ts={latts} +x_0={attrs.get('false_easting', 0.0)} "
+                f"+y_0={attrs.get('false_northing', 0.0)} {ell}")
+    if name == "stereographic":
+        return (f"+proj=stere "
+                f"+lat_0={attrs.get('latitude_of_projection_origin', 0.0)} "
+                f"+lon_0={attrs.get('longitude_of_projection_origin', 0.0)} "
+                f"+k_0={attrs.get('scale_factor_at_projection_origin', 1.0)} "
+                f"{ell}")
+    if name == "lambert_conformal_conic":
+        sp = attrs.get("standard_parallel", 60.0)
+        sp = np.atleast_1d(sp)
+        lat1 = sp[0]
+        lat2 = sp[1] if len(sp) > 1 else sp[0]
+        return (f"+proj=lcc "
+                f"+lat_0={attrs.get('latitude_of_projection_origin', lat1)} "
+                f"+lon_0={attrs.get('longitude_of_central_meridian', 0.0)} "
+                f"+lat_1={lat1} +lat_2={lat2} "
+                f"+x_0={attrs.get('false_easting', 0.0)} "
+                f"+y_0={attrs.get('false_northing', 0.0)} {ell}")
+    if name == "mercator":
+        return (f"+proj=merc "
+                f"+lon_0={attrs.get('longitude_of_projection_origin', 0.0)} "
+                f"+lat_ts={attrs.get('standard_parallel', 0.0)} {ell}")
+    if name == "transverse_mercator":
+        return (f"+proj=tmerc "
+                f"+lat_0={attrs.get('latitude_of_projection_origin', 0.0)} "
+                f"+lon_0={attrs.get('longitude_of_central_meridian', 0.0)} "
+                f"+k_0={attrs.get('scale_factor_at_central_meridian', 1.0)} "
+                f"+x_0={attrs.get('false_easting', 0.0)} "
+                f"+y_0={attrs.get('false_northing', 0.0)} {ell}")
+    if name == "rotated_latitude_longitude":
+        return (f"+proj=ob_tran +o_proj=longlat "
+                f"+o_lat_p={attrs.get('grid_north_pole_latitude', 90.0)} "
+                f"+lon_0={180 + attrs.get('grid_north_pole_longitude', 0.0)} "
+                f"{ell}")
+    if name in ("latitude_longitude", None):
+        return "+proj=latlong"
+    raise ValueError(f"Unsupported CF grid mapping: {name}")
+
+
+class NetCDFReader(StructuredGridReader):
+    """CF NetCDF reader over regular 1D-coordinate grids."""
+
+    def __init__(self, filename, name=None, proj4=None,
+                 standard_name_mapping=None):
+        if isinstance(filename, (list, tuple)):
+            self._files = [ncio.open_dataset(f) for f in filename]
+            self.name = name or str(filename[0])
+        else:
+            self._files = [ncio.open_dataset(filename)]
+            self.name = name or str(filename)
+        ds = self._files[0]
+        self._std_map = dict(standard_name_mapping or {})
+
+        # ---- time axis (concatenated over files)
+        time_name, time_var = self._find_time(ds)
+        self.times = []
+        self._file_of_frame = []
+        self._index_in_file = []
+        for fi, f in enumerate(self._files):
+            tv = f.variables[time_name]
+            tvals = ncio.parse_cf_time(tv.attrs["units"], tv[:])
+            for i, t in enumerate(tvals):
+                self.times.append(t)
+                self._file_of_frame.append(fi)
+                self._index_in_file.append(i)
+        order = np.argsort([t.timestamp() for t in self.times])
+        self.times = [self.times[i] for i in order]
+        self._file_of_frame = [self._file_of_frame[i] for i in order]
+        self._index_in_file = [self._index_in_file[i] for i in order]
+        self._time_dim = time_name
+
+        # ---- spatial coordinates
+        (self._x_name, self._y_name, x, y,
+         is_latlon) = self._find_xy(ds)
+
+        # ---- projection
+        if proj4 is None:
+            proj4 = self._find_proj4(ds, is_latlon)
+        self.proj4 = proj4
+
+        # ---- vertical axis
+        self._z_name, depths, self._z_positive_down = self._find_z(ds)
+        self.depths = depths
+
+        # ---- variable mapping
+        self._sources = {}        # std -> (var name, has_z, invert_sign)
+        self._var_has_z = {}
+        self.variables = []
+        xdim = ds.variables[self._x_name].dimensions[-1]
+        ydim = ds.variables[self._y_name].dimensions[-1]
+        for vname, var in ds.variables.items():
+            if vname in (self._x_name, self._y_name, time_name,
+                         self._z_name):
+                continue
+            dims = var.dimensions
+            if xdim not in dims or ydim not in dims:
+                continue
+            std = var.attrs.get("standard_name", None)
+            # 2D coordinate/mask variables are not environment variables
+            if std in ("latitude", "longitude", "area_type",
+                       "projection_x_coordinate", "projection_y_coordinate"):
+                continue
+            if vname in self._std_map:
+                std = self._std_map[vname]
+            elif std in EASTNORTH_ALIASES:
+                std = EASTNORTH_ALIASES[std]
+            elif std in VARIABLE_ALIASES:
+                std = VARIABLE_ALIASES[std]
+            elif std is None and vname in VARIABLE_ALIASES:
+                std = VARIABLE_ALIASES[vname]
+            elif std is None:
+                continue
+            if std in self._sources:
+                continue
+            has_z = self._z_name is not None and self._z_name in \
+                [d for d in dims]
+            self._sources[std] = (vname, has_z)
+            self._var_has_z[std] = has_z
+            self.variables.append(std)
+
+        self.x = x
+        self.y = y
+        super().__init__()
+
+    # ------------------------------------------------------ autodetection
+    def _find_time(self, ds):
+        for name, var in ds.variables.items():
+            if var.ndim != 1:
+                continue
+            if var.attrs.get("standard_name") == "time" or \
+                    " since " in str(var.attrs.get("units", "")):
+                if name in ("forecast_reference_time",):
+                    continue
+                return name, var
+        raise ValueError(f"{self.name}: no time coordinate found")
+
+    def _find_xy(self, ds):
+        xname = yname = None
+        for name, var in ds.variables.items():
+            if var.ndim != 1:
+                continue
+            std = var.attrs.get("standard_name", "")
+            units = str(var.attrs.get("units", ""))
+            axis = var.attrs.get("axis", "")
+            if xname is None and (std in _X_STANDARD_NAMES or axis == "X"
+                                  or name in ("x", "X", "lon",
+                                              "longitude")):
+                if std != "latitude":
+                    xname = name
+            if yname is None and (std in _Y_STANDARD_NAMES or axis == "Y"
+                                  or name in ("y", "Y", "lat", "latitude")):
+                if std != "longitude":
+                    yname = name
+        if xname is None or yname is None:
+            raise ValueError(
+                f"{self.name}: no 1D x/y coordinates found (curvilinear "
+                f"grids need the ROMS/unstructured readers)")
+        xv = ds.variables[xname]
+        yv = ds.variables[yname]
+        x = np.asarray(xv[:], dtype=np.float64)
+        y = np.asarray(yv[:], dtype=np.float64)
+        is_latlon = (xv.attrs.get("standard_name") == "longitude"
+                     or "degree" in str(xv.attrs.get("units", "")))
+        if not is_latlon:
+            if str(xv.attrs.get("units", "")) == "km":
+                x = x * 1000.0
+            if str(yv.attrs.get("units", "")) == "km":
+                y = y * 1000.0
+        return xname, yname, x, y, is_latlon
+
+    def _find_proj4(self, ds, is_latlon):
+        # a grid_mapping variable referenced by any data variable
+        for name, var in ds.variables.items():
+            gm = var.attrs.get("grid_mapping")
+            if gm and gm in ds.variables:
+                return _cf_grid_mapping_to_proj4(ds.variables[gm].attrs)
+        # global attribute fallback
+        for key in ("proj4", "proj4_string"):
+            if key in ds.attrs:
+                return ds.attrs[key]
+        # bare grid-mapping variable (no data var referencing it)
+        for name, var in ds.variables.items():
+            if "grid_mapping_name" in var.attrs:
+                return _cf_grid_mapping_to_proj4(var.attrs)
+        if is_latlon:
+            return "+proj=latlong"
+        raise ValueError(f"{self.name}: no projection information found")
+
+    def _find_z(self, ds):
+        for name, var in ds.variables.items():
+            if var.ndim != 1:
+                continue
+            std = var.attrs.get("standard_name", "")
+            if std in ("depth", "depth_below_geoid") or name in (
+                    "depth", "z", "lev", "level"):
+                vals = np.asarray(var[:], dtype=np.float32)
+                positive_down = var.attrs.get("positive", "down") != "up"
+                if not positive_down:
+                    vals = -vals
+                # store ascending positive-down
+                if len(vals) > 1 and vals[1] < vals[0]:
+                    self._z_flip = True
+                    vals = vals[::-1]
+                else:
+                    self._z_flip = False
+                return name, vals, positive_down
+        self._z_flip = False
+        return None, None, True
+
+    # ----------------------------------------------------------- reading -
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        vname, has_z = self._sources[std]
+        fi = self._file_of_frame[ti]
+        ii = self._index_in_file[ti]
+        ds = self._files[fi]
+        var = ds.variables[vname]
+        dims = var.dimensions
+        idx = []
+        for d in dims:
+            if d == self._time_dim:
+                idx.append(ii)
+            elif self._z_name is not None and d == self._z_name:
+                idx.append(zslice)
+            elif d == ds.variables[self._y_name].dimensions[-1]:
+                idx.append(yslice)
+            elif d == ds.variables[self._x_name].dimensions[-1]:
+                idx.append(xslice)
+            else:
+                idx.append(0)  # e.g. singleton height/ensemble dims
+        raw = var[tuple(idx)]
+        out = ncio.cf_unpack(var, raw)
+        if has_z and self._z_flip:
+            out = out[::-1]
+        return out
+
+    def __del__(self):
+        for f in getattr(self, "_files", []):
+            try:
+                f.close()
+            except Exception:
+                pass

@@ -478,7 +478,13 @@ class OpenDriftSimulation(Timeable, Configurable):
         self.steps_calculation = steps
 
         advance, final_snap, state, base_key = self.prepare_run(
-            dt, K, export_variables=export_variables)
+            dt, K, export_variables=export_variables,
+            total_steps=steps)
+
+        def window(k):
+            a = self.start_time + timedelta(seconds=k * K * dt)
+            b = self.start_time + timedelta(seconds=(k + 1) * K * dt)
+            return (min(a, b), max(a, b))
 
         self.timer_end("preparing main loop")
         self.timer_start("main loop")
@@ -487,7 +493,7 @@ class OpenDriftSimulation(Timeable, Configurable):
         try:
             for k in range(n_intervals):
                 t_rel = k * K * dt
-                dev_states = self.env.build_device_states()
+                dev_states = self.env.build_device_states(*window(k))
                 key = jax.random.fold_in(base_key, k)
                 state, snap = advance(state, dev_states, jnp.float32(t_rel),
                                       key)
@@ -496,7 +502,8 @@ class OpenDriftSimulation(Timeable, Configurable):
                                    + timedelta(seconds=t_rel))
             # final snapshot at end time
             t_rel = n_intervals * K * dt
-            dev_states = self.env.build_device_states()
+            dev_states = self.env.build_device_states(
+                *window(n_intervals - 1))
             snap = final_snap(state, dev_states, jnp.float32(t_rel))
             frames.append(jax.device_get(snap))
             frame_times.append(self.start_time + timedelta(seconds=t_rel))
@@ -516,7 +523,8 @@ class OpenDriftSimulation(Timeable, Configurable):
         self.mode = Mode.Result
         return self
 
-    def prepare_run(self, dt, K, export_variables=None, jit=True):
+    def prepare_run(self, dt, K, export_variables=None, jit=True,
+                    total_steps=None):
         """Finalise the environment, build the initial device state and the
         compiled (advance, final_snapshot) kernels.  Split out of ``run``
         so benchmarks and the multichip dry-run can drive the kernel
@@ -553,6 +561,28 @@ class OpenDriftSimulation(Timeable, Configurable):
                           constant_overrides=constant_overrides,
                           fallback_overrides=fallback_overrides)
         self._auto_landmask_fallback()
+
+        # simulation extent: seed bbox grown by max_speed * duration
+        # (reference basemodel/__init__.py:2018-2044)
+        max_speed = float(self.get_config("drift:max_speed"))
+        duration = abs(dt) * (total_steps if total_steps is not None else K)
+        lons = np.concatenate([s["lon"] for s in self._seedings])
+        lats = np.concatenate([s["lat"] for s in self._seedings])
+        margin_m = max_speed * duration
+        margin_lat = margin_m / 111000.0
+        coslat = max(np.cos(np.radians(np.abs(lats).max())), 0.05)
+        margin_lon = margin_lat / coslat
+        extent = (float(lons.min() - margin_lon),
+                  float(np.clip(lats.min() - margin_lat, -90, 90)),
+                  float(lons.max() + margin_lon),
+                  float(np.clip(lats.max() + margin_lat, -90, 90)))
+        self.simulation_extent = extent
+        end_time = self.start_time + timedelta(seconds=dt * (
+            total_steps if total_steps is not None else K))
+        self.env.prepare_readers(
+            extent=extent, start_time=min(self.start_time, end_time),
+            end_time=max(self.start_time, end_time), max_speed=max_speed,
+            interval_seconds=abs(dt) * K)
 
         # ---- compile step
         self.export_variables = export_variables

@@ -1,0 +1,100 @@
+"""Fused space-time interpolation kernel vs scipy reference.
+
+Mirrors the reference's interpolator cross-checks
+(reference: tests/readers/test_interpolation.py:285-330).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.interpolate import RegularGridInterpolator
+
+from opendrift_tpu.ops.interp import (interp_xyzt, interp_nearest_xyt,
+                                      fill_invalid, fill_towards_seafloor)
+
+
+def test_trilinear_time_blend_matches_scipy():
+    rng = np.random.RandomState(0)
+    F, Z, Y, X = 3, 5, 12, 17
+    depths = np.array([0.0, 3.0, 10.0, 25.0, 50.0], dtype=np.float32)
+    times = np.array([0.0, 3600.0, 7200.0], dtype=np.float32)
+    block = rng.randn(2, F, Z, Y, X).astype(np.float32)
+
+    N = 200
+    xi = rng.uniform(0, X - 1, N).astype(np.float32)
+    yi = rng.uniform(0, Y - 1, N).astype(np.float32)
+    depth = rng.uniform(0, 50, N).astype(np.float32)
+    t = np.float32(5000.0)
+
+    out = jax.jit(interp_xyzt)(jnp.asarray(block), jnp.asarray(times),
+                               jnp.asarray(xi), jnp.asarray(yi),
+                               jnp.asarray(depth), jnp.asarray(depths), t)
+    out = np.asarray(out)
+
+    for v in range(2):
+        ref = RegularGridInterpolator(
+            (times, depths, np.arange(Y), np.arange(X)), block[v],
+            method="linear")
+        pts = np.column_stack([np.full(N, t), depth, yi, xi])
+        np.testing.assert_allclose(out[v], ref(pts), rtol=2e-5, atol=2e-5)
+
+
+def test_time_clamping():
+    """Times outside the window clamp to the edge frames."""
+    block = np.zeros((1, 2, 1, 4, 4), dtype=np.float32)
+    block[0, 0] = 1.0
+    block[0, 1] = 3.0
+    times = np.array([0.0, 100.0], dtype=np.float32)
+    depths = np.array([0.0], dtype=np.float32)
+    xi = jnp.asarray([1.5])
+    f = jax.jit(interp_xyzt)
+    before = f(jnp.asarray(block), jnp.asarray(times), xi, xi,
+               jnp.asarray([0.0]), jnp.asarray(depths), jnp.float32(-50.0))
+    after = f(jnp.asarray(block), jnp.asarray(times), xi, xi,
+              jnp.asarray([0.0]), jnp.asarray(depths), jnp.float32(150.0))
+    mid = f(jnp.asarray(block), jnp.asarray(times), xi, xi,
+            jnp.asarray([0.0]), jnp.asarray(depths), jnp.float32(50.0))
+    assert float(before[0, 0]) == 1.0
+    assert float(after[0, 0]) == 3.0
+    assert abs(float(mid[0, 0]) - 2.0) < 1e-6
+
+
+def test_depth_below_deepest_extrapolates_constant():
+    block = np.zeros((1, 2, 3, 4, 4), dtype=np.float32)
+    block[0, :, 0] = 1.0
+    block[0, :, 1] = 2.0
+    block[0, :, 2] = 5.0
+    times = np.array([0.0, 100.0], dtype=np.float32)
+    depths = np.array([0.0, 10.0, 20.0], dtype=np.float32)
+    xi = jnp.asarray([1.0])
+    out = jax.jit(interp_xyzt)(
+        jnp.asarray(block), jnp.asarray(times), xi, xi,
+        jnp.asarray([500.0]), jnp.asarray(depths), jnp.float32(0.0))
+    assert float(out[0, 0]) == 5.0  # clamped to deepest level
+
+
+def test_nearest_kernel():
+    block = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    times = np.array([0.0], dtype=np.float32)
+    out = jax.jit(interp_nearest_xyt)(
+        jnp.asarray(block), jnp.asarray(times),
+        jnp.asarray([2.4, 2.6]), jnp.asarray([1.4, 1.6]),
+        jnp.float32(0.0))
+    assert out[0, 0] == 4 * 1 + 2      # round(2.4)=2, round(1.4)=1
+    assert out[0, 1] == 4 * 2 + 3      # round(2.6)=3, round(1.6)=2
+
+
+def test_fill_invalid_nearest():
+    a = np.full((5, 5), np.nan, dtype=np.float32)
+    a[2, 2] = 7.0
+    filled, ok = fill_invalid(a)
+    assert ok
+    assert (filled == 7.0).all()
+
+
+def test_fill_towards_seafloor():
+    a = np.ones((3, 2, 2), dtype=np.float32)
+    a[1:, 0, 0] = np.nan
+    out = fill_towards_seafloor(a)
+    assert out[2, 0, 0] == 1.0
+    assert np.isfinite(out).all()
