@@ -208,6 +208,30 @@ class NetCDFReader(StructuredGridReader):
             self._var_has_z[std] = has_z
             self.variables.append(std)
 
+        # derived landmask: cells where ocean variables are fill values
+        # (reference: derived-variable mappings, basereader/
+        # variables.py:449-479 'land_binary_mask from sea_floor_depth')
+        self._landmask_source = None
+        if "land_binary_mask" not in self.variables:
+            for cand in ("x_sea_water_velocity", "sea_water_temperature",
+                         "sea_floor_depth_below_sea_level"):
+                if cand in self._sources:
+                    vname, has_z = self._sources[cand]
+                    raw = ds.variables[vname]
+                    probe = ncio.cf_unpack(
+                        raw, raw[tuple(0 if d not in (
+                            ds.variables[self._x_name].dimensions[-1],
+                            ds.variables[self._y_name].dimensions[-1])
+                            else slice(None) for d in raw.dimensions)])
+                    if probe.ndim == 2 and np.isnan(probe).any() \
+                            and not np.isnan(probe).all():
+                        self._landmask_source = cand
+                        self._land_raster = (~np.isfinite(probe)).astype(
+                            np.float32)
+                        self.variables.append("land_binary_mask")
+                        self._var_has_z["land_binary_mask"] = False
+                        break
+
         self.x = x
         self.y = y
         super().__init__()
@@ -299,6 +323,8 @@ class NetCDFReader(StructuredGridReader):
 
     # ----------------------------------------------------------- reading -
     def _read_frame(self, std, ti, zslice, yslice, xslice):
+        if std == "land_binary_mask":
+            return self._land_raster[yslice, xslice]
         vname, has_z = self._sources[std]
         fi = self._file_of_frame[ti]
         ii = self._index_in_file[ti]

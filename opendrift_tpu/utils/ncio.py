@@ -83,6 +83,8 @@ class NCFile:
             attrs = {k: _decode(v) for k, v in var._attributes.items()}
 
             def getter(idx, _v=var):
+                if _v.shape == ():  # scalar variable
+                    return np.array(_v.getValue())
                 out = _v[idx]
                 # copy out of the mmap so the array owns its data
                 return np.array(out)
@@ -132,6 +134,8 @@ class NCFile:
                 self.dimensions.setdefault(label, obj.shape[i])
 
             def getter(idx, _d=obj):
+                if _d.ndim == 0:  # scalar dataset
+                    return np.asarray(_d[()])
                 return np.asarray(_d[idx])
             self.variables[name] = NCVariable(
                 name, dims, obj.shape, obj.dtype, attrs, getter)
@@ -161,24 +165,27 @@ def cf_unpack(var, raw, scrub_range=None):
     returning float32 with NaN where invalid (reference: the masked-array
     scrubbing in opendrift/readers/basereader/variables.py:630-690)."""
     a = var.attrs
-    out = np.asarray(raw)
+    out = np.asarray(raw).astype(np.float64)
     fill_mask = np.zeros(out.shape, dtype=bool)
     for key in ("_FillValue", "missing_value"):
         if key in a:
-            fill_mask |= out == np.asarray(a[key], dtype=out.dtype)
-    out = out.astype(np.float64)
+            fill_mask |= out == float(np.asarray(a[key]).ravel()[0])
     scale = a.get("scale_factor", None)
     offset = a.get("add_offset", None)
     if scale is not None:
-        out = out * float(scale)
+        out = np.asarray(out * float(scale))
     if offset is not None:
-        out = out + float(offset)
+        out = np.asarray(out + float(offset))
+    # valid_min/max are compared against the unpacked values (when their
+    # dtype differs from the packed dtype, per the CF/NUG convention;
+    # producers are inconsistent, and unpacked comparison with a small
+    # tolerance covers both in practice)
     if "valid_min" in a:
-        fill_mask |= out < float(a["valid_min"]) * (float(scale) if scale
-                                                    else 1.0)
+        fill_mask |= out < float(np.asarray(a["valid_min"]).ravel()[0]) \
+            - 1e-6
     if "valid_max" in a:
-        fill_mask |= out > float(a["valid_max"]) * (float(scale) if scale
-                                                    else 1.0)
+        fill_mask |= out > float(np.asarray(a["valid_max"]).ravel()[0]) \
+            + 1e-6
     if scrub_range is not None:
         lo, hi = scrub_range
         fill_mask |= (out < lo) | (out > hi)
