@@ -2,6 +2,13 @@ from .base import OpenDriftSimulation, Mode, StepContext
 from .oceandrift import OceanDrift, Lagrangian3DArray
 from .windblow import WindBlow
 from .seaicedrift import SeaIceDrift
+from .pelagicegg import PelagicEggDrift
+from .plastdrift import PlastDrift
+from .sedimentdrift import SedimentDrift
+from .leeway import Leeway
+from .shipdrift import ShipDrift
 
 __all__ = ["OpenDriftSimulation", "Mode", "StepContext", "OceanDrift",
-           "Lagrangian3DArray", "WindBlow", "SeaIceDrift"]
+           "Lagrangian3DArray", "WindBlow", "SeaIceDrift",
+           "PelagicEggDrift", "PlastDrift", "SedimentDrift", "Leeway",
+           "ShipDrift"]

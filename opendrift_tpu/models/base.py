@@ -322,8 +322,10 @@ class OpenDriftSimulation(Timeable, Configurable):
 
         # element properties: user kwargs > seed:* config > schema default
         props = {}
-        for name in self.ElementType.seedable_variables():
-            if name in ("lon", "lat", "origin_marker"):
+        for name in self.ElementType.variables:
+            # any element variable may be set at seeding (matching the
+            # reference); only seed:True variables get seed:* configs
+            if name in ("lon", "lat", "origin_marker", "ID", "status"):
                 continue
             if name in kwargs:
                 v = kwargs.pop(name)
@@ -847,10 +849,11 @@ class OpenDriftSimulation(Timeable, Configurable):
                 jax.jit(final_snapshot))
 
     def _profile_zlevels(self):
+        # numpy (host) on purpose: spacing etc. must stay concrete under jit
         zr = self.required_profiles_z_range
         if zr is None:
             zr = [-20.0, 0.0]
-        return jnp.linspace(zr[1], zr[0], 9, dtype=jnp.float32)
+        return np.linspace(zr[1], zr[0], 9, dtype=np.float32)
 
     def update(self, ctx):
         """Model physics for one time step — must be overridden."""

@@ -126,6 +126,16 @@ class OceanDrift(OpenDriftSimulation):
                          "windsea_swell"],
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Stokes drift depth-decay profile"},
+            "drift:use_tabularised_stokes_drift": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Estimate Stokes drift from wind via "
+                "fetch-tabulated coefficients when not provided by "
+                "readers"},
+            "drift:tabularised_stokes_drift_fetch": {
+                "type": "enum", "enum": ["5000", "25000", "50000"],
+                "default": "25000", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Fetch length for tabulated Stokes drift"},
             "drift:relative_wind": {
                 "type": "bool", "default": False,
                 "level": CONFIG_LEVEL_ADVANCED,
@@ -149,9 +159,10 @@ class OceanDrift(OpenDriftSimulation):
         })
 
     def _profile_zlevels(self):
+        # numpy (host) on purpose: spacing etc. must stay concrete under jit
         depth = float(self.get_config("drift:profile_depth"))
         L = int(self.get_config("vertical_mixing:profile_levels"))
-        return jnp.linspace(0.0, -depth, L, dtype=jnp.float32)
+        return np.linspace(0.0, -depth, L, dtype=np.float32)
 
     # ------------------------------------------------------------ update --
     def update(self, ctx):
@@ -181,19 +192,35 @@ class OceanDrift(OpenDriftSimulation):
         on T/S profiles, reference oceandrift.py:509-512)."""
         return ctx.state.data["terminal_velocity"]
 
-    def surface_stick(self, ctx, z):
+    def surface_stick(self, ctx, mix):
         """Keep elements at/above the surface at z=0
         (reference oceandrift.py:374-378)."""
-        return jnp.minimum(z, 0.0)
+        mix["z"] = jnp.minimum(mix["z"], 0.0)
+        return mix
 
-    def surface_wave_mixing(self, ctx, z, dt_mix, key):
+    def surface_wave_mixing(self, ctx, mix, dt_mix, key):
         """Subclass hook, e.g. oil wave entrainment
         (reference oceandrift.py:383-386)."""
-        return z
+        return mix
 
-    def bottom_interaction(self, ctx, z, zmin):
-        """Subclass hook (reference oceandrift.py:380-381)."""
-        return z
+    def bottom_interaction(self, ctx, mix, zmin):
+        """Subclass hook, e.g. sediment settling
+        (reference oceandrift.py:380-381)."""
+        return mix
+
+    @staticmethod
+    def profile_interp(ctx, prof, z):
+        """Linear interpolation of an (L, N) profile at element depth
+        ``z`` over the fixed ``ctx.zlevels`` (descending from 0)."""
+        zlev = ctx.zlevels
+        h = float(zlev[0] - zlev[1])
+        L = zlev.shape[0]
+        fi = jnp.clip(-z / h, 0.0, L - 1.0)
+        i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, L - 2)
+        w = fi - i0
+        lo = jnp.take_along_axis(prof, i0[None, :], axis=0)[0]
+        hi = jnp.take_along_axis(prof, (i0 + 1)[None, :], axis=0)[0]
+        return lo * (1.0 - w) + hi * w
 
     # --------------------------------------------------- vertical physics -
     def vertical_advection(self, ctx):
@@ -299,8 +326,10 @@ class OceanDrift(OpenDriftSimulation):
             Tprof = ctx.profiles["sea_water_temperature"]
             Sprof = ctx.profiles["sea_water_salinity"]
 
-        def body(i, z):
+        def body(i, mix):
             key = jax.random.fold_in(base_key, i)
+            z = mix["z"]
+            mv = mix["moving"]
             surface = z == 0.0
             # terminal velocity may depend on depth/T/S (subclass hook,
             # reference oceandrift.py:509-512)
@@ -309,22 +338,26 @@ class OceanDrift(OpenDriftSimulation):
             R = 2.0 * jax.random.uniform(key, z.shape, dtype=z.dtype) - 1.0
             # Visser random walk: z -= moving*(dK/dz*dt - R*sqrt(6 K dt))
             # (reference oceandrift.py:521-531, r=1/3)
-            z = z - moving * (dKdz * dt_mix
-                              - R * jnp.sqrt(Kz * abs(dt_mix) * 6.0))
+            z = z - mv * (dKdz * dt_mix
+                          - R * jnp.sqrt(Kz * abs(dt_mix) * 6.0))
             # reflect at surface
             z = jnp.where(z >= 0.0, -z, z)
             # reflect at seafloor (for moving elements)
-            z = jnp.where((z < zmin) & (moving == 1.0), 2.0 * zmin - z, z)
+            z = jnp.where((z < zmin) & (mv == 1.0), 2.0 * zmin - z, z)
             # buoyancy
-            z = z + w * dt_mix * moving
+            z = z + w * dt_mix * mv
             if not mixing_at_surface:
                 z = jnp.where(surface, 0.0, z)
-            z = self.surface_stick(ctx, z)
-            z = self.surface_wave_mixing(ctx, z, abs(dt_mix), key)
+            mix = dict(mix)
+            mix["z"] = z
+            mix = self.surface_stick(ctx, mix)
+            mix = self.surface_wave_mixing(ctx, mix, abs(dt_mix), key)
             # stick to bottom
-            z = jnp.maximum(z, zmin)
-            z = self.bottom_interaction(ctx, z, zmin)
-            return z
+            mix["z"] = jnp.maximum(mix["z"], zmin)
+            mix = self.bottom_interaction(ctx, mix, zmin)
+            return mix
 
-        z = jax.lax.fori_loop(0, ntimes, body, d["z"])
-        ctx.set_var("z", jnp.where(active, z, d["z"]))
+        mix = jax.lax.fori_loop(0, ntimes, body,
+                                {"z": d["z"], "moving": moving})
+        ctx.set_var("z", jnp.where(active, mix["z"], d["z"]))
+        ctx.set_var("moving", jnp.where(active, mix["moving"], moving))

@@ -123,6 +123,18 @@ class PhysicsContext:
             return
         su = self.environment["sea_surface_wave_stokes_drift_x_velocity"]
         sv = self.environment["sea_surface_wave_stokes_drift_y_velocity"]
+        # fetch-tabulated Stokes drift from wind where no wave model data
+        # (reference environment.py:844-863)
+        if self.sim.get_config("drift:use_tabularised_stokes_drift",
+                               default=False):
+            fetch = self.sim.get_config(
+                "drift:tabularised_stokes_drift_fetch", default="25000")
+            pu, pv = ph.wave_stokes_drift_parameterised(
+                self.environment.get("x_wind", jnp.zeros_like(su)),
+                self.environment.get("y_wind", jnp.zeros_like(sv)), fetch)
+            missing = (su == 0.0) & (sv == 0.0)
+            su = jnp.where(missing, pu, su)
+            sv = jnp.where(missing, pv, sv)
         hs = self.significant_wave_height()
         tp = self.wave_period()
         # reference falls back to Hs=1, Tp=8 if zero everywhere; the

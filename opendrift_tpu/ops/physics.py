@@ -133,6 +133,69 @@ def stokes_drift_profile_windsea_swell(su, sv, swell_dir_to, swell_period,
     return u, v, jnp.sqrt(u ** 2 + v ** 2)
 
 
+# ---------------------------------------------- fetch-tabulated waves -----
+# Pre-computed Stokes-drift factor and Hs tables vs 10 m wind speed
+# (0..29 m/s) for three fetch lengths, as published/used by the reference
+# (reference physics_methods.py:488-568).  Sampled with linear
+# interpolation instead of the reference's polynomial refit — equivalent
+# within table accuracy and cheaper on the VPU.
+
+_STOKES_WF = {
+    "5000": (0.0173, 0.0160, 0.0152, 0.0145, 0.0139, 0.0135,
+             0.0132, 0.0129, 0.0126, 0.0124, 0.0122, 0.0121,
+             0.0119, 0.0118, 0.0117, 0.0116, 0.0114, 0.0113,
+             0.0112, 0.0112, 0.0111, 0.0110, 0.0109, 0.0109,
+             0.0108, 0.0107, 0.0106, 0.0106, 0.0106, 0.0105),
+    "25000": (0.0173, 0.0197, 0.0201, 0.0185, 0.0181, 0.0176,
+              0.0171, 0.0167, 0.0164, 0.0160, 0.0158, 0.0155,
+              0.0153, 0.0151, 0.0149, 0.0147, 0.0146, 0.0144,
+              0.0143, 0.0142, 0.0140, 0.0139, 0.0138, 0.0137,
+              0.0136, 0.0135, 0.0135, 0.0134, 0.0133, 0.0132),
+    "50000": (0.0173, 0.0197, 0.0210, 0.0216, 0.0201, 0.0194,
+              0.0190, 0.0186, 0.0183, 0.0179, 0.0176, 0.0173,
+              0.0171, 0.0168, 0.0166, 0.0164, 0.0162, 0.0160,
+              0.0159, 0.0157, 0.0156, 0.0155, 0.0153, 0.0152,
+              0.0151, 0.0150, 0.0149, 0.0148, 0.0147, 0.0146),
+}
+
+_HS_TABLE = {
+    "5000": (0.030, 0.077, 0.124, 0.170, 0.216, 0.263,
+             0.311, 0.360, 0.409, 0.459, 0.509, 0.560,
+             0.612, 0.664, 0.716, 0.771, 0.823, 0.876,
+             0.932, 0.987, 1.041, 1.095, 1.152, 1.210,
+             1.265, 1.319, 1.375, 1.434, 1.494, 1.552),
+    "25000": (0.030, 0.122, 0.251, 0.336, 0.442, 0.546,
+              0.650, 0.753, 0.856, 0.959, 1.063, 1.168,
+              1.273, 1.379, 1.486, 1.593, 1.702, 1.811,
+              1.920, 2.030, 2.142, 2.254, 2.366, 2.478,
+              2.592, 2.707, 2.822, 2.936, 3.051, 3.166),
+    "50000": (0.030, 0.122, 0.274, 0.474, 0.591, 0.724,
+              0.873, 1.021, 1.168, 1.314, 1.460, 1.606,
+              1.752, 1.898, 2.045, 2.192, 2.340, 2.489,
+              2.639, 2.789, 2.940, 3.092, 3.244, 3.397,
+              3.551, 3.706, 3.862, 4.017, 4.173, 4.330),
+}
+
+
+def wave_stokes_drift_parameterised(x_wind, y_wind, fetch="25000"):
+    """Surface Stokes drift parameterised from wind and fetch
+    (reference physics_methods.py:488-528)."""
+    speeds = jnp.arange(30.0)
+    table = jnp.asarray(_STOKES_WF[str(fetch)])
+    windspeed = jnp.minimum(jnp.sqrt(x_wind ** 2 + y_wind ** 2), 30.0)
+    wf = jnp.interp(windspeed, speeds, table)
+    return x_wind * wf, y_wind * wf
+
+
+def wave_significant_height_parameterised(x_wind, y_wind, fetch="25000"):
+    """Hs parameterised from wind and fetch
+    (reference physics_methods.py:530-568)."""
+    speeds = jnp.arange(30.0)
+    table = jnp.asarray(_HS_TABLE[str(fetch)])
+    windspeed = jnp.minimum(jnp.sqrt(x_wind ** 2 + y_wind ** 2), 30.0)
+    return jnp.interp(windspeed, speeds, table)
+
+
 # ------------------------------------------------- vertical diffusivity ---
 
 def verticaldiffusivity_Sundby1983(windspeed, depth, mixedlayerdepth=50.0,
