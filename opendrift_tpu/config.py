@@ -109,11 +109,14 @@ class Configurable:
             return int(value) if t == "int" else float(value)
         if t == "enum":
             if value not in item.enum:
-                matches = difflib.get_close_matches(str(value),
-                                                    [str(e) for e in item.enum], n=3)
+                matches = difflib.get_close_matches(
+                    str(value), [str(e) for e in item.enum], n=3)
                 hint = f" Did you mean: {matches}?" if matches else ""
+                shown = list(item.enum)
+                if len(shown) > 20:
+                    shown = shown[:20] + [f"... ({len(item.enum)} options)"]
                 raise ValueError(
-                    f"Config '{key}': {value!r} not in {item.enum}.{hint}")
+                    f"Config '{key}': {value!r} not in {shown}.{hint}")
             return value
         return value
 

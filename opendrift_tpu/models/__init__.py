@@ -7,8 +7,9 @@ from .plastdrift import PlastDrift
 from .sedimentdrift import SedimentDrift
 from .leeway import Leeway
 from .shipdrift import ShipDrift
+from .openoil import OpenOil
 
 __all__ = ["OpenDriftSimulation", "Mode", "StepContext", "OceanDrift",
            "Lagrangian3DArray", "WindBlow", "SeaIceDrift",
            "PelagicEggDrift", "PlastDrift", "SedimentDrift", "Leeway",
-           "ShipDrift"]
+           "ShipDrift", "OpenOil"]

@@ -186,6 +186,11 @@ class OceanDrift(OpenDriftSimulation):
     def prepare_vertical_mixing(self, ctx):
         """Subclass hook (reference oceandrift.py:293)."""
 
+    def mixing_carry_extra(self, ctx):
+        """Extra per-element arrays carried through the mixing inner loop
+        (e.g. droplet diameter for oil); written back afterwards."""
+        return {}
+
     def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
         """Terminal velocity evaluated inside the mixing inner loop at
         depth ``z``; default is the element property (subclasses may depend
@@ -357,7 +362,10 @@ class OceanDrift(OpenDriftSimulation):
             mix = self.bottom_interaction(ctx, mix, zmin)
             return mix
 
+        extra = self.mixing_carry_extra(ctx)
         mix = jax.lax.fori_loop(0, ntimes, body,
-                                {"z": d["z"], "moving": moving})
+                                {"z": d["z"], "moving": moving, **extra})
         ctx.set_var("z", jnp.where(active, mix["z"], d["z"]))
         ctx.set_var("moving", jnp.where(active, mix["moving"], moving))
+        for k in extra:
+            ctx.set_var(k, jnp.where(active, mix[k], d[k]))

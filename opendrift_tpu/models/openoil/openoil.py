@@ -1,0 +1,532 @@
+"""OpenOil: oil drift and weathering.
+
+TPU-native re-implementation of the reference's flagship model
+(reference: opendrift/models/openoil/openoil.py:105-1449 and
+noaa_oil_weathering.py): NOAA/PyGNOME-style weathering — per-pseudo-
+component evaporation, emulsification water uptake, Roy-constant
+dispersion, biodegradation — plus Li (2017) wave entrainment with
+Johansen (2015)/Li (2017) droplet spectra inside the vertical-mixing
+inner loop, Tkalich droplet terminal velocity, and ice-adjusted advection
+(Nordam 2019).
+
+Design notes vs the reference:
+* the per-element (C pseudo-components x N elements) mass matrix lives in
+  the element pytree as one (C, N) array and all weathering is fused
+  element-wise jnp — no host bookkeeping dict
+  (reference keeps ``noaa_mass_balance`` on the host, openoil.py:667-680);
+* droplet diameters are drawn from the lognormal volume distribution in
+  closed form instead of ``np.random.choice`` over a 10^6-bin tabulated
+  pdf (openoil.py:1066-1120) — same distribution, O(N) sampling.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...config import CONFIG_LEVEL_ESSENTIAL, CONFIG_LEVEL_BASIC, \
+    CONFIG_LEVEL_ADVANCED
+from ...ops import physics as ph
+from ..oceandrift import OceanDrift, Lagrangian3DArray
+from .oil_db import OilType, get_oil_names
+
+G = 9.81
+GAS_CONSTANT = 8.314
+
+
+class Oil(Lagrangian3DArray):
+    """Oil element (reference openoil.py:105-207)."""
+
+    variables = Lagrangian3DArray.add_variables([
+        ("mass_oil", {"dtype": np.float32, "units": "kg", "default": 1.0}),
+        ("viscosity", {"dtype": np.float32, "units": "m2/s", "seed": False,
+                       "default": 0.005,
+                       "description": "Kinematic viscosity of emulsion"}),
+        ("density", {"dtype": np.float32, "units": "kg/m^3", "seed": False,
+                     "default": 880.0}),
+        ("wind_drift_factor", {"dtype": np.float32, "units": "1",
+                               "default": 0.03}),
+        ("bulltime", {"dtype": np.float32, "units": "s", "seed": False,
+                      "default": 0.0}),
+        ("interfacial_area", {"dtype": np.float32, "units": "m2",
+                              "seed": False, "default": 0.0}),
+        ("mass_dispersed", {"dtype": np.float32, "units": "kg",
+                            "seed": False, "default": 0.0}),
+        ("mass_evaporated", {"dtype": np.float32, "units": "kg",
+                             "seed": False, "default": 0.0}),
+        ("mass_biodegraded", {"dtype": np.float32, "units": "kg",
+                              "seed": False, "default": 0.0}),
+        ("biodegradation_half_time_droplet", {
+            "dtype": np.float32, "units": "Days", "default": 1.0}),
+        ("biodegradation_half_time_slick", {
+            "dtype": np.float32, "units": "Days", "default": 3.0}),
+        ("fraction_evaporated", {"dtype": np.float32, "units": "1",
+                                 "seed": False, "default": 0.0}),
+        ("water_fraction", {"dtype": np.float32, "units": "1",
+                            "seed": False, "default": 0.0}),
+        ("oil_film_thickness", {"dtype": np.float32, "units": "m",
+                                "default": 0.001}),
+        ("diameter", {"dtype": np.float32, "units": "m", "default": 0.0}),
+    ])
+
+
+class OpenOil(OceanDrift):
+    """Oil drift + weathering model (reference openoil.py:210)."""
+
+    ElementType = Oil
+
+    required_variables = {
+        "x_sea_water_velocity": {"fallback": 0},
+        "y_sea_water_velocity": {"fallback": 0},
+        "x_wind": {"fallback": 0},
+        "y_wind": {"fallback": 0},
+        "upward_sea_water_velocity": {
+            "fallback": 0, "skip_if": ["drift:vertical_advection", "is",
+                                       False]},
+        "sea_surface_height": {"fallback": 0},
+        "sea_surface_wave_significant_height": {"fallback": 0},
+        "sea_surface_wave_stokes_drift_x_velocity": {"fallback": 0},
+        "sea_surface_wave_stokes_drift_y_velocity": {"fallback": 0},
+        "sea_surface_wave_period_at_variance_spectral_density_maximum":
+            {"fallback": 0},
+        "sea_surface_wave_mean_period_from_variance_spectral_density_"
+        "second_frequency_moment": {"fallback": 0},
+        "sea_ice_area_fraction": {"fallback": 0},
+        "sea_ice_x_velocity": {"fallback": 0},
+        "sea_ice_y_velocity": {"fallback": 0},
+        "sea_water_temperature": {"fallback": 10, "profiles": True},
+        "sea_water_salinity": {"fallback": 34.0, "profiles": True},
+        "sea_floor_depth_below_sea_level": {"fallback": 10000},
+        "ocean_vertical_diffusivity": {
+            "fallback": 0.02, "profiles": True,
+            "skip_if": ["drift:vertical_mixing", "is", False]},
+        "ocean_mixed_layer_thickness": {"fallback": 50},
+        "land_binary_mask": {"fallback": None},
+    }
+
+    def add_config(self):
+        super().add_config()
+        oil_names = get_oil_names()
+        self._add_config({
+            "seed:oil_type": {
+                "type": "enum", "enum": oil_names,
+                "default": "GENERIC MEDIUM CRUDE",
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Oil type from the bundled NOAA/ADIOS-"
+                "derived database"},
+            "seed:m3_per_hour": {
+                "type": "float", "default": 1.0, "min": 0, "max": 1e10,
+                "units": "m3 per hour", "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Oil discharge rate for cone seeding"},
+            "processes:dispersion": {
+                "type": "bool", "default": True, "level": CONFIG_LEVEL_BASIC,
+                "description": "Wave-induced natural dispersion"},
+            "processes:evaporation": {
+                "type": "bool", "default": True, "level": CONFIG_LEVEL_BASIC,
+                "description": "Evaporation of light pseudo-components"},
+            "processes:emulsification": {
+                "type": "bool", "default": True, "level": CONFIG_LEVEL_BASIC,
+                "description": "Water uptake (mousse formation)"},
+            "processes:biodegradation": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_BASIC,
+                "description": "Microbial degradation of oil mass"},
+            "biodegradation:method": {
+                "type": "enum", "enum": ["Adcroft", "half_time"],
+                "default": "half_time", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Biodegradation parameterisation"},
+            "processes:update_oilfilm_thickness": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Recompute slick thickness from the binned "
+                "surface mass distribution each step"},
+            "wave_entrainment:droplet_size_distribution": {
+                "type": "enum",
+                "enum": ["Johansen et al. (2015)", "Li et al. (2017)"],
+                "default": "Johansen et al. (2015)",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Droplet spectrum at wave entrainment"},
+            "wave_entrainment:entrainment_rate": {
+                "type": "enum", "enum": ["Li et al. (2017)"],
+                "default": "Li et al. (2017)",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Oil wave entrainment rate formulation"},
+        })
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._set_config_default("drift:vertical_advection", False)
+        self._set_config_default("drift:vertical_mixing", True)
+        self._set_config_default("drift:vertical_mixing_at_surface", False)
+        self._set_config_default("drift:current_uncertainty", 0.05)
+        self._set_config_default("drift:wind_uncertainty", 0.5)
+        self._set_config_default("drift:max_speed", 1.3)
+        self.oiltype = None
+        self.keep_droplet_diameter = False
+
+    # --------------------------------------------------------- seeding ----
+    def seed_elements(self, *args, oil_type=None, **kwargs):
+        if oil_type is not None:
+            self.set_config("seed:oil_type", oil_type)
+        if self.oiltype is None:
+            self.oiltype = OilType(self.get_config("seed:oil_type"))
+        self.oil_name = self.oiltype.name
+        # initial density/viscosity at 15 C from the oil database
+        kwargs.setdefault("density",
+                          float(self.oiltype.density_at_temp(288.15)))
+        kwargs.setdefault("viscosity",
+                          float(self.oiltype.kvis_at_temp(288.15)))
+        return super().seed_elements(*args, **kwargs)
+
+    def _build_initial_state(self, dt):
+        arrays = super()._build_initial_state(dt)
+        if self.oiltype is None:
+            self.oiltype = OilType(self.get_config("seed:oil_type"))
+        # per-element pseudo-component mass matrix (C, N)
+        mf = self.oiltype.mass_fraction.astype(np.float32)
+        arrays["mass_components"] = \
+            mf[:, None] * arrays["mass_oil"][None, :]
+        self.oil_water_interfacial_tension = \
+            self.oiltype.oil_water_surface_tension()
+        return arrays
+
+    # ------------------------------------------------------- weathering ---
+    def oil_weathering(self, ctx):
+        """NOAA weathering scheme (reference openoil.py:717-790)."""
+        if ctx.params["dt"] < 0:
+            return
+        d = ctx.state.data
+        T_K = ctx.environment["sea_water_temperature"] + 273.15
+
+        oil_viscosity = self.oiltype.kvis_at_temp(T_K)
+        oil_density = self.oiltype.density_at_temp(T_K)
+
+        # emulsion density and viscosity (reference openoil.py:741-760)
+        rho_w = ctx.sea_water_density()
+        density = d["water_fraction"] * rho_w \
+            + (1.0 - d["water_fraction"]) * oil_density
+        visc_f_ref = 0.84
+        fw_d_fref = d["water_fraction"] / visc_f_ref
+        kv1 = jnp.clip(jnp.sqrt(oil_viscosity) * 1.5e3, 1.0, 10.0)
+        total = d["mass_oil"] + d["mass_evaporated"]
+        frac_evap = jnp.where(total > 0, d["mass_evaporated"] / total, 0.0)
+        viscosity = (oil_viscosity * jnp.exp(kv1 * frac_evap)
+                     * (1.0 + fw_d_fref / (1.187 - fw_d_fref)) ** 2.49)
+        ctx.set_var("density", density)
+        ctx.set_var("viscosity", viscosity)
+        ctx.set_var("fraction_evaporated", frac_evap)
+
+        if self.get_config("processes:evaporation"):
+            self.evaporation_noaa(ctx, T_K)
+        if self.get_config("processes:emulsification"):
+            self.emulsification_noaa(ctx)
+        if self.get_config("processes:dispersion"):
+            self.disperse_noaa(ctx)
+        if self.get_config("processes:biodegradation"):
+            self.biodegradation(ctx)
+
+    def evaporation_noaa(self, ctx, T_K):
+        """Pseudo-component evaporation for surface slicks
+        (reference openoil.py:822-853, noaa_oil_weathering.py:10-33)."""
+        d = ctx.state.data
+        dt = ctx.params["dt"]
+        mass_components = d["mass_components"]          # (C, N)
+        surface = ctx.active & (d["z"] == 0.0) \
+            & (d["age_seconds"] <= 3600.0 * 24)
+        wind = ctx.wind_speed()
+        # mass transport coefficient
+        c_evap = 0.0025
+        K = jnp.where(wind >= 10.0,
+                      0.06 * c_evap * wind ** 2,
+                      c_evap * wind ** 0.78)
+        volume = d["mass_oil"] / jnp.maximum(d["density"], 1.0)
+        area = volume / jnp.maximum(d["oil_film_thickness"], 1e-9)
+        vp = self.oiltype.vapor_pressure(T_K)            # (C, N)
+        mw = jnp.asarray(self.oiltype.molecular_weight)  # already kg/mol
+        sum_mi_mw = jnp.sum(mass_components / mw[:, None], axis=0)
+        decay = (-(area * K) / (GAS_CONSTANT * T_K
+                                * jnp.maximum(sum_mi_mw, 1e-12)))[None, :] \
+            * vp
+        remain = mass_components * jnp.exp(decay * dt)
+        remain = jnp.where(surface[None, :], remain, mass_components)
+        evap_now = jnp.sum(mass_components - remain, axis=0)
+        new = dict(ctx.state.data)
+        new["mass_components"] = remain
+        new["mass_evaporated"] = d["mass_evaporated"] + evap_now
+        new["mass_oil"] = jnp.where(surface, jnp.sum(remain, axis=0),
+                                    d["mass_oil"])
+        ctx.state = ctx.state.replace(**new)
+
+    def emulsification_noaa(self, ctx):
+        """Water uptake / mousse formation
+        (reference openoil.py:855-920)."""
+        d = ctx.state.data
+        dt = ctx.params["dt"]
+        ot = self.oiltype
+        emul_time = ot.bullwinkle_time
+        emul_c = ot.bullwinkle_fraction
+        start = ((d["age_seconds"] >= emul_time) & (emul_time >= 0)) | \
+            ((d["fraction_evaporated"] >= emul_c) & (emul_c > 0))
+        start = start & ctx.active
+
+        Y_max = ot.emulsion_water_fraction_max
+        if ot.max_water_fraction_sintef:
+            wf = ot.max_water_fraction_sintef["max_water_fraction"]
+            wft = ot.max_water_fraction_sintef["temperatures"]
+            if len(wf) == 1:
+                wf = [wf[0], wf[0]]
+                wft = [wft[0], wft[0] + 1e-3]
+            swt = ctx.environment["sea_water_temperature"]
+            weights = jnp.clip((wft[1] - swt) / (wft[1] - wft[0]), 0.0, 1.0)
+            y_sintef = weights * wf[0] + (1.0 - weights) * wf[1]
+            Y_max = jnp.minimum(Y_max, y_sintef)
+        if np.max(np.atleast_1d(Y_max)) <= 0:
+            return
+        drop_min, drop_max = 1.0e-6, 1.0e-5
+        S_max = (6.0 / drop_min) * (Y_max / (1.0 - Y_max))
+        start_time = jnp.where(d["bulltime"] > 0, d["bulltime"],
+                               d["age_seconds"])
+        # water uptake coefficient (noaa_oil_weathering.py:36-42)
+        K0Y = 2.024e-6
+        k_emul = 6.0 * K0Y * ctx.wind_speed() ** 2 / drop_max
+        area = d["interfacial_area"] + \
+            k_emul * abs(dt) * jnp.exp(
+                (-k_emul / S_max) * (d["age_seconds"] - start_time))
+        area = jnp.minimum(area, S_max)
+        area = jnp.where(start, area, d["interfacial_area"])
+        wf_new = area * drop_max / (6.0 + area * drop_max)
+        wf_new = jnp.minimum(wf_new, Y_max)
+        ctx.set_var("interfacial_area", area)
+        ctx.set_var("water_fraction",
+                    jnp.where(start, wf_new, d["water_fraction"]))
+
+    def disperse_noaa(self, ctx):
+        """Natural dispersion (reference openoil.py:792-815)."""
+        d = ctx.state.data
+        dt = ctx.params["dt"]
+        c_disp = ph.wave_energy_dissipation(
+            ctx.significant_wave_height(), ctx.sea_water_density()) ** 0.57 \
+            * ph.wave_breaking_fraction(ctx.wind_speed(), ctx.wave_period())
+        C_Roy = 2400.0 * jnp.exp(
+            -73.682 * jnp.sqrt(d["viscosity"] / d["density"]))
+        v_entrain = 3.9e-8
+        q_disp = C_Roy * c_disp * v_entrain / d["density"]
+        frac = jnp.clip(q_disp * dt * d["density"], 0.0, 0.99)
+        frac = jnp.where(ctx.active & (d["z"] == 0.0), frac, 0.0)
+        loss = frac * d["mass_oil"]
+        new = dict(ctx.state.data)
+        new["mass_components"] = d["mass_components"] * (1.0 - frac)[None, :]
+        new["mass_oil"] = d["mass_oil"] - loss
+        new["mass_dispersed"] = d["mass_dispersed"] + loss
+        ctx.state = ctx.state.replace(**new)
+
+    def biodegradation(self, ctx):
+        """(reference openoil.py:582-635)."""
+        d = ctx.state.data
+        age0 = abs(ctx.params["dt"]) / (3600.0 * 24)
+        method = self.get_config("biodegradation:method")
+        if method == "half_time":
+            half_time = jnp.where(d["z"] == 0.0,
+                                  d["biodegradation_half_time_slick"],
+                                  d["biodegradation_half_time_droplet"])
+            frac = 1.0 - jnp.exp(-age0 / jnp.maximum(half_time, 1e-6))
+        else:  # Adcroft
+            swt = ctx.environment["sea_water_temperature"]
+            tau = 12.0 * 3.0 ** ((20.0 - swt) / 10.0)
+            frac = 1.0 - jnp.exp(-age0 / tau)
+        frac = jnp.where(ctx.active, frac, 0.0)
+        loss = d["mass_oil"] * frac
+        new = dict(ctx.state.data)
+        new["mass_components"] = d["mass_components"] * (1.0 - frac)[None, :]
+        new["mass_oil"] = d["mass_oil"] - loss
+        new["mass_biodegraded"] = d["mass_biodegraded"] + loss
+        ctx.state = ctx.state.replace(**new)
+
+    # ------------------------------------------- entrainment / mixing -----
+    def oil_wave_entrainment_rate(self, ctx):
+        """Li et al. (2017) entrainment rate
+        (reference physics_methods.py:115-137)."""
+        d = ctx.state.data
+        sigma = self.oil_water_interfacial_tension
+        rho_w = ctx.sea_water_density()
+        delta_rho = jnp.maximum(rho_w - d["density"], 1.0)
+        d_o = 4.0 * jnp.sqrt(sigma / (delta_rho * G))
+        hs = ctx.significant_wave_height()
+        we = rho_w * G * hs * d_o / sigma
+        mu_oil = d["viscosity"] * d["density"]
+        oh = mu_oil / jnp.sqrt(d["density"] * sigma * d_o)
+        fbw = ph.wave_breaking_fraction(ctx.wind_speed(), ctx.wave_period())
+        return 4.604e-10 * we ** 1.805 * oh ** -1.023 * fbw
+
+    def _droplet_diameter_distribution(self, ctx):
+        """(dV_50 scalar, Sd) of the lognormal droplet volume spectrum
+        (reference openoil.py:1066-1180)."""
+        d = ctx.state.data
+        sigma = self.oil_water_interfacial_tension
+        rho_w = ctx.sea_water_density()
+        hs = jnp.maximum(ctx.significant_wave_height(), 0.01)
+        sd = 0.4
+        Sd = np.log(10.0) * sd
+        scheme = self.get_config("wave_entrainment:droplet_size_distribution")
+        if scheme == "Li et al. (2017)":
+            delta_rho = jnp.maximum(rho_w - d["density"], 1.0)
+            d_o = 4.0 * jnp.sqrt(sigma / (delta_rho * G))
+            we = rho_w * G * hs * d_o / sigma
+            oh = d["viscosity"] * d["density"] * (
+                d["density"] * sigma * d_o) ** -0.5
+            dV_50 = d_o * 1.791 * (1.0 + 10.0 * oh) ** 0.460 * we ** -0.518
+        else:  # Johansen et al. (2015)
+            h = jnp.maximum(d["oil_film_thickness"], 1e-9)
+            re = (d["density"] * h * jnp.sqrt(G * hs)) \
+                / (d["viscosity"] * d["density"])
+            we = d["density"] * h * G * hs / sigma
+            A, Bp = 2.251, 0.027
+            dN_50 = A * h * we ** -0.6 + A * Bp * h * re ** -0.6
+            dV_50 = jnp.exp(jnp.log(dN_50) + 3.0 * Sd ** 2)
+        # reference collapses to the mean median diameter across elements
+        dV_50 = jnp.nanmean(dV_50)
+        return dV_50, Sd
+
+    def prepare_vertical_mixing(self, ctx):
+        """Entrainment probability + per-element candidate droplet size
+        (reference openoil.py:1017-1031)."""
+        dt_mix = float(self.get_config("vertical_mixing:timestep"))
+        rate = self.oil_wave_entrainment_rate(ctx)
+        ctx._oil_entrainment_probability = 1.0 - jnp.exp(-rate * dt_mix)
+        dV_50, Sd = self._droplet_diameter_distribution(ctx)
+        draw = jax.random.normal(ctx.next_key(),
+                                 ctx.state.data["z"].shape)
+        diam = jnp.exp(jnp.log(dV_50) + Sd * draw)
+        ctx._droplet_diameter_if_entrained = jnp.clip(diam, 1e-6, 3e-3)
+
+    def mixing_carry_extra(self, ctx):
+        return {"diameter": ctx.state.data["diameter"]}
+
+    def surface_wave_mixing(self, ctx, mix, dt_mix, key):
+        """Whitecapping entrainment of surface oil
+        (reference openoil.py:1033-1056)."""
+        z = mix["z"]
+        surface = z >= 0.0
+        draw = jax.random.uniform(key, z.shape)
+        entrained = surface & (draw < ctx._oil_entrainment_probability)
+        zb = 1.5 * ctx.significant_wave_height()
+        depth_draw = jax.random.uniform(jax.random.fold_in(key, 1),
+                                        z.shape) * zb
+        mix["z"] = jnp.where(entrained, -depth_draw, z)
+        if not self.keep_droplet_diameter:
+            mix["diameter"] = jnp.where(entrained,
+                                        ctx._droplet_diameter_if_entrained,
+                                        mix["diameter"])
+        return mix
+
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+        """Tkalich (2002) oil droplet rise velocity with high-Reynolds
+        switch (reference openoil.py:922-998)."""
+        d = ctx.state.data
+        if Tprof is not None and Sprof is not None:
+            T0 = self.profile_interp(ctx, Tprof, z)
+            S0 = self.profile_interp(ctx, Sprof, z)
+        else:
+            T0 = ctx.environment["sea_water_temperature"]
+            S0 = ctx.environment["sea_water_salinity"]
+        r = d["diameter"]
+        rho_oil = d["density"]
+        rho_w = ph.sea_water_density(T0, S0)
+        mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
+        nu_w = mu_w / rho_w
+        rhopr = rho_oil / rho_w
+        kw = 2.0 * G * (1.0 - rhopr) / (9.0 * nu_w)
+        W = kw * (r / 2.0) ** 2
+        Re = r * jnp.abs(W) / nu_w
+        kw2 = jnp.sqrt(jnp.abs(16.0 * G * (1.0 - rhopr) / 3.0)) \
+            * jnp.sign(1.0 - rhopr)
+        W2 = kw2 * jnp.sqrt(r / 2.0)
+        return jnp.where(Re > 50.0, W2, W)
+
+    def update_terminal_velocity(self, ctx, **kwargs):
+        w = self.terminal_velocity_inner(ctx, ctx.state.data["z"], None,
+                                         None)
+        ctx.set_var("terminal_velocity", w)
+
+    # ------------------------------------------------ film thickness ------
+    def update_surface_oilfilm_thickness(self, ctx):
+        """Per-cell slick thickness from the binned surface mass
+        (reference openoil.py:502-570), as a device segment-sum."""
+        d = ctx.state.data
+        surface = ctx.active & (d["z"] == 0.0)
+        lon, lat = d["lon"], d["lat"]
+        nb = 100
+        w = jnp.where(surface, 1.0, 0.0)
+        lon0 = jnp.min(jnp.where(surface, lon, jnp.inf))
+        lon1 = jnp.max(jnp.where(surface, lon, -jnp.inf))
+        lat0 = jnp.min(jnp.where(surface, lat, jnp.inf))
+        lat1 = jnp.max(jnp.where(surface, lat, -jnp.inf))
+        dlon = jnp.maximum(lon1 - lon0, 1e-6)
+        dlat = jnp.maximum(lat1 - lat0, 1e-6)
+        ix = jnp.clip(((lon - lon0) / dlon * nb).astype(jnp.int32), 0,
+                      nb - 1)
+        iy = jnp.clip(((lat - lat0) / dlat * nb).astype(jnp.int32), 0,
+                      nb - 1)
+        bins = iy * nb + ix
+        mass_bin = jax.ops.segment_sum(w * d["mass_oil"], bins, nb * nb)
+        meanlat = jnp.clip(0.5 * (lat0 + lat1), -89.0, 89.0)
+        cell_area = (dlon / nb * 111320.0 * jnp.cos(jnp.radians(meanlat))) \
+            * (dlat / nb * 111320.0)
+        thickness = (mass_bin / 1000.0) / jnp.maximum(cell_area, 1.0)
+        thickness = jnp.clip(thickness, 1e-9, 0.01)
+        new_thick = thickness[bins]
+        ctx.set_var("oil_film_thickness",
+                    jnp.where(surface, new_thick, d["oil_film_thickness"]))
+
+    # --------------------------------------------------------- advection --
+    def advect_oil(self, ctx):
+        """Ice-adjusted advection (Nordam 2019 / Arneborg 2017;
+        reference openoil.py:1186-1216)."""
+        A = ctx.environment.get("sea_ice_area_fraction")
+        if A is not None:
+            k_ice = jnp.clip((A - 0.3) / (0.8 - 0.3), 0.0, 1.0)
+            factor_stokes = jnp.clip((0.7 - A) / 0.7, 0.0, 1.0)
+        else:
+            k_ice = 0.0
+            factor_stokes = 1.0
+        ctx.advect_ocean_current(factor=1.0 - k_ice)
+        ctx.advect_wind(factor=1.0 - k_ice)
+        ctx.stokes_drift(factor=factor_stokes)
+        if A is not None:
+            ctx.advect_with_sea_ice(factor=k_ice)
+
+    # ------------------------------------------------------------- update --
+    def update(self, ctx):
+        """(reference openoil.py:1218-1243)."""
+        if self.get_config("processes:update_oilfilm_thickness"):
+            self.update_surface_oilfilm_thickness(ctx)
+        self.oil_weathering(ctx)
+        if self.get_config("drift:vertical_mixing"):
+            self.update_terminal_velocity(ctx)
+            self.vertical_mixing(ctx)
+        if self.get_config("drift:vertical_advection"):
+            self.vertical_advection(ctx)
+        self.advect_oil(ctx)
+
+    # ------------------------------------------------------------ budget --
+    def get_oil_budget(self):
+        """Mass budget time series from the result dataset
+        (reference openoil.py:1241-1340)."""
+        ds = self.result
+        out = {}
+        for key, var in (("mass_surface", "mass_oil"),
+                         ("mass_evaporated", "mass_evaporated"),
+                         ("mass_dispersed", "mass_dispersed"),
+                         ("mass_biodegraded", "mass_biodegraded")):
+            vals = np.nan_to_num(ds[var].values, nan=0.0)
+            out[key] = vals.sum(axis=0)
+        z = ds["z"].values
+        mass = np.nan_to_num(ds["mass_oil"].values, nan=0.0)
+        out["mass_submerged"] = np.where(np.nan_to_num(z, nan=0.0) < 0,
+                                         mass, 0.0).sum(axis=0)
+        out["mass_surface"] = np.where(np.nan_to_num(z, nan=-1) == 0,
+                                       mass, 0.0).sum(axis=0)
+        out["mass_total"] = (out["mass_surface"] + out["mass_submerged"]
+                             + out["mass_evaporated"]
+                             + out["mass_dispersed"]
+                             + out["mass_biodegraded"])
+        return out
