@@ -186,6 +186,11 @@ class OpenDriftSimulation(Timeable, Configurable):
                 "type": "int", "default": 1, "min": 1, "max": 10 ** 9,
                 "level": CONFIG_LEVEL_ESSENTIAL,
                 "description": "Default number of elements per seeding"},
+            "parallel:particle_sharding": {
+                "type": "bool", "default": True,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Shard elements over all visible devices "
+                "(data parallelism); forcing fields are replicated"},
         })
 
     def _add_seed_configs(self):
@@ -592,11 +597,28 @@ class OpenDriftSimulation(Timeable, Configurable):
 
         state = ElementState({k: jnp.asarray(v) for k, v in state_np.items()})
         base_key = jax.random.PRNGKey(self.rng_seed)
+
+        # ---- multi-device particle sharding (DP over a 1D mesh)
+        self._mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and self.get_config("parallel:particle_sharding"):
+            from ..parallel.mesh import particle_mesh, shard_state
+            self._mesh = particle_mesh()
+            state = shard_state(state, self._mesh)
+            logger.info("Sharding %d elements over %d devices",
+                        state.capacity, n_dev)
         return advance, final_snap, state, base_key
 
     # ------------------------------------------------- initial state ------
     def _build_initial_state(self, dt):
         n = self.num_elements_scheduled_total
+        # pad the capacity to a multiple of the device count so every
+        # per-element array shards evenly; padding stays NOT_RELEASED
+        n_dev = len(jax.devices())
+        self._n_real_elements = n
+        if n_dev > 1 and self.get_config("parallel:particle_sharding"):
+            n = ((n + n_dev - 1) // n_dev) * n_dev
+        self._n_padded_elements = n
         sign = 1.0 if dt > 0 else -1.0
         arrays = {}
         for name, spec in self.ElementType.variables.items():
@@ -618,7 +640,9 @@ class OpenDriftSimulation(Timeable, Configurable):
         all_times = np.concatenate([s["time"] for s in self._seedings])
         rel = np.array([(t - self.start_time).total_seconds()
                         for t in all_times], dtype=np.float32)
-        arrays["release_tau"] = (rel * sign).astype(np.float32)
+        # padding elements (if any) are never released
+        arrays["release_tau"] = np.full(n, np.inf, dtype=np.float32)
+        arrays["release_tau"][:len(rel)] = (rel * sign).astype(np.float32)
         arrays["prev_lon"] = arrays["lon"].copy()
         arrays["prev_lat"] = arrays["lat"].copy()
         arrays["prev_z"] = arrays["z"].copy()
@@ -864,7 +888,9 @@ class OpenDriftSimulation(Timeable, Configurable):
     def _assemble_result(self, frames, frame_times):
         T = len(frames)
         names = list(frames[0].keys())
-        stacked = {n: np.stack([f[n] for f in frames], axis=-1)
+        n_real = getattr(self, "_n_real_elements", None)
+        stacked = {n: np.stack([f[n][..., :n_real] if n_real else f[n]
+                                for f in frames], axis=-1)
                    for n in names}  # (N, T)
         status = stacked["status"]
         released = status >= ACTIVE
