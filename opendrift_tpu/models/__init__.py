@@ -8,8 +8,14 @@ from .sedimentdrift import SedimentDrift
 from .leeway import Leeway
 from .shipdrift import ShipDrift
 from .openoil import OpenOil
+from .openberg import OpenBerg
+from .larvalfish import LarvalFish
+from .sealice import SeaLice
+from .radionuclides import RadionuclideDrift
+from .chemicaldrift import ChemicalDrift
 
 __all__ = ["OpenDriftSimulation", "Mode", "StepContext", "OceanDrift",
            "Lagrangian3DArray", "WindBlow", "SeaIceDrift",
            "PelagicEggDrift", "PlastDrift", "SedimentDrift", "Leeway",
-           "ShipDrift", "OpenOil"]
+           "ShipDrift", "OpenOil", "OpenBerg", "LarvalFish", "SeaLice",
+           "RadionuclideDrift", "ChemicalDrift"]

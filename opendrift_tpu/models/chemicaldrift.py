@@ -1,0 +1,452 @@
+"""ChemicalDrift: organic-chemical transport and fate.
+
+TPU-native re-implementation of the reference chemical model
+(reference: opendrift/models/chemicaldrift.py:34-3440), 'organics'
+transfer setup: five species (dissolved LMM, DOC-associated, SPM-
+associated, sediment reversible, buried/slowly-reversible sediment) with
+KOW/KOC-derived partitioning rates (Park & Clough 2014; Karickhoff &
+Morris 1985 adsorption kinetics; Arrhenius temperature and Setchenow
+salinity corrections), overall-rate-constant degradation in water and
+sediment, two-film Henry-law volatilization, sinking of SPM-bound
+chemical, sediment interaction and burial — all fused element-wise with
+the vectorised speciation kernel.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED, \
+    CONFIG_LEVEL_ESSENTIAL
+from ..ops.speciation import speciation_step
+from ..ops import physics as ph
+from .oceandrift import OceanDrift, Lagrangian3DArray
+
+G = 9.81
+R_GAS = 8.206e-5  # atm m3 / (mol K)
+
+
+class Chemical(Lagrangian3DArray):
+    """(reference chemicaldrift.py:34-70)."""
+
+    variables = Lagrangian3DArray.add_variables([
+        ("diameter", {"dtype": np.float32, "units": "m", "default": 0.0}),
+        ("specie", {"dtype": np.int32, "units": "1", "default": 0}),
+        ("mass", {"dtype": np.float32, "units": "ug", "default": 1e3}),
+        ("mass_degraded", {"dtype": np.float32, "units": "ug",
+                           "seed": False, "default": 0.0}),
+        ("mass_degraded_water", {"dtype": np.float32, "units": "ug",
+                                 "seed": False, "default": 0.0}),
+        ("mass_degraded_sediment", {"dtype": np.float32, "units": "ug",
+                                    "seed": False, "default": 0.0}),
+        ("mass_volatilized", {"dtype": np.float32, "units": "ug",
+                              "seed": False, "default": 0.0}),
+    ])
+
+
+SPECIES = ["LMM", "Humic colloid", "Particle reversible",
+           "Sediment reversible", "Sediment slowly reversible"]
+
+
+class ChemicalDrift(OceanDrift):
+    """Organic chemical fate model (reference chemicaldrift.py:75)."""
+
+    ElementType = Chemical
+
+    required_variables = {
+        "x_sea_water_velocity": {"fallback": 0},
+        "y_sea_water_velocity": {"fallback": 0},
+        "sea_surface_height": {"fallback": 0},
+        "x_wind": {"fallback": 0},
+        "y_wind": {"fallback": 0},
+        "land_binary_mask": {"fallback": None},
+        "sea_floor_depth_below_sea_level": {"fallback": 100},
+        "ocean_vertical_diffusivity": {"fallback": 0.0001,
+                                       "profiles": True},
+        "sea_water_temperature": {"fallback": 10},
+        "sea_water_salinity": {"fallback": 34},
+        "upward_sea_water_velocity": {"fallback": 0},
+        "spm": {"fallback": 1.0},
+        "ocean_mixed_layer_thickness": {"fallback": 50},
+        "active_sediment_layer_thickness": {"fallback": 0.03},
+    }
+
+    def add_config(self):
+        super().add_config()
+        self._add_config({
+            # chemical identity (defaults: naphthalene, as the reference)
+            "chemical:transformations:LogKOW": {
+                "type": "float", "default": 3.361, "min": -3, "max": 10,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "log octanol-water partition coefficient"},
+            "chemical:transformations:TrefKOW": {
+                "type": "float", "default": 25.0, "min": -3, "max": 30,
+                "units": "C", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Reference temperature of KOW"},
+            "chemical:transformations:DeltaH_KOC_Sed": {
+                "type": "float", "default": -21036.0, "min": -1e6,
+                "max": 1e6, "units": "J/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sorption enthalpy, sediments"},
+            "chemical:transformations:DeltaH_KOC_DOM": {
+                "type": "float", "default": -25900.0, "min": -1e6,
+                "max": 1e6, "units": "J/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sorption enthalpy, DOM"},
+            "chemical:transformations:Setchenow": {
+                "type": "float", "default": 0.2503, "min": 0, "max": 1,
+                "units": "L/mol", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Setchenow (salting-out) constant"},
+            "chemical:transformations:KOC_DOM": {
+                "type": "float", "default": -1.0, "min": -1, "max": 1e10,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "KOC to DOM (<0: estimate from KOW)"},
+            "chemical:transformations:KOC_sed": {
+                "type": "float", "default": -1.0, "min": -1, "max": 1e10,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "KOC to sediment (<0: estimate from KOW)"},
+            "chemical:transformations:fOC_SPM": {
+                "type": "float", "default": 0.05, "min": 0.01, "max": 0.1,
+                "units": "gOC/g", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Organic-carbon fraction of SPM"},
+            "chemical:transformations:fOC_sed": {
+                "type": "float", "default": 0.05, "min": 0.01, "max": 0.1,
+                "units": "gOC/g", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Organic-carbon fraction of sediment"},
+            "chemical:transformations:slow_coeff": {
+                "type": "float", "default": 0.0, "min": 0, "max": 1,
+                "units": "1/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Slow-pool transfer coefficient"},
+            "chemical:transformations:degradation": {
+                "type": "bool", "default": True,
+                "level": CONFIG_LEVEL_BASIC,
+                "description": "Overall degradation"},
+            "chemical:transformations:t12_W_tot": {
+                "type": "float", "default": 224.08, "min": 1, "max": 1e7,
+                "units": "hours", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Overall half-life in water"},
+            "chemical:transformations:Tref_kWt": {
+                "type": "float", "default": 25.0, "min": -3, "max": 30,
+                "units": "C", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Reference T for water degradation"},
+            "chemical:transformations:DeltaH_kWt": {
+                "type": "float", "default": 50000.0, "min": -1e6,
+                "max": 1e6, "units": "J/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Activation enthalpy, water degradation"},
+            "chemical:transformations:t12_S_tot": {
+                "type": "float", "default": 5012.4, "min": 1, "max": 1e7,
+                "units": "hours", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Overall half-life in sediment"},
+            "chemical:transformations:Tref_kSt": {
+                "type": "float", "default": 25.0, "min": -3, "max": 30,
+                "units": "C", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Reference T for sediment degradation"},
+            "chemical:transformations:DeltaH_kSt": {
+                "type": "float", "default": 50000.0, "min": -1e6,
+                "max": 1e6, "units": "J/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Activation enthalpy, sediment degr."},
+            "chemical:transformations:volatilization": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_BASIC,
+                "description": "Henry-law volatilization"},
+            "chemical:transformations:MolWt": {
+                "type": "float", "default": 128.1705, "min": 1,
+                "max": 10000, "units": "g/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Molecular weight"},
+            "chemical:transformations:Henry": {
+                "type": "float", "default": 4.551e-4, "min": 0, "max": 10,
+                "units": "atm m3/mol", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Henry's law constant"},
+            "chemical:sediment:mixing_depth": {
+                "type": "float", "default": 0.03, "min": 0, "max": 10,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment mixing depth"},
+            "chemical:sediment:density": {
+                "type": "float", "default": 2600.0, "min": 0, "max": 10000,
+                "units": "kg/m3", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment particle density"},
+            "chemical:sediment:corr_factor": {
+                "type": "float", "default": 0.1, "min": 0, "max": 10,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment correction factor"},
+            "chemical:sediment:porosity": {
+                "type": "float", "default": 0.6, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment porosity"},
+            "chemical:sediment:layer_thickness": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Seabed interaction layer thickness"},
+            "chemical:sediment:desorption_depth": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Height above seabed after desorption"},
+            "chemical:sediment:burial_rate": {
+                "type": "float", "default": 0.00003, "min": 0, "max": 10,
+                "units": "m/year", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment burial rate"},
+            "chemical:particle_diameter": {
+                "type": "float", "default": 5e-6, "min": 0, "max": 1e-3,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "SPM diameter"},
+            "seed:LMM_fraction": {
+                "type": "float", "default": 1.0, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Fraction seeded dissolved"},
+            "seed:particle_fraction": {
+                "type": "float", "default": 0.0, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Fraction seeded SPM-bound"},
+        })
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._set_config_default("drift:vertical_mixing", True)
+        self.register_status("sedimented")
+
+    name_species = SPECIES
+    nspecies = len(SPECIES)
+
+    def specie_name2num(self, name):
+        return SPECIES.index(name)
+
+    # --------------------------------------------------- rate derivation --
+    @staticmethod
+    def tempcorr(DH, T, Tref):
+        """Arrhenius temperature correction
+        (reference chemicaldrift.py:560-575); works on scalars and traced
+        arrays alike."""
+        R = 8.314
+        return jnp.exp(-(DH / R) * (1.0 / (T + 273.15)
+                                    - 1.0 / (Tref + 273.15)))
+
+    @staticmethod
+    def salinitycorr(setchenow, S):
+        """Setchenow salting-out correction."""
+        molal = S * 0.5 / 35.0 * 35.0 / 58.44  # rough mol/L of seawater
+        return 10.0 ** (setchenow * molal)
+
+    def transfer_rates_matrix(self):
+        """'organics' background rates (reference chemicaldrift.py:
+        init_transfer_rates, Karickhoff & Morris 1985 kinetics)."""
+        S = self.nspecies
+        rates = np.zeros((S, S), dtype=np.float32)
+        lmm = self.specie_name2num("LMM")
+        hum = self.specie_name2num("Humic colloid")
+        prev = self.specie_name2num("Particle reversible")
+        srev = self.specie_name2num("Sediment reversible")
+        ssrev = self.specie_name2num("Sediment slowly reversible")
+
+        Org2C = 0.526
+        KOW = 10.0 ** self.get_config("chemical:transformations:LogKOW")
+        fOC_SPM = self.get_config("chemical:transformations:fOC_SPM")
+        fOC_sed = self.get_config("chemical:transformations:fOC_sed")
+        KOC_DOM = self.get_config("chemical:transformations:KOC_DOM")
+        if KOC_DOM < 0:
+            KOC_DOM = 2.88 * KOW ** 0.67      # Park & Clough (2014)
+        KOC_sed = self.get_config("chemical:transformations:KOC_sed")
+        if KOC_sed < 0:
+            KOC_sed = 2.62 * KOW ** 0.82      # Park & Clough (2014)
+        KOC_SPM = KOC_sed
+
+        self.Kd_sed = KOC_sed * fOC_sed
+        self.Kd_SPM = KOC_SPM * fOC_SPM
+        self.Kd_DOM = KOC_DOM * Org2C
+
+        k_ads = 33.3 / 3600.0                 # Karickhoff & Morris (1985)
+        k_des_sed = k_ads / self.Kd_sed
+        k_des_SPM = k_ads / self.Kd_SPM
+        k_des_DOM = k_ads / self.Kd_DOM
+
+        Tref = self.get_config("chemical:transformations:TrefKOW")
+        DH_sed = self.get_config("chemical:transformations:DeltaH_KOC_Sed")
+        DH_dom = self.get_config("chemical:transformations:DeltaH_KOC_DOM")
+        setch = self.get_config("chemical:transformations:Setchenow")
+        # host-side scalar corrections (numpy, not traced)
+        Tcorr_sed = float(np.exp(-(DH_sed / 8.314)
+                                 * (1 / 298.15 - 1 / (Tref + 273.15))))
+        Tcorr_dom = float(np.exp(-(DH_dom / 8.314)
+                                 * (1 / 298.15 - 1 / (Tref + 273.15))))
+        Scorr = float(self.salinitycorr(setch, 35.0))
+
+        concDOM = 1.0e-3 / Org2C * 1e-3       # kg/L
+        concSPM = 50.0e-3 * 1e-3              # kg/L
+        sed_L = self.get_config("chemical:sediment:mixing_depth")
+        sed_dens = self.get_config("chemical:sediment:density")
+        sed_phi = self.get_config("chemical:sediment:corr_factor")
+        sed_poro = self.get_config("chemical:sediment:porosity")
+        sed_H = self.get_config("chemical:sediment:layer_thickness")
+        burial = self.get_config("chemical:sediment:burial_rate")
+
+        rates[lmm, hum] = k_ads * concDOM
+        rates[hum, lmm] = k_des_DOM / Tcorr_dom / Scorr
+        rates[lmm, prev] = k_ads * concSPM
+        rates[prev, lmm] = k_des_SPM / Tcorr_sed / Scorr
+        rates[lmm, srev] = k_ads * sed_L * sed_dens * (1 - sed_poro) \
+            * sed_phi / sed_H * 1e-3
+        rates[srev, lmm] = k_des_sed * sed_phi / Tcorr_sed / Scorr
+        rates[srev, ssrev] = burial / sed_L / 31556926.0
+        return rates
+
+    # --------------------------------------------------------- seeding ----
+    def seed_elements(self, *args, **kwargs):
+        number = kwargs.get("number")
+        if number is None:
+            number = int(self.get_config("seed:number"))
+        if "specie" not in kwargs:
+            lmm_f = self.get_config("seed:LMM_fraction")
+            n_lmm = int(round(number * lmm_f))
+            specie = np.full(number, self.specie_name2num(
+                "Particle reversible"), dtype=np.int32)
+            specie[:n_lmm] = self.specie_name2num("LMM")
+            kwargs["specie"] = specie
+        return super().seed_elements(*args, **kwargs)
+
+    # ---------------------------------------------------------- physics ---
+    def _is_sediment(self, specie):
+        srev = self.specie_name2num("Sediment reversible")
+        ssrev = self.specie_name2num("Sediment slowly reversible")
+        return (specie == srev) | (specie == ssrev)
+
+    def update_terminal_velocity(self, ctx, **kwargs):
+        d = ctx.state.data
+        T0 = ctx.environment["sea_water_temperature"]
+        S0 = ctx.environment["sea_water_salinity"]
+        rho_w = ph.sea_water_density(T0, S0)
+        mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
+        dens = self.get_config("chemical:sediment:density")
+        dia = self.get_config("chemical:particle_diameter")
+        w = -(dens - rho_w) * G * dia ** 2 / (18.0 * mu_w)
+        on_spm = d["specie"] == self.specie_name2num("Particle reversible")
+        ctx.set_var("terminal_velocity", jnp.where(on_spm, w, 0.0))
+
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+        return ctx.state.data["terminal_velocity"]
+
+    def update_speciation(self, ctx):
+        """(reference chemicaldrift.py:1530-1650)."""
+        d = ctx.state.data
+        rates = jnp.asarray(self.transfer_rates_matrix())
+        row = rates[d["specie"]]
+        lmm = self.specie_name2num("LMM")
+        srev = self.specie_name2num("Sediment reversible")
+        prev = self.specie_name2num("Particle reversible")
+        thick = self.get_config("chemical:sediment:layer_thickness")
+        dist = d["z"] + ctx.environment["sea_floor_depth_below_sea_level"]
+        far = (d["specie"] == lmm) & (dist > thick)
+        row = row.at[:, srev].set(jnp.where(far, 0.0, row[:, srev]))
+        # adsorption to SPM scaled by local concentration (g/m3 -> rel.)
+        spm = ctx.environment["spm"]
+        is_lmm = d["specie"] == lmm
+        row = row.at[:, prev].set(
+            jnp.where(is_lmm, row[:, prev] * spm / 50.0, row[:, prev]))
+
+        new_specie, transformed = speciation_step(
+            d["specie"], row, ctx.params["dt"], ctx.next_key(), ctx.active)
+
+        to_sed = transformed & self._is_sediment(new_specie) \
+            & ~self._is_sediment(d["specie"])
+        depth = ctx.environment["sea_floor_depth_below_sea_level"]
+        z = jnp.where(to_sed, -depth, d["z"])
+        moving = jnp.where(to_sed, 0.0, d["moving"])
+        from_sed = transformed & self._is_sediment(d["specie"]) \
+            & ~self._is_sediment(new_specie)
+        lift = self.get_config("chemical:sediment:desorption_depth")
+        z = jnp.where(from_sed, -depth + lift, z)
+        moving = jnp.where(from_sed, 1.0, moving)
+        ctx.set_var("specie", new_specie, mask=ctx.active)
+        ctx.set_var("z", jnp.minimum(z, 0.0))
+        ctx.set_var("moving", moving)
+
+    def degradation(self, ctx):
+        """Overall rate-constant degradation
+        (reference chemicaldrift.py:1685-1745)."""
+        if not self.get_config("chemical:transformations:degradation"):
+            return
+        d = ctx.state.data
+        dt = abs(ctx.params["dt"])
+        T = ctx.environment["sea_water_temperature"]
+        in_sed = self._is_sediment(d["specie"])
+        k_W = np.log(2) / (self.get_config(
+            "chemical:transformations:t12_W_tot") * 3600.0)
+        k_S = np.log(2) / (self.get_config(
+            "chemical:transformations:t12_S_tot") * 3600.0)
+        k_W = k_W * self.tempcorr(
+            self.get_config("chemical:transformations:DeltaH_kWt"), T,
+            self.get_config("chemical:transformations:Tref_kWt"))
+        k_S = k_S * self.tempcorr(
+            self.get_config("chemical:transformations:DeltaH_kSt"), T,
+            self.get_config("chemical:transformations:Tref_kSt"))
+        k = jnp.where(in_sed, k_S, k_W)
+        frac = jnp.where(ctx.active, 1.0 - jnp.exp(-k * dt), 0.0)
+        lost = d["mass"] * frac
+        ctx.set_var("mass", d["mass"] - lost)
+        ctx.set_var("mass_degraded", d["mass_degraded"] + lost)
+        ctx.set_var("mass_degraded_water",
+                    d["mass_degraded_water"] + jnp.where(in_sed, 0.0, lost))
+        ctx.set_var("mass_degraded_sediment",
+                    d["mass_degraded_sediment"] + jnp.where(in_sed, lost,
+                                                            0.0))
+
+    def volatilization(self, ctx):
+        """Two-film Henry-law volatilization of dissolved chemical in the
+        mixed layer (reference chemicaldrift.py:1748-1860)."""
+        if not self.get_config("chemical:transformations:volatilization"):
+            return
+        d = ctx.state.data
+        dt = abs(ctx.params["dt"])
+        T = ctx.environment["sea_water_temperature"]
+        mld = ctx.environment["ocean_mixed_layer_thickness"]
+        wind = ctx.wind_speed()
+        henry = self.get_config("chemical:transformations:Henry")
+        molwt = self.get_config("chemical:transformations:MolWt")
+        Hnd = henry / (R_GAS * (T + 273.15))  # dimensionless Henry
+        # two-film mass-transfer velocities (MacKay & Yeun 1983 style)
+        k_air = (1e-3 + 46.2e-5 * wind) * (18.0 / molwt) ** 0.5
+        k_wat = (1e-6 + 34.1e-6 * jnp.maximum(wind - 2.0, 0.0) ** 1.0) \
+            * (44.0 / molwt) ** 0.5 + 1e-7
+        k_vol = 1.0 / (1.0 / k_wat + 1.0 / (k_air * Hnd))
+        lmm = self.specie_name2num("LMM")
+        applies = ctx.active & (d["specie"] == lmm) & (-d["z"] <= mld)
+        frac = jnp.where(applies,
+                         1.0 - jnp.exp(-k_vol * dt
+                                       / jnp.maximum(mld, 1.0)), 0.0)
+        lost = d["mass"] * frac
+        ctx.set_var("mass", d["mass"] - lost)
+        ctx.set_var("mass_volatilized", d["mass_volatilized"] + lost)
+
+    def bottom_interaction(self, ctx, mix, zmin):
+        d = ctx.state.data
+        on_spm = d["specie"] == self.specie_name2num("Particle reversible")
+        at_bottom = (mix["z"] <= zmin) & on_spm
+        mix["moving"] = jnp.where(at_bottom, 0.0, mix["moving"])
+        return mix
+
+    def update(self, ctx):
+        """(reference chemicaldrift.py:1862-1910)."""
+        self.update_speciation(ctx)
+        self.degradation(ctx)
+        self.volatilization(ctx)
+        ctx.advect_ocean_current()
+        self.update_terminal_velocity(ctx)
+        if self.get_config("drift:vertical_mixing"):
+            self.vertical_mixing(ctx)
+        else:
+            self.vertical_buoyancy(ctx)
+        self.vertical_advection(ctx)
+
+    # -------------------------------------------------------- diagnostics -
+    def get_chemical_budget(self):
+        ds = self.result
+        mass = np.nan_to_num(ds["mass"].values, nan=0.0)
+        out = {
+            "mass_total_active": mass.sum(axis=0),
+            "mass_degraded": np.nan_to_num(
+                ds["mass_degraded"].values, nan=0.0).sum(axis=0),
+            "mass_volatilized": np.nan_to_num(
+                ds["mass_volatilized"].values, nan=0.0).sum(axis=0),
+        }
+        return out

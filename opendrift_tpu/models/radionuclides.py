@@ -1,0 +1,343 @@
+"""RadionuclideDrift: multi-species radionuclide transport and fate.
+
+TPU-native re-implementation of the reference radionuclide model
+(reference: opendrift/models/radionuclides.py:27-1774): per-element
+integer specie (LMM dissolved / particle reversible / sediment reversible,
+optionally slowly-reversible and irreversible pools), Kd/Dc-derived
+transfer-rate matrix (Simonsen et al. 2019), stochastic speciation as a
+vectorised categorical kernel, sediment sorption/desorption with
+moving-flag freezing, particle-size-dependent sinking, and resuspension.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED, \
+    CONFIG_LEVEL_ESSENTIAL
+from ..ops.speciation import speciation_step
+from ..ops import physics as ph
+from .oceandrift import OceanDrift, Lagrangian3DArray
+
+G = 9.81
+
+
+class Radionuclide(Lagrangian3DArray):
+    """(reference radionuclides.py:27-56)."""
+
+    variables = Lagrangian3DArray.add_variables([
+        ("diameter", {"dtype": np.float32, "units": "m", "default": 0.0}),
+        ("specie", {"dtype": np.int32, "units": "1", "default": 0}),
+        ("LMM_fraction", {"dtype": np.float32, "units": "1",
+                          "default": 0.1}),
+        ("particle_fraction", {"dtype": np.float32, "units": "1",
+                               "default": 0.9}),
+    ])
+
+
+# IAEA (2004) Kd values per isotope (reference radionuclides.py:487-492)
+KD_VALUES = {"137Cs": 4.0, "129I": 7.0e-2, "241Am": 2.0e3}
+
+
+class RadionuclideDrift(OceanDrift):
+    """Radionuclide transport model (reference radionuclides.py:58)."""
+
+    ElementType = Radionuclide
+
+    required_variables = {
+        "x_sea_water_velocity": {"fallback": 0},
+        "y_sea_water_velocity": {"fallback": 0},
+        "sea_surface_height": {"fallback": 0},
+        "x_wind": {"fallback": 0},
+        "y_wind": {"fallback": 0},
+        "land_binary_mask": {"fallback": None},
+        "sea_floor_depth_below_sea_level": {"fallback": 100},
+        "ocean_vertical_diffusivity": {"fallback": 0.0001,
+                                       "profiles": True},
+        "sea_water_temperature": {"fallback": 10},
+        "sea_water_salinity": {"fallback": 34},
+        "upward_sea_water_velocity": {"fallback": 0},
+        "conc3": {"fallback": 1.0e-3},
+        "ocean_mixed_layer_thickness": {"fallback": 50},
+    }
+
+    def add_config(self):
+        super().add_config()
+        self._add_config({
+            "radionuclide:isotope": {
+                "type": "enum", "enum": list(KD_VALUES) + ["manual"],
+                "default": "137Cs", "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Radionuclide isotope (sets Kd)"},
+            "radionuclide:specie_setup": {
+                "type": "enum",
+                "enum": ["LMM + Rev", "LMM + Rev + Slow rev",
+                         "LMM + Rev + Slow rev + Irrev"],
+                "default": "LMM + Rev", "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Speciation scheme"},
+            "radionuclide:transformations:Kd": {
+                "type": "float", "default": 2.0, "min": 0, "max": 1e9,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Manual Kd (m3/kg)"},
+            "radionuclide:transformations:Dc": {
+                "type": "float", "default": 1.16e-5, "min": 0, "max": 1,
+                "units": "1/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Desorption rate coefficient"},
+            "radionuclide:transformations:slow_coeff": {
+                "type": "float", "default": 1.2e-7, "min": 0, "max": 1,
+                "units": "1/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Slow reversibility coefficient"},
+            "radionuclide:particle_diameter": {
+                "type": "float", "default": 5e-6, "min": 0, "max": 1e-3,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Diameter of particle-bound species"},
+            "radionuclide:particle_diameter_uncertainty": {
+                "type": "float", "default": 1e-7, "min": 0, "max": 1e-4,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Diameter spread at speciation"},
+            "radionuclide:sediment:sedmixdepth": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment mixing depth"},
+            "radionuclide:sediment:sediment_density": {
+                "type": "float", "default": 2600.0, "min": 0, "max": 10000,
+                "units": "kg/m3", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment particle density"},
+            "radionuclide:sediment:effective_fraction": {
+                "type": "float", "default": 0.9, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Fraction of effective sorbents"},
+            "radionuclide:sediment:corr_factor": {
+                "type": "float", "default": 0.1, "min": 0, "max": 10,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment correction factor"},
+            "radionuclide:sediment:porosity": {
+                "type": "float", "default": 0.6, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Sediment porosity"},
+            "radionuclide:sediment:layer_thick": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Seabed interaction layer thickness"},
+            "radionuclide:sediment:desorption_depth": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Height above seabed after desorption"},
+            "radionuclide:sediment:desorption_depth_uncert": {
+                "type": "float", "default": 0.5, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Desorption depth spread"},
+            "seed:LMM_fraction": {
+                "type": "float", "default": 0.1, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Fraction seeded as dissolved LMM"},
+            "seed:particle_fraction": {
+                "type": "float", "default": 0.9, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Fraction seeded as particle-bound"},
+            "seed:total_release": {
+                "type": "float", "default": 100e9, "min": 0, "max": 1e36,
+                "units": "Bq", "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Total released activity"},
+        })
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._set_config_default("drift:vertical_mixing", True)
+        self.register_status("sedimented")
+
+    # ------------------------------------------------------ species setup -
+    @property
+    def name_species(self):
+        setup = self.get_config("radionuclide:specie_setup")
+        names = ["LMM", "Particle reversible", "Sediment reversible"]
+        if "Slow rev" in setup:
+            names += ["Particle slowly reversible",
+                      "Sediment slowly reversible"]
+        if "Irrev" in setup:
+            names += ["Particle irreversible", "Sediment irreversible"]
+        return names
+
+    @property
+    def nspecies(self):
+        return len(self.name_species)
+
+    def specie_name2num(self, name):
+        return self.name_species.index(name)
+
+    def _kd(self):
+        isotope = self.get_config("radionuclide:isotope")
+        if isotope == "manual":
+            return self.get_config("radionuclide:transformations:Kd")
+        return KD_VALUES[isotope]
+
+    def transfer_rates_matrix(self):
+        """Background transfer-rate matrix (S, S)
+        (reference radionuclides.py:512-580)."""
+        S = self.nspecies
+        rates = np.zeros((S, S), dtype=np.float32)
+        lmm = self.specie_name2num("LMM")
+        prev = self.specie_name2num("Particle reversible")
+        srev = self.specie_name2num("Sediment reversible")
+        Kd = self._kd()
+        Dc = self.get_config("radionuclide:transformations:Dc")
+        susp_mat = 1.0e-3
+        sedmix = self.get_config("radionuclide:sediment:sedmixdepth")
+        dens = self.get_config("radionuclide:sediment:sediment_density")
+        f = self.get_config("radionuclide:sediment:effective_fraction")
+        phi = self.get_config("radionuclide:sediment:corr_factor")
+        poro = self.get_config("radionuclide:sediment:porosity")
+        thick = self.get_config("radionuclide:sediment:layer_thick")
+        rates[lmm, prev] = Dc * Kd * susp_mat
+        rates[prev, lmm] = Dc
+        rates[lmm, srev] = Dc * Kd * sedmix * dens * (1 - poro) * f * phi \
+            / thick
+        rates[srev, lmm] = Dc * phi
+        setup = self.get_config("radionuclide:specie_setup")
+        if "Slow rev" in setup:
+            psrev = self.specie_name2num("Particle slowly reversible")
+            ssrev = self.specie_name2num("Sediment slowly reversible")
+            slow = self.get_config("radionuclide:transformations:slow_coeff")
+            rates[srev, ssrev] = slow
+            rates[prev, psrev] = slow
+            rates[ssrev, srev] = slow * 0.1
+            rates[psrev, prev] = slow * 0.1
+        if "Irrev" in setup:
+            pirr = self.specie_name2num("Particle irreversible")
+            sirr = self.specie_name2num("Sediment irreversible")
+            slow = self.get_config("radionuclide:transformations:slow_coeff")
+            rates[ssrev, sirr] = slow
+            rates[psrev, pirr] = slow
+        return rates
+
+    # --------------------------------------------------------- seeding ----
+    def seed_elements(self, *args, **kwargs):
+        """Split the release between LMM and particle species
+        (reference radionuclides.py:349-480)."""
+        number = kwargs.get("number")
+        if number is None:
+            number = int(self.get_config("seed:number"))
+        if "specie" not in kwargs:
+            lmm_f = self.get_config("seed:LMM_fraction")
+            n_lmm = int(round(number * lmm_f))
+            specie = np.zeros(number, dtype=np.int32)
+            specie[n_lmm:] = self.specie_name2num("Particle reversible")
+            kwargs["specie"] = specie
+        if "diameter" not in kwargs:
+            dia = self.get_config("radionuclide:particle_diameter")
+            unc = self.get_config(
+                "radionuclide:particle_diameter_uncertainty")
+            d = np.abs(self._np_random.normal(dia, unc, number))
+            d[np.asarray(kwargs["specie"]) == 0] = 0.0
+            kwargs["diameter"] = d
+        return super().seed_elements(*args, **kwargs)
+
+    # ---------------------------------------------------------- physics ---
+    def update_terminal_velocity(self, ctx, **kwargs):
+        """Stokes sinking for particle-bound species
+        (reference radionuclides.py:640-700)."""
+        d = ctx.state.data
+        T0 = ctx.environment["sea_water_temperature"]
+        S0 = ctx.environment["sea_water_salinity"]
+        rho_w = ph.sea_water_density(T0, S0)
+        mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
+        dens = self.get_config("radionuclide:sediment:sediment_density")
+        w = -(dens - rho_w) * G * d["diameter"] ** 2 / (18.0 * mu_w)
+        is_particle = self._is_particle_specie(d["specie"])
+        ctx.set_var("terminal_velocity", jnp.where(is_particle, w, 0.0))
+
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+        return ctx.state.data["terminal_velocity"]
+
+    def _is_particle_specie(self, specie):
+        names = self.name_species
+        mask = jnp.zeros_like(specie, dtype=bool)
+        for i, n in enumerate(names):
+            if n.startswith("Particle"):
+                mask = mask | (specie == i)
+        return mask
+
+    def _is_sediment_specie(self, specie):
+        names = self.name_species
+        mask = jnp.zeros_like(specie, dtype=bool)
+        for i, n in enumerate(names):
+            if n.startswith("Sediment"):
+                mask = mask | (specie == i)
+        return mask
+
+    def update_speciation(self, ctx):
+        """Environment-modulated stochastic speciation
+        (reference radionuclides.py:728-810)."""
+        d = ctx.state.data
+        rates = jnp.asarray(self.transfer_rates_matrix())
+        row = rates[d["specie"]]                       # (N, S)
+        lmm = self.specie_name2num("LMM")
+        srev = self.specie_name2num("Sediment reversible")
+        prev = self.specie_name2num("Particle reversible")
+        # LMM -> sediment only near the seabed
+        thick = self.get_config("radionuclide:sediment:layer_thick")
+        dist = d["z"] + ctx.environment["sea_floor_depth_below_sea_level"]
+        far = (d["specie"] == lmm) & (dist > thick)
+        row = row.at[:, srev].set(jnp.where(far, 0.0, row[:, srev]))
+        # adsorption scaled by local suspended particle concentration
+        conc3 = ctx.environment["conc3"]
+        is_lmm = d["specie"] == lmm
+        row = row.at[:, prev].set(
+            jnp.where(is_lmm, row[:, prev] * conc3 / 1.0e-3, row[:, prev]))
+
+        new_specie, transformed = speciation_step(
+            d["specie"], row, ctx.params["dt"], ctx.next_key(), ctx.active)
+
+        # sorption to sediments: drop to seabed, freeze
+        # (reference radionuclides.py:817-838)
+        to_sed = transformed & self._is_sediment_specie(new_specie) \
+            & ~self._is_sediment_specie(d["specie"])
+        depth = ctx.environment["sea_floor_depth_below_sea_level"]
+        z = jnp.where(to_sed, -depth, d["z"])
+        moving = jnp.where(to_sed, 0.0, d["moving"])
+        # desorption from sediments: lift off the bed, unfreeze
+        # (reference radionuclides.py:840-870)
+        from_sed = transformed & self._is_sediment_specie(d["specie"]) \
+            & ~self._is_sediment_specie(new_specie)
+        lift = self.get_config("radionuclide:sediment:desorption_depth")
+        unc = self.get_config(
+            "radionuclide:sediment:desorption_depth_uncert")
+        noise = jax.random.normal(ctx.next_key(), z.shape) * unc
+        z = jnp.where(from_sed, -depth + lift + noise, z)
+        moving = jnp.where(from_sed, 1.0, moving)
+        z = jnp.minimum(z, 0.0)
+
+        # diameter changes with specie (reference radionuclides.py:872-905)
+        dia = self.get_config("radionuclide:particle_diameter")
+        dunc = self.get_config(
+            "radionuclide:particle_diameter_uncertainty")
+        newdia = jnp.abs(dia + jax.random.normal(ctx.next_key(), z.shape)
+                         * dunc)
+        to_particle = transformed & self._is_particle_specie(new_specie)
+        to_lmm = transformed & (new_specie == lmm)
+        diameter = jnp.where(to_particle, newdia, d["diameter"])
+        diameter = jnp.where(to_lmm, 0.0, diameter)
+
+        ctx.set_var("specie", new_specie, mask=ctx.active)
+        ctx.set_var("z", z)
+        ctx.set_var("moving", moving)
+        ctx.set_var("diameter", diameter)
+
+    def bottom_interaction(self, ctx, mix, zmin):
+        """Particles resting on the seafloor stop (await resuspension via
+        desorption); reference radionuclides.py:1010-1030."""
+        d = ctx.state.data
+        at_bottom = (mix["z"] <= zmin) & self._is_particle_specie(
+            d["specie"])
+        mix["moving"] = jnp.where(at_bottom, 0.0, mix["moving"])
+        return mix
+
+    def update(self, ctx):
+        """(reference radionuclides.py:1035-1060)."""
+        self.update_speciation(ctx)
+        ctx.advect_ocean_current()
+        self.update_terminal_velocity(ctx)
+        if self.get_config("drift:vertical_mixing"):
+            self.vertical_mixing(ctx)
+        else:
+            self.vertical_buoyancy(ctx)
+        self.vertical_advection(ctx)

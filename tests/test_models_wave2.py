@@ -1,0 +1,194 @@
+"""Model zoo wave 2: OpenBerg, LarvalFish, SeaLice, RadionuclideDrift,
+ChemicalDrift (behavioural checks on constant forcing)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from opendrift_tpu.models import (OpenBerg, LarvalFish, SeaLice,
+                                  RadionuclideDrift, ChemicalDrift)
+from opendrift_tpu.fields import ConstantReader
+
+T0 = datetime(2021, 3, 15)
+
+
+def _env(**extra):
+    base = {"x_sea_water_velocity": 0.0, "y_sea_water_velocity": 0.0,
+            "x_wind": 0.0, "y_wind": 0.0}
+    base.update(extra)
+    return ConstantReader(base)
+
+
+# -------------------------------------------------------------- OpenBerg --
+
+def test_iceberg_drift_direction_and_speed():
+    """In pure current, icebergs drift with the current; added wind
+    pushes them downwind at a few percent."""
+    o = OpenBerg(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("drift:coriolis", False)
+    o.set_config("drift:horizontal_diffusivity", 0.0)
+    o.set_config("environment:fallback:horizontal_diffusivity", 0.0)
+    o.add_reader(_env(x_sea_water_velocity=0.3, x_wind=15.0))
+    o.seed_elements(2.0, 70.0, number=5, time=T0)
+    o.run(duration=timedelta(hours=12), time_step=1800)
+    lon = o.result["lon"].values
+    u_eff = (lon[:, -1] - lon[:, 0]) * 111320 * np.cos(np.radians(70)) \
+        / (12 * 3600)
+    # between pure current (0.3) and current+wind drift (< 0.3 + 2% wind)
+    assert (u_eff > 0.25).all()
+    assert (u_eff < 0.75).all()
+
+
+def test_iceberg_grounding():
+    """Deep-draft iceberg in shallow water grounds (stops moving)."""
+    o = OpenBerg(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("general:seafloor_action", "none")
+    # disable rollover: the tall test berg would otherwise capsize into a
+    # shallow-draft berg and float free
+    o.set_config("processes:roll_over", False)
+    o.set_config("drift:horizontal_diffusivity", 0.0)
+    o.set_config("environment:fallback:horizontal_diffusivity", 0.0)
+    o.add_reader(_env(x_sea_water_velocity=0.5,
+                      sea_floor_depth_below_sea_level=50.0))
+    o.seed_elements(2.0, 70.0, number=3, time=T0, draft=90.0, sail=10.0)
+    o.run(duration=timedelta(hours=6), time_step=1800)
+    lon = o.result["lon"].values
+    # grounded: no movement at all
+    assert np.allclose(lon[:, -1], lon[:, 0], atol=1e-5)
+
+
+def test_iceberg_rollover():
+    """A tall narrow iceberg is unstable and rolls over at seeding."""
+    o = OpenBerg(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.add_reader(_env())
+    # W/H = 20/150 << crit ~ 0.92 -> must roll
+    o.seed_elements(2.0, 70.0, number=1, time=T0, draft=140.0, sail=10.0,
+                    length=100.0, width=20.0)
+    o.run(steps=2, time_step=600)
+    draft = o.result["draft"].values[0, -1]
+    sail = o.result["sail"].values[0, -1]
+    H = draft + sail
+    W = o.result["width"].values[0, -1]
+    crit = np.sqrt(6 * (900 / 1027) * (1 - 900 / 1027))
+    assert W / H >= crit - 1e-3
+
+
+# ------------------------------------------------------------ LarvalFish --
+
+def test_larvalfish_hatch_and_grow():
+    o = LarvalFish(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.add_reader(_env(sea_water_temperature=12.0, sea_water_salinity=34.0))
+    o.seed_elements(2.0, 62.0, z=-10.0, number=50, time=T0)
+    # egg development at 12C: exp(3.65-0.145*12) = 6.7 days
+    o.run(duration=timedelta(days=9), time_step=3600 * 3,
+          time_step_output=timedelta(days=1))
+    hatched = o.result["hatched"].values
+    assert (hatched[:, 0] == 0).all()
+    assert (hatched[:, -1] == 1).all()     # all hatched after 9 days
+    # larvae grew beyond the initial 0.08 mg
+    w = o.result["weight"].values[:, -1]
+    assert (w > 0.1).all()
+    L = o.result["length"].values[:, -1]
+    assert (L > 3.0).all() and (L < 20.0).all()  # plausible larval length
+
+
+# --------------------------------------------------------------- SeaLice --
+
+def test_sealice_population_dynamics():
+    o = SeaLice(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.add_reader(_env(sea_water_temperature=10.0, sea_water_salinity=34.0,
+                      surface_net_downward_radiative_flux=100.0))
+    o.seed_elements(2.0, 60.0, z=-5.0, number=20, time=T0)
+    o.run(duration=timedelta(days=5), time_step=3600 * 2,
+          time_step_output=timedelta(days=1))
+    naup = o.result["nauplii"].values
+    cope = o.result["copepodid"].values
+    assert naup[:, 1].max() > 0          # cohort initialised
+    assert cope[:, 0].max() == 0
+    assert cope[:, -1].max() > 0         # maturation happened after day 3.6
+    dd = o.result["degree_days"].values[:, -1]
+    np.testing.assert_allclose(dd[np.isfinite(dd)], 50.0, rtol=0.05)
+
+
+def test_sealice_swims_to_light():
+    o = SeaLice(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.add_reader(_env(sea_water_temperature=10.0, sea_water_salinity=34.0,
+                      surface_net_downward_radiative_flux=300.0))
+    o.seed_elements(2.0, 60.0, z=-3.0, number=10, time=T0)
+    o.run(duration=timedelta(hours=24), time_step=3600)
+    z = o.result["z"].values
+    assert np.nanmean(z[:, -1]) > np.nanmean(z[:, 0])  # swam upwards
+
+
+# ------------------------------------------------------- RadionuclideDrift
+
+def test_radionuclide_speciation():
+    """137Cs: dissolved/particle exchange happens; some particles reach
+    the sediment and freeze."""
+    o = RadionuclideDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("seed:LMM_fraction", 0.5)
+    o.set_config("seed:particle_fraction", 0.5)
+    o.add_reader(_env(sea_water_temperature=8.0, sea_water_salinity=34.0,
+                      sea_floor_depth_below_sea_level=30.0))
+    o.seed_elements(2.0, 60.0, z=-20.0, number=400, time=T0)
+    o.run(duration=timedelta(days=4), time_step=3600 * 2)
+    specie = o.result["specie"].values
+    # initial split
+    assert (specie[:, 0] == 0).sum() == 200
+    # sediment species appeared (code 2)
+    assert (specie[:, -1] == 2).sum() > 0
+    # transformations occurred in both directions over the run
+    assert (specie[:, -1] != specie[:, 0]).sum() > 10
+    # sedimented elements sit at the seafloor and are frozen
+    moving = o.result["moving"].values[:, -1]
+    sed = specie[:, -1] == 2
+    assert (moving[sed] == 0).all()
+    z_sed = o.result["z"].values[:, -1][sed]
+    np.testing.assert_allclose(z_sed, -30.0, atol=1.5)
+
+
+# ---------------------------------------------------------- ChemicalDrift
+
+def test_chemical_degradation_and_partitioning():
+    o = ChemicalDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("chemical:transformations:t12_W_tot", 48.0)  # fast decay
+    o.add_reader(_env(sea_water_temperature=15.0, sea_water_salinity=34.0,
+                      sea_floor_depth_below_sea_level=40.0,
+                      spm=50.0))  # turbid water: partitioning visible
+    o.seed_elements(2.0, 60.0, z=-10.0, number=200, time=T0, mass=1000.0)
+    o.run(duration=timedelta(days=3), time_step=3600 * 2)
+    mass = o.result["mass"].values
+    degraded = o.result["mass_degraded"].values
+    m0 = np.nansum(mass[:, 0])
+    # ~1/3 half-life per day at Tref; mass must decrease notably
+    assert np.nansum(mass[:, -1]) < 0.8 * m0
+    # conservation: mass + degraded stays constant
+    total_end = np.nansum(mass[:, -1]) + np.nansum(degraded[:, -1])
+    assert abs(total_end - m0) / m0 < 0.02
+    # some chemical attached to SPM or sediment during the run
+    specie = o.result["specie"].values
+    assert (specie[:, -1] > 0).sum() > 0
+
+
+def test_chemical_volatilization():
+    o = ChemicalDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("chemical:transformations:degradation", False)
+    o.set_config("chemical:transformations:volatilization", True)
+    o.add_reader(_env(sea_water_temperature=15.0, sea_water_salinity=34.0,
+                      x_wind=10.0))
+    o.seed_elements(2.0, 60.0, z=-2.0, number=50, time=T0, mass=1000.0)
+    o.run(duration=timedelta(days=2), time_step=3600 * 2)
+    vol = o.result["mass_volatilized"].values[:, -1]
+    assert np.nansum(vol) > 0.0
+    total = np.nansum(o.result["mass"].values[:, -1]) + np.nansum(vol)
+    assert abs(total - 50 * 1000.0) / (50 * 1000.0) < 0.02
