@@ -170,6 +170,56 @@ class FailingReader(ContinuousReader):
         raise RuntimeError("FailingReader always fails (by design)")
 
 
+class CurrentFromTrack(ContinuousReader):
+    """Current field inverted from an observed drifter track (reference:
+    opendrift/readers/reader_current_from_track.py): segment velocities
+    between consecutive observed positions, optionally with a windage
+    fraction subtracted, served as a spatially uniform time series."""
+
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity"]
+
+    def __init__(self, obslon, obslat, obstime, wind_east=0.0,
+                 wind_north=0.0, windspeed=None, wind_direction=None,
+                 z=0.0, windage_rate=0.02):
+        from ..utils.geodesic import inverse_np
+        obslon = np.asarray(obslon, dtype=float)
+        obslat = np.asarray(obslat, dtype=float)
+        az12, _, dist = inverse_np(obslat[:-1], obslon[:-1],
+                                   obslat[1:], obslon[1:])
+        dts = np.array([(b - a).total_seconds()
+                        for a, b in zip(obstime[:-1], obstime[1:])])
+        speed = dist / np.maximum(dts, 1e-9)
+        u = speed * np.sin(np.radians(az12)) - windage_rate * wind_east
+        v = speed * np.cos(np.radians(az12)) - windage_rate * wind_north
+        self._times = list(obstime[:-1])
+        self._u = u.astype(np.float32)
+        self._v = v.astype(np.float32)
+        self.start_time = obstime[0]
+        self.end_time = obstime[-1]
+        super().__init__()
+        self.name = "current_from_track"
+
+    def device_state(self, window_start=None, window_end=None):
+        t0 = self._times[0]
+        tsec = np.asarray([(t - t0).total_seconds() for t in self._times],
+                          dtype=np.float32)
+        return (jnp.asarray(tsec), jnp.asarray(self._u),
+                jnp.asarray(self._v))
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        tsec, u, v = dev_state
+        t_abs = t + self._t_offset(self._times[0])
+        # piecewise-constant segment velocity
+        i = jnp.clip(jnp.searchsorted(tsec, t_abs, side="right") - 1, 0,
+                     len(self._times) - 1)
+        values = {}
+        if "x_sea_water_velocity" in varnames:
+            values["x_sea_water_velocity"] = jnp.full_like(lon, 1.0) * u[i]
+        if "y_sea_water_velocity" in varnames:
+            values["y_sea_water_velocity"] = jnp.full_like(lon, 1.0) * v[i]
+        return values, jnp.ones_like(lon, dtype=bool)
+
+
 class TimeseriesReader(ContinuousReader):
     """Spatially uniform, time-varying values from a (time, value) series
     (reference: opendrift/readers/reader_timeseries.py).  Linear

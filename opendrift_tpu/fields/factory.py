@@ -1,0 +1,66 @@
+"""Reader factory: open a data source by path/URL, probing formats.
+
+Counterpart of the reference's ``reader_from_urlpath`` and
+``applicable_readers`` (reference: opendrift/readers/__init__.py:176-279):
+supports ``<reader>://path`` scheme prefixes and automatic probing of
+local NetCDF files (CF-generic first, ROMS when ROMS grid variables are
+present, shapefiles for landmasks).
+"""
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_SCHEMES = {}
+
+
+def register_scheme(name, ctor):
+    _SCHEMES[name] = ctor
+
+
+def reader_from_url(url, lazy=False):
+    """Open a reader for a path/URL; returns None if nothing applies."""
+    from .netcdf import NetCDFReader
+    from .roms import ROMSReader
+    from .shape import ShapeReader
+    from .lazy import LazyReader
+
+    if "://" in url and not url.startswith(("http", "https")):
+        scheme, path = url.split("://", 1)
+        ctor = _SCHEMES.get(scheme)
+        if ctor is None:
+            builtin = {"netcdf": NetCDFReader, "roms": ROMSReader,
+                       "shape": ShapeReader}
+            ctor = builtin.get(scheme)
+        if ctor is None:
+            raise ValueError(f"Unknown reader scheme: {scheme}")
+        return LazyReader(ctor, path) if lazy else ctor(path)
+
+    if url.startswith(("http://", "https://")):
+        raise ValueError(
+            "Remote URLs are not supported in this offline build; "
+            "download the file and pass a local path")
+
+    if not os.path.exists(url):
+        raise FileNotFoundError(url)
+
+    if url.endswith(".shp"):
+        return ShapeReader(url)
+
+    # NetCDF probing: ROMS if the grid variables are present
+    if lazy:
+        return LazyReader(_probe_netcdf, url, name=url)
+    return _probe_netcdf(url)
+
+
+def _probe_netcdf(path):
+    from ..utils import ncio
+    from .netcdf import NetCDFReader
+    from .roms import ROMSReader
+    ds = ncio.open_dataset(path)
+    is_roms = "lon_rho" in ds.variables and "s_rho" in ds.variables
+    ds.close()
+    if is_roms:
+        return ROMSReader(path)
+    return NetCDFReader(path)

@@ -42,6 +42,8 @@ from ..fields.environment import Environment
 from ..utils.geodesic import direct_np
 from ..utils.dataset import TrajectoryDataset, DataVar
 from .physics import PhysicsContext
+from .postprocess import PostProcessingMixin
+from .plot import PlottingMixin
 
 logger = logging.getLogger(__name__)
 
@@ -75,7 +77,8 @@ def _seconds(value):
     return float(value)
 
 
-class OpenDriftSimulation(Timeable, Configurable):
+class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
+                          Configurable):
     """Abstract base simulation.  Subclasses define ``ElementType``,
     ``required_variables`` and ``update(ctx)``."""
 
@@ -406,10 +409,16 @@ class OpenDriftSimulation(Timeable, Configurable):
         poly = Path(np.column_stack([lons, lats]))
         lo0, lo1 = lons.min(), lons.max()
         la0, la1 = lats.min(), lats.max()
+        if not (-360 <= lo0 <= 360 and -90 <= la0 <= 90):
+            raise ValueError(
+                "Polygon coordinates look projected (not lon/lat): "
+                f"lon {lo0}..{lo1}, lat {la0}..{la1}")
         out_lon = np.empty(0)
         out_lat = np.empty(0)
         # rejection-sample with cos(lat) area weighting
-        while len(out_lon) < number:
+        for _attempt in range(1000):
+            if len(out_lon) >= number:
+                break
             n_try = max(4 * number, 128)
             cand_lon = self._np_random.uniform(lo0, lo1, n_try)
             sin0, sin1 = np.sin(np.radians([la0, la1]))
@@ -419,8 +428,155 @@ class OpenDriftSimulation(Timeable, Configurable):
                 np.column_stack([cand_lon, cand_lat]))
             out_lon = np.concatenate([out_lon, cand_lon[inside]])
             out_lat = np.concatenate([out_lat, cand_lat[inside]])
+        if len(out_lon) < number:
+            raise ValueError(
+                "Could not place elements inside the polygon (degenerate "
+                "or zero-area geometry?)")
         return self.seed_elements(out_lon[:number], out_lat[:number],
                                   number=number, **kwargs)
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_repeated_segment(self, lons, lats, start_time, end_time=None,
+                              time_interval=None, number_per_segment=None,
+                              **kwargs):
+        """Seed the same line segment repeatedly in time
+        (reference basemodel/__init__.py:1402-1457)."""
+        if number_per_segment is None:
+            number_per_segment = int(self.get_config("seed:number"))
+        from ..utils.geodesic import inverse_np
+        az12, _, dist = inverse_np(lats[0], lons[0], lats[-1], lons[-1])
+        frac = np.linspace(0, 1, number_per_segment)
+        seg_lats, seg_lons = direct_np(
+            np.repeat(lats[0], number_per_segment),
+            np.repeat(lons[0], number_per_segment),
+            np.repeat(az12, number_per_segment), frac * dist)
+        if time_interval is not None and end_time is not None:
+            t = start_time
+            while t <= end_time:
+                self.seed_elements(seg_lons, seg_lats, time=t,
+                                   number=number_per_segment, **kwargs)
+                t = t + time_interval
+        else:
+            self.seed_elements(seg_lons, seg_lats, time=start_time,
+                               number=number_per_segment, **kwargs)
+        return self
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_from_geojson(self, gjson, **kwargs):
+        """Seed from a GeoJSON string/dict: Point, LineString or Polygon
+        features with optional 'time' and seed properties
+        (reference basemodel/__init__.py:1356-1400)."""
+        import json
+        from datetime import datetime as _dt
+        if isinstance(gjson, str):
+            gjson = json.loads(gjson)
+        if gjson.get("type") == "FeatureCollection":
+            for feature in gjson["features"]:
+                self.seed_from_geojson(feature, **kwargs)
+            return self
+        if gjson.get("type") != "Feature":
+            raise ValueError("GeoJSON must be a Feature/FeatureCollection")
+        props = dict(gjson.get("properties") or {})
+        t = props.pop("time", None)
+        if t is not None:
+            if isinstance(t, (list, tuple)):
+                t = [_dt.fromisoformat(str(x).rstrip("Z")) for x in t]
+            else:
+                t = _dt.fromisoformat(str(t).rstrip("Z"))
+        props.update(kwargs)
+        props.setdefault("time", t)
+        geom = gjson["geometry"]
+        coords = np.asarray(geom["coordinates"], dtype=float)
+        if geom["type"] == "Point":
+            return self.seed_elements(coords[0], coords[1], **props)
+        if geom["type"] == "LineString":
+            return self.seed_cone(coords[[0, -1], 0], coords[[0, -1], 1],
+                                  **props)
+        if geom["type"] == "Polygon":
+            ring = np.asarray(geom["coordinates"][0], dtype=float)
+            return self.seed_within_polygon(ring[:, 0], ring[:, 1], **props)
+        raise ValueError(f"Unsupported geometry: {geom['type']}")
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_from_wkt(self, wkt, time, **kwargs):
+        """Seed inside POLYGON/MULTIPOLYGON/POINT WKT strings
+        (reference basemodel/__init__.py:1561-1571), parsed with a
+        from-scratch reader (no GDAL)."""
+        import re
+        wkt = wkt.strip()
+        nums = r"[-+0-9.eE\s,]+"
+        if wkt.upper().startswith("POINT"):
+            vals = [float(v) for v in re.findall(r"[-+0-9.eE]+", wkt)]
+            return self.seed_elements(vals[0], vals[1], time=time, **kwargs)
+        rings = re.findall(r"\(([^()]+)\)", wkt)
+        if not rings:
+            raise ValueError(f"Cannot parse WKT: {wkt[:60]}")
+        for ring in rings[:1] if wkt.upper().startswith("POLYGON") \
+                else rings:
+            pts = np.array([[float(x) for x in pair.split()]
+                            for pair in ring.split(",")])
+            self.seed_within_polygon(pts[:, 0], pts[:, 1], time=time,
+                                     **kwargs)
+        return self
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_from_shapefile(self, shapefile, number=None, **kwargs):
+        """Seed uniformly inside polygons of an ESRI shapefile
+        (reference basemodel/__init__.py:1573-1583), using the bundled
+        from-scratch .shp parser."""
+        from ..utils.shapefile import shapefile_polygons
+        polys = shapefile_polygons(shapefile)
+        if not polys:
+            raise ValueError(f"No polygons found in {shapefile}")
+        if number is None:
+            number = int(self.get_config("seed:number"))
+        # distribute proportionally to (rough) polygon area
+        areas = np.array([abs(np.trapezoid(p[:, 1], p[:, 0]))
+                          for p in polys])
+        areas = areas / max(areas.sum(), 1e-30)
+        counts = np.maximum((areas * number).astype(int), 0)
+        counts[0] += number - counts.sum()
+        for poly, cnt in zip(polys, counts):
+            if cnt > 0:
+                self.seed_within_polygon(poly[:, 0], poly[:, 1],
+                                         number=int(cnt), **kwargs)
+        return self
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_from_dataset(self, ds, **kwargs):
+        """Continue from the last valid state of a previous result
+        (reference basemodel/__init__.py:1681-1732)."""
+        lon = ds["lon"].values
+        lat = ds["lat"].values
+        status = ds["status"].values
+        times = ds.coords["time"]
+        n, T = lon.shape
+        last = np.array([np.where(np.isfinite(row))[0][-1]
+                         if np.isfinite(row).any() else -1 for row in lon])
+        keep = (last >= 0) & (status[np.arange(n), np.maximum(last, 0)]
+                              == ACTIVE)
+        idx = np.where(keep)[0]
+        if len(idx) == 0:
+            raise ValueError("No active elements to continue from")
+        seed_time = np.asarray(times)[last[idx]]
+        seed_time = [t.astype("datetime64[us]").item() for t in seed_time]
+        props = {}
+        for name in self.ElementType.variables:
+            if name in ("lon", "lat", "ID", "status"):
+                continue
+            if name in ds:
+                props[name] = ds[name].values[idx, last[idx]]
+        props.update(kwargs)
+        return self.seed_elements(lon[idx, last[idx]], lat[idx, last[idx]],
+                                  time=np.array(seed_time),
+                                  number=len(idx), **props)
+
+    @require_mode([Mode.Config, Mode.Ready])
+    def seed_from_file(self, filename, **kwargs):
+        """Continue from a previous output file
+        (reference basemodel/__init__.py:1733-1744)."""
+        from ..export.io_netcdf import read_result
+        return self.seed_from_dataset(read_result(filename), **kwargs)
 
     # --------------------------------------------------------- status -----
     def register_status(self, reason):

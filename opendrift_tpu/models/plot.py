@@ -1,0 +1,213 @@
+"""Plotting and animation of trajectory results.
+
+Re-implementation of the reference's matplotlib surface (reference:
+opendrift/models/basemodel/__init__.py:2537-4050) without cartopy (not
+available here): maps are drawn on plain lon/lat axes with an
+aspect correction and, when a landmask provider is registered, a shaded
+land background sampled from it.  All figures are savable headlessly
+(Agg backend); ``animation`` writes GIF/MP4 via matplotlib writers.
+"""
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class PlottingMixin:
+    """Mixed into OpenDriftSimulation (requires ``self.result``)."""
+
+    def _axes_with_land(self, buffer=0.1, hide_landmask=False, ax=None):
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        lon = self.result["lon"].values
+        lat = self.result["lat"].values
+        lonmin = np.nanmin(lon) - buffer
+        lonmax = np.nanmax(lon) + buffer
+        latmin = np.nanmin(lat) - buffer
+        latmax = np.nanmax(lat) + buffer
+        if ax is None:
+            fig, ax = plt.subplots(figsize=(10, 8))
+        else:
+            fig = ax.figure
+        ax.set_xlim(lonmin, lonmax)
+        ax.set_ylim(latmin, latmax)
+        meanlat = np.clip((latmin + latmax) / 2, -89, 89)
+        ax.set_aspect(1.0 / np.cos(np.radians(meanlat)))
+        ax.set_xlabel("Longitude")
+        ax.set_ylabel("Latitude")
+        if not hide_landmask:
+            self._shade_land(ax, lonmin, lonmax, latmin, latmax)
+        return fig, ax
+
+    def _shade_land(self, ax, lonmin, lonmax, latmin, latmax, n=300):
+        """Sample any registered landmask provider onto the plot grid."""
+        provider = None
+        for reader in self.env.readers.values():
+            if "land_binary_mask" in (reader.variables or []):
+                provider = reader
+                break
+        if provider is None:
+            return
+        try:
+            import jax.numpy as jnp
+            lons = np.linspace(lonmin, lonmax, n)
+            lats = np.linspace(latmin, latmax, n)
+            LO, LA = np.meshgrid(lons, lats)
+            provider.set_run_epoch(getattr(self, "start_time", None)
+                                   or __import__("datetime").datetime.now())
+            dev = provider.device_state()
+            vals, cov = provider.sample(
+                dev, ["land_binary_mask"], jnp.float32(0.0),
+                jnp.asarray(LO.ravel(), dtype=jnp.float32),
+                jnp.asarray(LA.ravel(), dtype=jnp.float32),
+                jnp.zeros(LO.size, dtype=jnp.float32))
+            land = np.asarray(vals["land_binary_mask"]).reshape(LO.shape)
+            land = np.where(np.asarray(cov).reshape(LO.shape), land, 0.0)
+            ax.contourf(LO, LA, land, levels=[0.5, 1.5],
+                        colors=["#c0b296"], zorder=0)
+        except Exception as e:  # plotting must never break a run
+            logger.debug("Could not shade landmask: %s", e)
+
+    def plot(self, buffer=0.1, filename=None, show=False, linecolor=None,
+             hide_landmask=False, markersize=4, ax=None, **kwargs):
+        """Trajectory plot (reference basemodel/__init__.py:3482)."""
+        import matplotlib.pyplot as plt
+        fig, ax = self._axes_with_land(buffer, hide_landmask, ax=ax)
+        lon = self.result["lon"].values
+        lat = self.result["lat"].values
+        if linecolor is not None and linecolor in self.result:
+            vals = self.result[linecolor].values
+            sc = None
+            for i in range(lon.shape[0]):
+                sc = ax.scatter(lon[i], lat[i], c=vals[i], s=markersize,
+                                cmap=kwargs.get("cmap", "viridis"))
+            if sc is not None:
+                fig.colorbar(sc, ax=ax, label=linecolor)
+        else:
+            ax.plot(lon.T, lat.T, color="gray", lw=0.4, alpha=0.6,
+                    zorder=2)
+        # start and end markers (reference convention: green start,
+        # blue active end, red deactivated)
+        ax.scatter(lon[:, 0], lat[:, 0], c="green", s=markersize,
+                   zorder=3, label="start")
+        status = self.result["status"].values
+        final_active = status[:, -1] == 0
+        ax.scatter(lon[final_active, -1], lat[final_active, -1], c="blue",
+                   s=markersize, zorder=3, label="active")
+        # deactivated: last finite position
+        dead = ~final_active
+        if dead.any():
+            last_lon = np.array([row[np.isfinite(row)][-1] if
+                                 np.isfinite(row).any() else np.nan
+                                 for row in lon[dead]])
+            last_lat = np.array([row[np.isfinite(row)][-1] if
+                                 np.isfinite(row).any() else np.nan
+                                 for row in lat[dead]])
+            ax.scatter(last_lon, last_lat, c="red", s=markersize, zorder=3,
+                       label="deactivated")
+        ax.legend(loc="best", fontsize=8)
+        ax.set_title(f"{type(self).__name__}  "
+                     f"{self.result.coords['time'][0]} - "
+                     f"{self.result.coords['time'][-1]}")
+        if filename is not None:
+            fig.savefig(filename, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+        elif show:
+            plt.show()
+        return fig, ax
+
+    def animation(self, buffer=0.1, filename=None, fps=8,
+                  hide_landmask=False, color=None, markersize=6,
+                  **kwargs):
+        """Trajectory animation (reference basemodel/__init__.py:2742);
+        writes GIF (pillow) or MP4 (ffmpeg, if available)."""
+        import matplotlib.pyplot as plt
+        from matplotlib import animation as manim
+        fig, ax = self._axes_with_land(buffer, hide_landmask)
+        lon = self.result["lon"].values
+        lat = self.result["lat"].values
+        times = self.result.coords["time"]
+        cvals = self.result[color].values if color and color in \
+            self.result else None
+        if cvals is not None:
+            scat = ax.scatter([], [], s=markersize, c=[],
+                              cmap=kwargs.get("cmap", "viridis"), zorder=3)
+        else:
+            scat = ax.scatter([], [], s=markersize, c="blue", zorder=3)
+        title = ax.set_title("")
+
+        def update(ti):
+            pts = np.column_stack([lon[:, ti], lat[:, ti]])
+            ok = np.isfinite(pts).all(axis=1)
+            scat.set_offsets(pts[ok])
+            if cvals is not None:
+                scat.set_array(cvals[ok, ti])
+            title.set_text(str(times[ti])[:19])
+            return scat, title
+
+        anim = manim.FuncAnimation(fig, update, frames=lon.shape[1],
+                                   interval=1000 / fps, blit=False)
+        if filename is not None:
+            if str(filename).endswith(".gif"):
+                anim.save(filename, writer=manim.PillowWriter(fps=fps))
+            else:
+                try:
+                    anim.save(filename, writer=manim.FFMpegWriter(fps=fps))
+                except Exception:
+                    gif = str(filename).rsplit(".", 1)[0] + ".gif"
+                    logger.warning("ffmpeg unavailable; writing %s", gif)
+                    anim.save(gif, writer=manim.PillowWriter(fps=fps))
+            plt.close(fig)
+        return anim
+
+    def animation_profile(self, filename=None, fps=8, markersize=6):
+        """Vertical-section animation (reference
+        basemodel/__init__.py:3255)."""
+        import matplotlib.pyplot as plt
+        from matplotlib import animation as manim
+        lon = self.result["lon"].values
+        z = self.result["z"].values
+        fig, ax = plt.subplots(figsize=(10, 5))
+        ax.set_xlim(np.nanmin(lon) - 0.02, np.nanmax(lon) + 0.02)
+        ax.set_ylim(min(np.nanmin(z) * 1.1, -1), 1)
+        ax.set_xlabel("Longitude")
+        ax.set_ylabel("Depth [m]")
+        scat = ax.scatter([], [], s=markersize, c="blue")
+        title = ax.set_title("")
+        times = self.result.coords["time"]
+
+        def update(ti):
+            pts = np.column_stack([lon[:, ti], z[:, ti]])
+            ok = np.isfinite(pts).all(axis=1)
+            scat.set_offsets(pts[ok])
+            title.set_text(str(times[ti])[:19])
+            return scat, title
+
+        anim = manim.FuncAnimation(fig, update, frames=lon.shape[1],
+                                   interval=1000 / fps, blit=False)
+        if filename is not None:
+            anim.save(filename, writer=manim.PillowWriter(fps=fps))
+            plt.close(fig)
+        return anim
+
+    def plot_property(self, prop, filename=None, mean=False):
+        """Time series of an element property
+        (reference basemodel/__init__.py:4000-4030)."""
+        import matplotlib.pyplot as plt
+        vals = self.result[prop].values
+        fig, ax = plt.subplots()
+        times = self.result.coords["time"]
+        if mean:
+            ax.plot(times, np.nanmean(vals, axis=0))
+        else:
+            ax.plot(times, vals.T, lw=0.5, alpha=0.6)
+        ax.set_xlabel("Time")
+        ax.set_ylabel(prop)
+        fig.autofmt_xdate()
+        if filename is not None:
+            fig.savefig(filename, dpi=110, bbox_inches="tight")
+            plt.close(fig)
+        return fig, ax

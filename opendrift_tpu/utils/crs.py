@@ -516,6 +516,54 @@ _PROJ_CLASSES = {
 }
 
 
+def from_esri_wkt(wkt):
+    """Build a CRS from an ESRI/OGC WKT string (.prj files).
+
+    Covers the projections this package implements; the reference parses
+    .prj via GDAL (unavailable here)."""
+    import re as _re
+
+    def param(name, default=0.0):
+        m = _re.search(rf'PARAMETER\["{name}",([-0-9.eE]+)\]', wkt,
+                       _re.IGNORECASE)
+        return float(m.group(1)) if m else default
+
+    sph = _re.search(r'SPHEROID\["[^"]*",([-0-9.eE]+),([-0-9.eE]+)\]', wkt)
+    if sph:
+        a = float(sph.group(1))
+        rf = float(sph.group(2))
+        ell = f"+a={a} +rf={rf}" if rf > 0 else f"+R={a}"
+    else:
+        ell = "+ellps=WGS84"
+
+    proj_m = _re.search(r'PROJECTION\["([^"]+)"\]', wkt, _re.IGNORECASE)
+    if proj_m is None:
+        return from_proj4("+proj=latlong")
+    pname = proj_m.group(1).lower()
+    lon0 = param("Central_Meridian")
+    lat0 = param("Latitude_Of_Origin")
+    x0 = param("False_Easting")
+    y0 = param("False_Northing")
+    if "mercator" in pname and "transverse" not in pname:
+        lat_ts = param("Standard_Parallel_1")
+        return from_proj4(f"+proj=merc +lon_0={lon0} +lat_ts={lat_ts} "
+                          f"+x_0={x0} +y_0={y0} {ell}")
+    if "transverse_mercator" in pname:
+        k0 = param("Scale_Factor", 1.0)
+        return from_proj4(f"+proj=tmerc +lon_0={lon0} +lat_0={lat0} "
+                          f"+k_0={k0} +x_0={x0} +y_0={y0} {ell}")
+    if "lambert_conformal" in pname:
+        lat1 = param("Standard_Parallel_1")
+        lat2 = param("Standard_Parallel_2", lat1)
+        return from_proj4(f"+proj=lcc +lon_0={lon0} +lat_0={lat0} "
+                          f"+lat_1={lat1} +lat_2={lat2} +x_0={x0} "
+                          f"+y_0={y0} {ell}")
+    if "stereographic" in pname:
+        return from_proj4(f"+proj=stere +lon_0={lon0} +lat_0={lat0} "
+                          f"+x_0={x0} +y_0={y0} {ell}")
+    raise NotImplementedError(f"WKT projection '{pname}' not supported")
+
+
 def from_proj4(proj4):
     """Construct a CRS from a proj4 string."""
     params = parse_proj4(proj4)
