@@ -190,21 +190,53 @@ class StructuredGridReader(BaseReader):
         return arr
 
     def device_state(self, window_start=None, window_end=None):
-        """Stack the window's frames into device arrays.
-
-        Layout: {'b3': (V3,F,Z,y,x), 'b2': (V2,F,y,x), 'bs': (Vs,y,x),
-        'times': (F,), 'depths': (Z,)}; group membership is static
-        (attributes ``_group3``, ``_group2``, ``_groups``)."""
+        """Pack the window's frames into the row-packed device layout
+        (see ops/interp.PackedSampler): one (Z*y*x, C) array holding all
+        time-varying variables x frames per cell, plus a separate static
+        stack 'bs' for nearest-sampled masks/bathymetry."""
+        from ..ops.interp import PackedSampler
         tidx = self._frame_indices(window_start, window_end)
+        F = len(tidx)
+        ny = self._iy.stop - self._iy.start
+        nx = self._ix.stop - self._ix.start
+        Z = len(self.depths) if (self._group3 and
+                                 getattr(self, "depths", None) is not None) \
+            else 1
+        # column layout (static across windows)
+        col_of = {}
+        col = 0
+        for v in self._group3:
+            col_of[v] = (col, "t")
+            col += F
+        for v in self._group2:
+            col_of[v] = (col, "t")
+            col += F
+        C = col
+        x_paired = (Z * ny * nx * max(C, 1) * 2 * 4) < 256e6 and C > 0
+        self._sampler = PackedSampler(Z, ny, nx, F, col_of, x_paired)
+
         out = {}
-        if self._group3:
-            out["b3"] = jnp.asarray(np.stack(
-                [np.stack([self._load_frame(v, ti) for ti in tidx])
-                 for v in self._group3]))
-        if self._group2:
-            out["b2"] = jnp.asarray(np.stack(
-                [np.stack([self._load_frame(v, ti) for ti in tidx])
-                 for v in self._group2]))
+        if C > 0:
+            packed = np.empty((Z, ny, nx, C), dtype=np.float32)
+            for v in self._group3:
+                c0 = col_of[v][0]
+                for fi, ti in enumerate(tidx):
+                    packed[:, :, :, c0 + fi] = self._load_frame(v, ti)
+            for v in self._group2:
+                c0 = col_of[v][0]
+                for fi, ti in enumerate(tidx):
+                    packed[:, :, :, c0 + fi] = \
+                        self._load_frame(v, ti)[None, :, :]
+            packed = packed.reshape(Z * ny * nx, C)
+            if x_paired:
+                # append the x+1 neighbour's row: one gather covers the
+                # x-pair of the bilinear stencil
+                nxt = packed.reshape(Z, ny, nx, C)
+                shifted = np.concatenate(
+                    [nxt[:, :, 1:], nxt[:, :, -1:]], axis=2)
+                packed = np.concatenate(
+                    [nxt, shifted], axis=3).reshape(Z * ny * nx, 2 * C)
+            out["packed"] = jnp.asarray(packed)
         if self._groups:
             out["bs"] = jnp.asarray(np.stack(
                 [self._load_frame(v, 0) for v in self._groups]))
@@ -214,6 +246,8 @@ class StructuredGridReader(BaseReader):
             dtype=jnp.float32)
         if getattr(self, "depths", None) is not None:
             out["depths"] = jnp.asarray(self.depths)
+        else:
+            out["depths"] = jnp.zeros((1,), dtype=jnp.float32)
         return out
 
     # ---------------------------------------------------------- sampling -
@@ -236,24 +270,13 @@ class StructuredGridReader(BaseReader):
                                                          + slack)
         depth = jnp.maximum(-z, 0.0)
         values = {}
-        want3 = [v for v in varnames if v in self._group3]
-        want2 = [v for v in varnames if v in self._group2]
+        want_t = [v for v in varnames
+                  if v in self._group3 or v in self._group2]
         wants = [v for v in varnames if v in self._groups]
-        if want3:
-            idx = [self._group3.index(v) for v in want3]
-            out = interp_xyzt(dev_state["b3"][np.array(idx)],
-                              times, xi, yi, depth,
-                              dev_state["depths"], t)
-            for i, v in enumerate(want3):
-                values[v] = out[i]
-        if want2:
-            idx = [self._group2.index(v) for v in want2]
-            out = interp_xyzt(
-                dev_state["b2"][np.array(idx)][:, :, None, :, :],
-                times, xi, yi, jnp.zeros_like(depth),
-                jnp.zeros((1,), dtype=jnp.float32), t)
-            for i, v in enumerate(want2):
-                values[v] = out[i]
+        if want_t:
+            rows = self._sampler.gather_rows(dev_state["packed"], xi, yi,
+                                             depth, dev_state["depths"])
+            values.update(self._sampler.values(rows, times, t, want_t))
         if wants:
             idx = [self._groups.index(v) for v in wants]
             bs = dev_state["bs"][np.array(idx)][:, None, :, :]
@@ -275,22 +298,24 @@ class StructuredGridReader(BaseReader):
         return values, covers
 
     def sample_profiles(self, dev_state, varnames, t, lon, lat, zlevels):
-        """Profiles at fixed z-levels: vectorised over the level axis."""
+        """Profiles at fixed z-levels: per-level packed-row gathers."""
         want3 = [v for v in varnames if v in self._group3]
         out = {}
         if want3:
             xi, yi = self._grid_indices(lon, lat)
-            idx = [self._group3.index(v) for v in want3]
-            blocks = dev_state["b3"][np.array(idx)]
             L = zlevels.shape[0]
-            res = []
+            res = {v: [] for v in want3}
             for li in range(L):
-                depth = jnp.maximum(-zlevels[li], 0.0) + jnp.zeros_like(xi)
-                res.append(interp_xyzt(blocks, dev_state["times"], xi, yi,
-                                       depth, dev_state["depths"], t))
-            stacked = jnp.stack(res, axis=1)  # (V, L, N)
-            for i, v in enumerate(want3):
-                out[v] = stacked[i]
+                depth = jnp.maximum(-float(zlevels[li]), 0.0) \
+                    + jnp.zeros_like(xi)
+                rows = self._sampler.gather_rows(
+                    dev_state["packed"], xi, yi, depth, dev_state["depths"])
+                vals = self._sampler.values(rows, dev_state["times"], t,
+                                            want3)
+                for v in want3:
+                    res[v].append(vals[v])
+            for v in want3:
+                out[v] = jnp.stack(res[v])  # (L, N)
         # fall back to level-looped scalar sampling for non-3D vars
         rest = [v for v in varnames if v not in want3]
         covers = None

@@ -87,6 +87,91 @@ def interp_xyzt(blocks, times, xi, yi, depth, depths, t):
     return out
 
 
+class PackedSampler:
+    """Static metadata + kernel for the packed-row layout — the TPU fast
+    path for field sampling.
+
+    TPU gathers cost per *index*, not per byte (XLA lowers them through
+    the scalar core at ~1e8 indices/s); the classical per-variable corner
+    gather (reference ReaderBlock.interpolate does one scipy call per
+    variable per layer, interpolation/structured.py:107-163) needs
+    O(16 x n_vars) indices per sample.  Here the host packs, for every
+    (z, y, x) cell, ALL variables x ALL window frames (plus, optionally,
+    the x+1 neighbour) into one contiguous row of a (Z*Y*X, C) array; a
+    sample then needs only 4 gathers (x packed) or 8 (x unpacked)
+    regardless of variable count, and the RK stage refetches ride the
+    same rows for free."""
+
+    def __init__(self, Z, Y, X, n_frames, col_of, x_paired):
+        self.Z, self.Y, self.X = Z, Y, X
+        self.F = n_frames
+        self.col_of = col_of        # var -> first column (frame 0)
+        self.x_paired = x_paired
+
+    def gather_rows(self, packed, xi, yi, depth, depths):
+        """4 (x_paired) or 8 corner gathers -> spatially interpolated
+        rows (N, C) plus the vertical bracketing already applied."""
+        Z, Y, X = self.Z, self.Y, self.X
+        x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, max(X - 2, 0))
+        y0 = jnp.clip(jnp.floor(yi).astype(jnp.int32), 0, max(Y - 2, 0))
+        fx = jnp.clip(xi - x0, 0.0, 1.0)[:, None]
+        fy = jnp.clip(yi - y0, 0.0, 1.0)[:, None]
+        if Z > 1:
+            z0 = jnp.clip(jnp.searchsorted(depths, depth, side="right") - 1,
+                          0, Z - 2)
+            dz = depths[z0 + 1] - depths[z0]
+            fz = jnp.where(dz != 0, (depth - depths[z0]) / dz, 0.0)
+            fz = jnp.clip(fz, 0.0, 1.0)[:, None]
+        else:
+            z0 = jnp.zeros_like(x0)
+            fz = jnp.zeros_like(fx)
+        z1 = jnp.minimum(z0 + 1, Z - 1)
+        y1 = jnp.minimum(y0 + 1, Y - 1)
+
+        C = packed.shape[-1]
+        if self.x_paired:
+            half = C // 2
+            def corner(zz, yy):
+                lin = (zz * Y + yy) * X + x0
+                g = jnp.take(packed, lin, axis=0, mode="clip")
+                return g[:, :half] * (1.0 - fx) + g[:, half:] * fx
+        else:
+            x1 = jnp.minimum(x0 + 1, X - 1)
+            def corner(zz, yy):
+                lin0 = (zz * Y + yy) * X + x0
+                lin1 = (zz * Y + yy) * X + x1
+                a = jnp.take(packed, lin0, axis=0, mode="clip")
+                b = jnp.take(packed, lin1, axis=0, mode="clip")
+                return a * (1.0 - fx) + b * fx
+        r00 = corner(z0, y0)
+        r01 = corner(z0, y1)
+        r10 = corner(z1, y0)
+        r11 = corner(z1, y1)
+        rz0 = r00 * (1.0 - fy) + r01 * fy
+        rz1 = r10 * (1.0 - fy) + r11 * fy
+        return rz0 * (1.0 - fz) + rz1 * fz
+
+    def values(self, rows, times, t, varnames):
+        """Blend the bracketing frame columns per variable."""
+        F = self.F
+        ti, tw = time_weights(times, t, F)
+        out = {}
+        import jax
+        for v in varnames:
+            col, kind = self.col_of[v]
+            if kind == "static":
+                out[v] = rows[:, col]
+            else:
+                # scalar frame index -> cheap dynamic slices, no gather
+                v0 = jax.lax.dynamic_slice_in_dim(rows, col + ti, 1,
+                                                  axis=1)[:, 0]
+                v1 = jax.lax.dynamic_slice_in_dim(
+                    rows, col + jnp.minimum(ti + 1, F - 1), 1,
+                    axis=1)[:, 0]
+                out[v] = v0 * (1.0 - tw) + v1 * tw
+        return out
+
+
 def interp_nearest_xyt(blocks, times, xi, yi, t):
     """Nearest-neighbour sample of a (V, F, Y, X) block group — used for
     discrete masks (the reference always uses nearest for land masks,
