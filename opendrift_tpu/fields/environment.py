@@ -31,6 +31,7 @@ class Environment:
         self.reader_fail_count = {}
         self.discarded_readers = {}
         self.fallback_values = {}
+        self.uncertainty = []
         self._plan = None
 
     # ------------------------------------------------------------- registry
@@ -142,11 +143,15 @@ class Environment:
         return tuple(states)
 
     # ------------------------------------------------------ device sampling
-    def get_environment(self, dev_states, varnames, t, lon, lat, z):
+    def get_environment(self, dev_states, varnames, t, lon, lat, z,
+                        key=None):
         """The fused on-device equivalent of reference
         ``Environment.get_environment`` (environment.py:499-923).
 
-        Returns (env dict var->f32[N], missing dict var->bool[N]).
+        ``key``: optional PRNG key enabling the configured current/wind
+        uncertainty injection (reference environment.py:865-891) — each
+        fetch (including RK stage refetches) draws fresh noise, like the
+        reference.  Returns (env dict var->f32[N], missing var->bool[N]).
         """
         varnames = list(varnames)
         nanval = jnp.full_like(lon, jnp.nan)
@@ -176,6 +181,23 @@ class Environment:
         if "sea_water_temperature" in env:
             T = env["sea_water_temperature"]
             env["sea_water_temperature"] = jnp.where(T > 100.0, T - 273.15, T)
+
+        # current/wind uncertainty injection (reference :865-891)
+        unc = getattr(self, "uncertainty", None)
+        if key is not None and unc:
+            import jax
+            for i, (pair, std, uniform) in enumerate(unc):
+                sub = jax.random.fold_in(key, i)
+                for j, var in enumerate(pair):
+                    if var not in env:
+                        continue
+                    k2 = jax.random.fold_in(sub, j)
+                    if uniform:
+                        noise = jax.random.uniform(
+                            k2, lon.shape, minval=-std, maxval=std)
+                    else:
+                        noise = std * jax.random.normal(k2, lon.shape)
+                    env[var] = env[var] + noise
         return env, missing
 
     def get_profiles(self, dev_states, varnames, t, lon, lat, zlevels):

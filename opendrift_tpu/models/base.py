@@ -725,6 +725,21 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                           fallback_overrides=fallback_overrides)
         self._auto_landmask_fallback()
 
+        # uncertainty injection config (reference environment.py:865-891)
+        unc = []
+        cu = self.get_config("drift:current_uncertainty")
+        cuu = self.get_config("drift:current_uncertainty_uniform")
+        wu = self.get_config("drift:wind_uncertainty")
+        if cu:
+            unc.append((("x_sea_water_velocity", "y_sea_water_velocity"),
+                        float(cu), False))
+        if cuu:
+            unc.append((("x_sea_water_velocity", "y_sea_water_velocity"),
+                        float(cuu), True))
+        if wu:
+            unc.append((("x_wind", "y_wind"), float(wu), False))
+        self.env.uncertainty = unc
+
         # simulation extent: seed bbox grown by max_speed * duration
         # (reference basemodel/__init__.py:2018-2044)
         max_speed = float(self.get_config("drift:max_speed"))
@@ -746,6 +761,19 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             extent=extent, start_time=min(self.start_time, end_time),
             end_time=max(self.start_time, end_time), max_speed=max_speed,
             interval_seconds=abs(dt) * K)
+
+        # seafloor seeding: resolve z = -depth at the seed positions
+        # (reference basemodel/__init__.py:1168-1210)
+        if self.get_config("seed:seafloor", default=False):
+            dev0 = self.env.build_device_states(
+                self.start_time, self.start_time + timedelta(seconds=dt))
+            envs0, _ = self.env.get_environment(
+                dev0, ["sea_floor_depth_below_sea_level"],
+                jnp.float32(0.0), jnp.asarray(state_np["lon"]),
+                jnp.asarray(state_np["lat"]), jnp.asarray(state_np["z"]))
+            depth0 = np.asarray(envs0["sea_floor_depth_below_sea_level"])
+            state_np["z"] = (-depth0 + 0.01).astype(np.float32)
+            state_np["prev_z"] = state_np["z"].copy()
 
         # ---- compile step
         self.export_variables = export_variables
@@ -802,7 +830,16 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         arrays["prev_lon"] = arrays["lon"].copy()
         arrays["prev_lat"] = arrays["lat"].copy()
         arrays["prev_z"] = arrays["z"].copy()
+        # previous-step environment store (reference store_previous_if,
+        # basemodel/__init__.py:642-668): NaN until first step
+        for var in self.store_previous_env_vars():
+            arrays[f"prev_env_{var}"] = np.full(n, np.nan, dtype=np.float32)
         return arrays
+
+    def store_previous_env_vars(self):
+        """Environment variables whose previous-step values the model
+        needs (model hook; reference ``store_previous_if`` conditions)."""
+        return []
 
     def _auto_landmask_fallback(self):
         """If no reader provides land_binary_mask and no fallback is set,
@@ -894,7 +931,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         north = self.get_config("drift:deactivate_north_of")
         south = self.get_config("drift:deactivate_south_of")
 
-        def pre_update(state, dev_states, t_rel, tau):
+        def pre_update(state, dev_states, t_rel, tau, key):
             """Release, env fetch, deactivations, coastline/seafloor —
             the phase before motion (reference loop :2193-2265)."""
             d = dict(state.data)
@@ -904,7 +941,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             active = d["status"] == ACTIVE
 
             envs, missing = env.get_environment(
-                dev_states, env_vars, t_rel, d["lon"], d["lat"], d["z"])
+                dev_states, env_vars, t_rel, d["lon"], d["lat"], d["z"],
+                key=key if env.uncertainty else None)
 
             # deactivate elements missing mandatory data (reference :2501)
             if no_fallback_vars:
@@ -933,7 +971,29 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             if "land_binary_mask" in envs and coastline_action != "none":
                 on_land = envs["land_binary_mask"] > 0.5
                 if coastline_action == "stranding":
-                    d["status"] = jnp.where(active & on_land, status_stranded,
+                    # bisect the land crossing along the last transect so
+                    # stranded elements sit at the coastline, not inland
+                    # (reference coastline_crossing :81-134, replaced by a
+                    # fixed-K sampled transect against the mask)
+                    K_SAMP = 4
+                    frac_land = jnp.ones_like(d["lon"])
+                    for ks in range(K_SAMP, 0, -1):
+                        f = ks / float(K_SAMP)
+                        slon = d["prev_lon"] + f * (d["lon"] - d["prev_lon"])
+                        slat = d["prev_lat"] + f * (d["lat"] - d["prev_lat"])
+                        menv, _ = env.get_environment(
+                            dev_states, ["land_binary_mask"], t_rel,
+                            slon, slat, d["z"])
+                        land_here = menv["land_binary_mask"] > 0.5
+                        frac_land = jnp.where(land_here, f, frac_land)
+                    strand = active & on_land
+                    d["lon"] = jnp.where(
+                        strand, d["prev_lon"] + frac_land
+                        * (d["lon"] - d["prev_lon"]), d["lon"])
+                    d["lat"] = jnp.where(
+                        strand, d["prev_lat"] + frac_land
+                        * (d["lat"] - d["prev_lat"]), d["lat"])
+                    d["status"] = jnp.where(strand, status_stranded,
                                             d["status"])
                     active = d["status"] == ACTIVE
                 elif coastline_action == "previous":
@@ -996,10 +1056,18 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                               t_rel, params, key, zlevels)
             self.update(ctx)
             ctx.horizontal_diffusion()
+            # record this step's environment for next-step comparisons
+            prev_updates = {f"prev_env_{v}": envs[v]
+                            for v in self.store_previous_env_vars()
+                            if v in envs}
+            if prev_updates:
+                ctx.state = ctx.state.replace(**prev_updates)
             return ctx.state
 
         def step(state, dev_states, t_rel, tau, key, want_snap):
-            state, envs, missing = pre_update(state, dev_states, t_rel, tau)
+            state, envs, missing = pre_update(state, dev_states, t_rel, tau,
+                                              jax.random.fold_in(key,
+                                                                 987654))
             snap = snapshot(state, envs) if want_snap else None
             state = post_update(state, envs, dev_states, t_rel, tau, key)
             return state, snap
@@ -1020,7 +1088,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
 
         def final_snapshot(state, dev_states, t_rel):
             state, envs, missing = pre_update(state, dev_states, t_rel,
-                                              t_rel * sign)
+                                              t_rel * sign,
+                                              jax.random.PRNGKey(0))
             return snapshot(state, envs)
 
         if not jit:
@@ -1150,8 +1219,9 @@ class StepContext(PhysicsContext):
         return self.state.data["status"] == ACTIVE
 
     def get_environment(self, varnames, t_rel, lon, lat, z):
+        key = self.next_key() if self.sim.env.uncertainty else None
         envs, _ = self.sim.env.get_environment(
-            self.dev_states, varnames, t_rel, lon, lat, z)
+            self.dev_states, varnames, t_rel, lon, lat, z, key=key)
         return envs
 
     def update_positions(self, x_vel, y_vel):

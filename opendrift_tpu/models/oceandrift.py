@@ -82,6 +82,16 @@ class OceanDrift(OpenDriftSimulation):
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Allow vertical advection of elements at "
                 "the very surface (z=0)"},
+            "drift:vertical_advection_correction": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Subtract apparent vertical velocity from "
+                "sea-level change"},
+            "drift:water_column_stretching": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Adjust element depth when sea surface "
+                "elevation changes"},
             "drift:vertical_mixing": {
                 "type": "bool", "default": False, "level": CONFIG_LEVEL_BASIC,
                 "description": "Activate vertical mixing scheme with inner "
@@ -164,9 +174,31 @@ class OceanDrift(OpenDriftSimulation):
         L = int(self.get_config("vertical_mixing:profile_levels"))
         return np.linspace(0.0, -depth, L, dtype=np.float32)
 
+    def store_previous_env_vars(self):
+        if self.get_config("drift:water_column_stretching") or \
+                self.get_config("drift:vertical_advection_correction"):
+            return ["sea_surface_height"]
+        return []
+
+    def water_column_stretching(self, ctx):
+        """Adjust z for sea-level change so surface/seafloor-relative
+        positions persist (reference oceandrift.py:299-313)."""
+        if not self.get_config("drift:water_column_stretching"):
+            return
+        d = ctx.state.data
+        prev = d.get("prev_env_sea_surface_height")
+        if prev is None:
+            return
+        delta = ctx.environment["sea_surface_height"] - prev
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        depth = jnp.maximum(
+            ctx.environment["sea_floor_depth_below_sea_level"], 0.1)
+        ctx.set_var("z", d["z"] + delta * (d["z"] / depth))
+
     # ------------------------------------------------------------ update --
     def update(self, ctx):
         """One physics step (reference oceandrift.py:185-211)."""
+        self.water_column_stretching(ctx)
         ctx.advect_ocean_current()
         ctx.advect_wind()
         ctx.stokes_drift()
@@ -234,6 +266,18 @@ class OceanDrift(OpenDriftSimulation):
             return
         d = ctx.state.data
         w = ctx.environment["upward_sea_water_velocity"]
+        if self.get_config("drift:vertical_advection_correction"):
+            # subtract the apparent vertical motion caused by sea-level
+            # change (reference oceandrift.py:330-344)
+            prev = d.get("prev_env_sea_surface_height")
+            if prev is not None:
+                ssh = ctx.environment["sea_surface_height"]
+                delta = jnp.where(jnp.isfinite(prev), ssh - prev, 0.0)
+                w_surface = delta / ctx.params["dt"]
+                total = ssh + ctx.environment[
+                    "sea_floor_depth_below_sea_level"]
+                w = w - w_surface * (d["z"] + total) / jnp.maximum(total,
+                                                                  0.1)
         if self.get_config("drift:vertical_advection_at_surface"):
             applicable = d["z"] <= 0.0
         else:

@@ -1,0 +1,107 @@
+"""Engine parity features: uncertainty injection, previous-env store,
+water column stretching, seafloor seeding, stranding bisection."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from opendrift_tpu.models import OceanDrift
+from opendrift_tpu.fields import ConstantReader, OscillatingReader, \
+    ShapeReader
+
+T0 = datetime(2020, 5, 1)
+
+
+def test_current_uncertainty_spreads():
+    """With current uncertainty, identical elements diverge; without,
+    they stay together (reference environment.py:865-891)."""
+    def run(std):
+        o = OceanDrift(loglevel=40)
+        o.set_config("environment:fallback:land_binary_mask", 0)
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("drift:current_uncertainty", std)
+        o.add_reader(ConstantReader({"x_sea_water_velocity": 0.3,
+                                     "y_sea_water_velocity": 0.0}))
+        o.seed_elements(4.0, 60.0, number=200, time=T0)
+        o.run(duration=timedelta(hours=10), time_step=3600)
+        lon = o.result["lon"].values
+        return lon[:, -1].std() * 111320 * np.cos(np.radians(60))
+    assert run(0.0) < 1.0
+    spread = run(0.2)
+    # random walk with 0.2 m/s std over 10 steps of 1h:
+    # ~0.2*3600*sqrt(10) = 2.3 km
+    assert 500 < spread < 6000
+
+
+def test_water_column_stretching():
+    """Rising sea level lifts mid-column elements proportionally
+    (reference oceandrift.py:299-313)."""
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("drift:vertical_advection", False)
+    o.set_config("drift:stokes_drift", False)
+    o.set_config("drift:water_column_stretching", True)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.0,
+                                 "y_sea_water_velocity": 0.0,
+                                 "sea_floor_depth_below_sea_level": 100.0}))
+    # tide: ssh oscillating +-1 m over 12 h
+    o.add_reader(OscillatingReader("sea_surface_height", amplitude=1.0,
+                                   period_seconds=12 * 3600,
+                                   zero_time=T0))
+    o.seed_elements(4.0, 60.0, z=-50.0, number=1, time=T0)
+    o.run(duration=timedelta(hours=6), time_step=1800)
+    z = o.result["z"].values[0]
+    # z/depth = 0.5: ssh rose to +1 at t=3h -> z moves by ~-0.5 m
+    assert abs((z.min() - z[0]) - (-0.5)) < 0.1
+
+
+def test_seed_seafloor():
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("seed:seafloor", True)
+    o.set_config("drift:vertical_advection", False)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.0,
+                                 "y_sea_water_velocity": 0.0,
+                                 "sea_floor_depth_below_sea_level": 73.0}))
+    o.seed_elements(4.0, 60.0, number=3, time=T0)
+    o.run(steps=2, time_step=600)
+    z0 = o.result["z"].values[:, 0]
+    np.testing.assert_allclose(z0, -72.99, atol=0.05)
+
+
+def test_stranding_position_bisected():
+    """Stranded elements end up near the coastline, not deep inland."""
+    from opendrift_tpu.utils.shapefile import shapefile_polygons
+    TORSK = ("/root/reference/tests/test_data/shapefile_spawning_areas/"
+             "Torsk.shp")
+    shape = ShapeReader(TORSK, resolution_deg=0.01)
+    polys = shapefile_polygons(TORSK)
+    big = max(polys, key=len)
+    # start west of the westernmost vertex, at that vertex's latitude,
+    # so the eastward drift genuinely crosses open water first
+    iw = int(np.argmin(big[:, 0]))
+    clat = big[iw, 1]
+    start_lon = big[:, 0].min() - 0.15
+    assert not shape.contains([start_lon], [clat])[0]
+    o = OceanDrift(loglevel=40)
+    o.set_config("drift:vertical_advection", False)
+    # fast current so one step jumps deep into the polygon
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 1.5,
+                                 "y_sea_water_velocity": 0.0}))
+    o.add_reader(shape)
+    o.seed_elements(start_lon, clat, number=5, time=T0)
+    o.run(duration=timedelta(hours=30), time_step=2 * 3600)
+    status = o.result["status"].values[:, -1]
+    stranded_code = o.status_categories.index("stranded")
+    assert (status == stranded_code).all()
+    lon = o.result["lon"].values
+    lat = o.result["lat"].values
+    final_lon = np.array([row[np.isfinite(row)][-1] for row in lon])
+    final_lat = np.array([row[np.isfinite(row)][-1] for row in lat])
+    # the bisected position is within ~1/4 step-length of the mask edge:
+    # stepping back 1/4 of the last segment must leave the polygon
+    inside = shape.contains(final_lon, final_lat)
+    assert inside.all()          # stranded on land...
+    back = shape.contains(final_lon - 0.06, final_lat)  # ...but barely
+    assert not back.any()
