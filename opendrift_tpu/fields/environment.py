@@ -121,7 +121,36 @@ class Environment:
                                end_time=end_time, max_speed=max_speed)
 
     # ----------------------------------------------------- window device IO
+    def prefetch_device_states(self, window_start, window_end):
+        """Start assembling the next window's device states on a worker
+        thread, overlapping forcing I/O + packing with device compute
+        (the async double-buffer the reference lists as the multi-host
+        scaling need, SURVEY.md §7 'host I/O throughput')."""
+        import threading
+        result = {}
+
+        def work():
+            try:
+                result["states"] = self._build_device_states_now(
+                    window_start, window_end)
+            except Exception as e:  # noqa: BLE001
+                result["error"] = e
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        self._prefetch = (window_start, window_end, th, result)
+
     def build_device_states(self, window_start=None, window_end=None):
+        pf = getattr(self, "_prefetch", None)
+        if pf is not None and pf[0] == window_start and pf[1] == window_end:
+            self._prefetch = None
+            pf[2].join()
+            if "states" in pf[3]:
+                return pf[3]["states"]
+            logger.warning("Prefetch failed (%s); rebuilding synchronously",
+                           pf[3].get("error"))
+        return self._build_device_states_now(window_start, window_end)
+
+    def _build_device_states_now(self, window_start=None, window_end=None):
         """Collect per-reader device pytrees for a time window, applying the
         failure-quarantine policy (reference environment.py:656-674)."""
         states = []

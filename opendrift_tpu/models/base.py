@@ -660,6 +660,9 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 key = jax.random.fold_in(base_key, k)
                 state, snap = advance(state, dev_states, jnp.float32(t_rel),
                                       key)
+                if k + 1 < n_intervals:
+                    # overlap next-window forcing I/O with device compute
+                    self.env.prefetch_device_states(*window(k + 1))
                 frames.append(jax.device_get(snap))
                 frame_times.append(self.start_time
                                    + timedelta(seconds=t_rel))

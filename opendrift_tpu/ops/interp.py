@@ -197,20 +197,22 @@ def fill_invalid(field):
     ``field``: float32 (..., Y, X), filled in place per 2D slice.
     Returns (filled, any_valid: bool).
     """
-    from scipy.ndimage import distance_transform_edt
-    out = np.asarray(field, dtype=np.float32)
-    flat = out.reshape(-1, *out.shape[-2:])
-    any_valid = False
-    for i in range(flat.shape[0]):
-        sl = flat[i]
-        mask = ~np.isfinite(sl)
-        if mask.all():
-            continue
-        any_valid = True
-        if mask.any():
-            idx = distance_transform_edt(mask, return_distances=False,
-                                         return_indices=True)
-            flat[i] = sl[tuple(idx)]
+    out = np.ascontiguousarray(field, dtype=np.float32)
+    any_valid = bool(np.isfinite(out).any())
+    if not np.isfinite(out).all():
+        from ..utils import native
+        if not native.fill_nearest(out):
+            # scipy fallback when the native library is unavailable
+            from scipy.ndimage import distance_transform_edt
+            flat = out.reshape(-1, *out.shape[-2:])
+            for i in range(flat.shape[0]):
+                sl = flat[i]
+                mask = ~np.isfinite(sl)
+                if mask.all() or not mask.any():
+                    continue
+                idx = distance_transform_edt(mask, return_distances=False,
+                                             return_indices=True)
+                flat[i] = sl[tuple(idx)]
     return out, any_valid
 
 
@@ -219,7 +221,10 @@ def fill_towards_seafloor(block):
     (reference: interpolation/structured.py:50-71
     ``fill_NaN_towards_seafloor``).  ``block``: (Z, Y, X), z index 0 =
     surface, increasing downward."""
-    out = np.asarray(block, dtype=np.float32)
+    out = np.ascontiguousarray(block, dtype=np.float32)
+    from ..utils import native
+    if native.fill_seafloor(out):
+        return out
     for k in range(1, out.shape[0]):
         nan = ~np.isfinite(out[k])
         out[k][nan] = out[k - 1][nan]

@@ -165,7 +165,29 @@ def cf_unpack(var, raw, scrub_range=None):
     returning float32 with NaN where invalid (reference: the masked-array
     scrubbing in opendrift/readers/basereader/variables.py:630-690)."""
     a = var.attrs
-    out = np.asarray(raw).astype(np.float64)
+    raw_arr = np.asarray(raw)
+    # native fast path for the common int16-packed case
+    if raw_arr.dtype == np.int16 and "missing_value" not in a:
+        from . import native
+        fillv = a.get("_FillValue")
+        fillv = np.asarray(fillv).ravel()[0] if fillv is not None else None
+        decoded = native.decode_i16(
+            raw_arr, float(a.get("scale_factor", 1.0)),
+            float(a.get("add_offset", 0.0)),
+            int(fillv) if fillv is not None and
+            -32768 <= int(fillv) <= 32767 else None)
+        if decoded is not None:
+            if "valid_min" in a:
+                decoded[decoded < float(np.asarray(a["valid_min"]).ravel()
+                                        [0]) - 1e-6] = np.nan
+            if "valid_max" in a:
+                decoded[decoded > float(np.asarray(a["valid_max"]).ravel()
+                                        [0]) + 1e-6] = np.nan
+            if scrub_range is not None:
+                lo, hi = scrub_range
+                decoded[(decoded < lo) | (decoded > hi)] = np.nan
+            return decoded
+    out = raw_arr.astype(np.float64)
     fill_mask = np.zeros(out.shape, dtype=bool)
     for key in ("_FillValue", "missing_value"):
         if key in a:
