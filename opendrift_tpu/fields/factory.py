@@ -48,6 +48,12 @@ def reader_from_url(url, lazy=False):
     if url.endswith(".shp"):
         return ShapeReader(url)
 
+    if url.endswith((".slf", ".sel", ".res")):
+        from .unstructured import TelemacReader
+        # Selafin carries no CRS; only openable directly when the mesh
+        # coordinates are already geographic
+        return TelemacReader(url, proj4="+proj=latlong")
+
     # NetCDF probing: ROMS if the grid variables are present
     if lazy:
         return LazyReader(_probe_netcdf, url, name=url)
@@ -60,7 +66,14 @@ def _probe_netcdf(path):
     from .roms import ROMSReader
     ds = ncio.open_dataset(path)
     is_roms = "lon_rho" in ds.variables and "s_rho" in ds.variables
+    is_ugrid = "nv" in ds.variables and "lon" in ds.variables \
+        and ds.variables.get("lon") is not None \
+        and len(ds.variables["lon"].shape) == 1 \
+        and "lon_rho" not in ds.variables
     ds.close()
     if is_roms:
         return ROMSReader(path)
+    if is_ugrid:
+        from .unstructured import FVCOMReader
+        return FVCOMReader(path)
     return NetCDFReader(path)

@@ -99,7 +99,10 @@ class ROMSReader(StructuredGridReader):
 
         # ---- sigma machinery
         self._s_rho = gvar("s_rho", required=False)
+        # CROCO names the stretching curve Cs_rho instead of Cs_r
         self._Cs_r = gvar("Cs_r", required=False)
+        if self._Cs_r is None:
+            self._Cs_r = gvar("Cs_rho", required=False)
         hc = gvar("hc", required=False)
         self._hc = float(hc) if hc is not None else 0.0
         vt = gvar("Vtransform", required=False)
@@ -107,8 +110,9 @@ class ROMSReader(StructuredGridReader):
             else 2
         self._n_sigma = len(self._s_rho) if self._s_rho is not None else 0
 
-        # ---- time axis
-        tname = "ocean_time" if "ocean_time" in ds.variables else "time"
+        # ---- time axis (ROMS: ocean_time; CROCO: time/scrum_time)
+        tname = next(t for t in ("ocean_time", "time", "scrum_time")
+                     if t in ds.variables)
         self.times = []
         self._file_of_frame = []
         self._index_in_file = []

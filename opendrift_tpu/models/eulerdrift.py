@@ -1,0 +1,208 @@
+"""Eulerian convection-diffusion solver (eulerdrift subpackage).
+
+TPU-first counterpart of the reference's finite-difference Eulerian
+drift model (reference: opendrift/models/eulerdrift/simulation.py:1-282,
+grid.py:1-118, diff.py:1-10, readers.py:1-104): solves
+
+    dc/dt = D * laplacian(c) - U . grad(c)
+
+on a regular UTM-projected grid.  Architectural differences from the
+reference:
+
+* the whole time integration is ONE jitted ``lax.scan`` — stencils are
+  ``jnp.roll`` shifts that XLA fuses into a single elementwise kernel
+  per step, instead of per-step scipy ``ndimage.laplace``/``np.gradient``
+  calls on host;
+* forcing is pre-sampled onto the grid for every step time (host side,
+  cheap) and streamed through the scan via ``dynamic_slice`` frame
+  selection, so the device loop has static shapes and no host syncs.
+"""
+
+import logging
+from datetime import datetime, timedelta
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils import crs as crslib
+
+logger = logging.getLogger(__name__)
+
+
+def utm_proj4(lon, lat):
+    """Proj4 string of the UTM zone containing (lon, lat) (reference:
+    eulerdrift/srs.py:8-27 ``find_utm_proj``)."""
+    zone = int((lon + 180.0) // 6.0) + 1
+    south = " +south" if lat < 0 else ""
+    return (f"+proj=utm +zone={zone}{south} +ellps=WGS84 +units=m")
+
+
+class EulerGrid:
+    """Regular projected grid holding a scalar concentration field
+    (reference: eulerdrift/grid.py:7-118 ``RegularGrid``)."""
+
+    def __init__(self, lon0, lat0, res, shape):
+        self.res = float(res)
+        self.shape = tuple(shape)
+        self.crs = crslib.from_proj4(utm_proj4(lon0, lat0))
+        x0, y0 = self.crs.fwd(np, np.float64(lon0), np.float64(lat0))
+        ny, nx = self.shape
+        self.x = np.asarray(x0) + np.arange(nx) * self.res
+        self.y = np.asarray(y0) + np.arange(ny) * self.res
+        XX, YY = np.meshgrid(self.x, self.y)
+        self.lons, self.lats = self.crs.inv(np, XX, YY)
+        self.field = jnp.zeros(self.shape, dtype=jnp.float32)
+
+    @classmethod
+    def new(cls, lon0=10.0, lat0=65.0, res=10.0, shape=(100, 100)):
+        return cls(lon0, lat0, res, shape)
+
+    def contains(self, lon, lat):
+        x, y = self.crs.fwd(np, np.asarray(lon), np.asarray(lat))
+        return bool(np.all((x >= self.x[0]) & (x <= self.x[-1])
+                           & (y >= self.y[0]) & (y <= self.y[-1])))
+
+    def index_of(self, lon, lat):
+        x, y = self.crs.fwd(np, np.float64(lon), np.float64(lat))
+        return (int(np.argmin(np.abs(self.y - y))),
+                int(np.argmin(np.abs(self.x - x))))
+
+    def source(self, lon, lat, X):
+        """Add a patch ``X`` with lower-left corner at (lon, lat)
+        (reference: eulerdrift/simulation.py:100-115)."""
+        iy, ix = self.index_of(lon, lat)
+        X = jnp.asarray(X, dtype=jnp.float32)
+        self.field = lax.dynamic_update_slice(self.field, X, (iy, ix))
+
+    def source_gaussian_blob(self, lon, lat, A=1.0, N=10, sigma=10.0):
+        """Deposit a 2D Gaussian of amplitude A centred at (lon, lat)
+        (reference: eulerdrift/simulation.py:117-147)."""
+        iy, ix = self.index_of(lon, lat)
+        k = np.arange(N) - (N - 1) / 2.0
+        g = np.exp(-0.5 * (k * self.res / sigma) ** 2)
+        S = A * np.outer(g, g).astype(np.float32)
+        self.field = lax.dynamic_update_slice(
+            self.field, jnp.asarray(S), (iy - N // 2, ix - N // 2))
+
+    def total_mass(self):
+        return float(jax.jit(jnp.sum)(self.field)) * self.res ** 2
+
+
+def _step_kernel(c, u, v, D, dx, dt):
+    """One explicit convection-diffusion step; roll-based 5-point
+    stencil (equivalent of ndimage.laplace + np.gradient central
+    differences, reference eulerdrift/simulation.py:252-276)."""
+    cN = jnp.roll(c, -1, axis=0)
+    cS = jnp.roll(c, 1, axis=0)
+    cE = jnp.roll(c, -1, axis=1)
+    cW = jnp.roll(c, 1, axis=1)
+    lap = (cN + cS + cE + cW - 4.0 * c) / dx ** 2
+    gy = (cN - cS) / (2.0 * dx)
+    gx = (cE - cW) / (2.0 * dx)
+    return c + dt * (D * lap - (u * gx + v * gy))
+
+
+class ExplSimulation:
+    """Explicit forward-in-time integration of the convection equation
+    (reference: eulerdrift/simulation.py:224-282 ``ExplSimulation``)."""
+
+    def __init__(self, grid, D=0.1, rho=1.0, t0=None):
+        self.grid = grid
+        self.D = float(D)
+        self.rho = float(rho)
+        self.readers = []
+        self.t0 = t0 or datetime(2020, 1, 1)
+        self.t = 0.0
+
+    @classmethod
+    def new(cls, lon0=10.0, lat0=65.0, res=10.0, shape=(100, 100), **kw):
+        return cls(EulerGrid.new(lon0, lat0, res, shape), **kw)
+
+    def stability(self, umax):
+        """(min resolvable dx, max stable dt) for the explicit scheme
+        (reference: eulerdrift/simulation.py:238-245)."""
+        h = 2.0 * self.D / (self.rho * max(umax, 1e-12))
+        dt = self.grid.res ** 2 / (2.0 * self.D)
+        return h, dt
+
+    # ------------------------------------------------------------ forcing
+    def _sample_uv(self, when):
+        """Grid u/v at one time from the reader chain (or zeros)."""
+        ny, nx = self.grid.shape
+        for r in self.readers:
+            if callable(r):  # plain function (lons, lats, t) -> (u, v)
+                return r(self.grid.lons, self.grid.lats, when)
+            try:
+                env = r.sample_grid(
+                    self.grid.lons, self.grid.lats, when,
+                    ["x_sea_water_velocity", "y_sea_water_velocity"])
+                return env[0], env[1]
+            except AttributeError:
+                u = r.interp_block("x_sea_water_velocity",
+                                   self.grid.lons, self.grid.lats, when)
+                v = r.interp_block("y_sea_water_velocity",
+                                   self.grid.lons, self.grid.lats, when)
+                return u, v
+        return (np.zeros((ny, nx), np.float32),
+                np.zeros((ny, nx), np.float32))
+
+    # ---------------------------------------------------------- integrate
+    def integrate(self, dt=None, max_t=None, max_steps=None,
+                  store_every=0):
+        """Run the scan.  Returns the final field; with ``store_every>0``
+        also a (K, ny, nx) stack of snapshots."""
+        if max_steps is None:
+            if max_t is None:
+                logger.warning("no termination condition, "
+                               "using max_steps=1000")
+                max_steps = 1000
+            else:
+                if dt is None:
+                    _, dt = self.stability(1.0)
+                max_steps = int(np.ceil(max_t / dt))
+        # pre-sample forcing per step (host; cheap vs the device scan)
+        frames_u, frames_v = [], []
+        probe_dt = dt if dt is not None else 1.0
+        for k in range(max_steps):
+            when = self.t0 + timedelta(seconds=self.t + k * probe_dt)
+            u, v = self._sample_uv(when)
+            frames_u.append(np.nan_to_num(np.asarray(u, np.float32)))
+            frames_v.append(np.nan_to_num(np.asarray(v, np.float32)))
+        U = jnp.asarray(np.stack(frames_u))
+        V = jnp.asarray(np.stack(frames_v))
+        umax = float(np.max(np.hypot(np.stack(frames_u),
+                                     np.stack(frames_v))))
+        h, ddt = self.stability(umax)
+        if h > self.grid.res:
+            logger.warning("dx too big: dx=%.3g > h=%.3g",
+                           self.grid.res, h)
+        if dt is None:
+            dt = ddt
+        elif dt > ddt:
+            logger.warning("dt too big: dt=%.3g > stable %.3g", dt, ddt)
+
+        D, dx = self.D, self.grid.res
+        every = int(store_every)
+
+        @jax.jit
+        def run(c0):
+            def body(c, k):
+                u = lax.dynamic_index_in_dim(U, k, keepdims=False)
+                v = lax.dynamic_index_in_dim(V, k, keepdims=False)
+                c = _step_kernel(c, u, v, D, dx, dt)
+                out = c if every else jnp.zeros((0, 0), jnp.float32)
+                return c, out
+            cT, hist = lax.scan(body, c0, jnp.arange(max_steps))
+            return cT, hist
+
+        cT, hist = run(self.grid.field)
+        self.grid.field = cT
+        self.t += max_steps * dt
+        if every:
+            return cT, hist[every - 1::every]
+        return cT
+
+    def step(self, dt=None):
+        return self.integrate(dt=dt, max_steps=1)

@@ -230,6 +230,14 @@ def parse_cf_time(units, values):
     """Decode a CF time coordinate to an array of python datetimes."""
     m = _TIME_UNITS_RE.match(units.strip())
     if m is None:
+        # bare unit with no epoch (e.g. CROCO 'second'): anchor at the
+        # unix epoch; the caller can shift with a start_time argument
+        if units.strip().lower() in _UNIT_SECONDS:
+            secs = (np.asarray(values, dtype=np.float64)
+                    * _UNIT_SECONDS[units.strip().lower()])
+            epoch = datetime(1970, 1, 1)
+            return np.array([epoch + timedelta(seconds=float(s))
+                             for s in secs])
         raise ValueError(f"Cannot parse time units: {units!r}")
     unit = m.group("unit").lower()
     if unit not in _UNIT_SECONDS:

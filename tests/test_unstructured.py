@@ -1,0 +1,172 @@
+"""Unstructured-mesh readers: Telemac Selafin, CROCO, FVCOM/UGRID,
+and the shared Delaunay regridder (reference parity:
+tests/readers/test_selafin.py, opendrift/readers/reader_ROMS_native.py
+CROCO handling, reader_FVCOM_xarray.py)."""
+
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+TEST_DATA = "/root/reference/tests/test_data"
+SLF = os.path.join(TEST_DATA, "Telemac_3D", "r3d_tide_open_drift.slf")
+CROCO_HIS = os.path.join(TEST_DATA, "croco", "croco_his.nc")
+CROCO_GRD = os.path.join(TEST_DATA, "croco", "croco_grd.nc")
+
+# Lambert North (the projection of the Telemac tide demo mesh)
+LAMBERT_NORTH = (
+    "+proj=lcc +lat_1=49.50000000000001 +lat_0=49.50000000000001 "
+    "+lon_0=0 +k_0=0.999877341 +x_0=600000 +y_0=200000 "
+    "+a=6378249.2 +b=6356515 +units=m +no_defs")
+
+
+def test_delaunay_regridder_linear_exact():
+    """Barycentric regridding reproduces linear fields exactly."""
+    from opendrift_tpu.fields.regrid import DelaunayRegridder
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(0, 2, 400)
+    lat = rng.uniform(50, 51, 400)
+    rg = DelaunayRegridder(lon, lat, resolution_deg=0.05)
+    vals = 3.0 * lon - 2.0 * lat + 7.0
+    grid = rg(vals)
+    LON, LAT = np.meshgrid(rg.lons, rg.lats)
+    expect = 3.0 * LON - 2.0 * LAT + 7.0
+    inside = np.isfinite(grid)
+    assert inside.mean() > 0.5
+    assert np.nanmax(np.abs(grid[inside] - expect[inside])) < 1e-3
+
+
+@pytest.mark.skipif(not os.path.exists(SLF), reason="no Telemac test data")
+def test_telemac_reader_open():
+    from opendrift_tpu.fields.unstructured import TelemacReader
+    r = TelemacReader(SLF, proj4=LAMBERT_NORTH)
+    assert "x_sea_water_velocity" in r.variables
+    # Ushant / Brittany coast
+    assert -6.0 < r._node_lon.min() < r._node_lon.max() < -5.0
+    assert 48.5 < r._node_lat.min() < r._node_lat.max() < 49.5
+    assert len(r.times) == 6
+    assert (r.times[1] - r.times[0]) == timedelta(seconds=900)
+    fr = r._read_frame("x_sea_water_velocity", 2, slice(None),
+                       slice(None), slice(None))
+    assert np.isfinite(fr).mean() > 0.2
+    assert np.nanmax(np.abs(fr)) < 5.0  # plausible tidal speeds
+
+
+@pytest.mark.skipif(not os.path.exists(SLF), reason="no Telemac test data")
+def test_telemac_drift_run():
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import TelemacReader
+    m = OceanDrift(loglevel=50)
+    r = TelemacReader(SLF, proj4=LAMBERT_NORTH)
+    m.add_reader(r)
+    m.set_config("general:use_auto_landmask", False)
+    m.seed_elements(lon=-5.55, lat=48.9, time=r.times[0], number=10)
+    m.run(duration=timedelta(minutes=45), time_step=300)
+    lon = np.asarray(m.result["lon"])
+    assert np.isfinite(lon[:, -1]).all()
+    # particles must have moved with the tide
+    assert np.abs(lon[:, -1] - lon[:, 0]).max() > 1e-5
+
+
+@pytest.mark.skipif(not os.path.exists(CROCO_HIS), reason="no CROCO data")
+def test_croco_reader():
+    from opendrift_tpu.fields.roms import ROMSReader
+    r = ROMSReader(CROCO_HIS, gridfile=CROCO_GRD)
+    assert "x_sea_water_velocity" in r.variables
+    assert len(r.times) == 2
+    fr = r._read_frame("x_sea_water_velocity", 1, slice(None),
+                       slice(None), slice(None))
+    assert np.nanmax(np.abs(fr)) > 0.05  # frame 1 has real currents
+    assert np.nanmax(np.abs(fr)) < 2.0
+
+
+@pytest.mark.skipif(not os.path.exists(CROCO_HIS), reason="no CROCO data")
+def test_croco_drift_run():
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.roms import ROMSReader
+    m = OceanDrift(loglevel=50)
+    r = ROMSReader(CROCO_HIS, gridfile=CROCO_GRD)
+    m.add_reader(r)
+    m.set_config("general:use_auto_landmask", False)
+    m.seed_elements(lon=15.0, lat=-32.0, time=r.times[0], number=5)
+    m.run(duration=timedelta(hours=48), time_step=3600)
+    lon = np.asarray(m.result["lon"])
+    assert np.isfinite(lon[:, -1]).all()
+    assert np.abs(lon[:, -1] - lon[:, 0]).max() > 1e-4
+
+
+@pytest.fixture
+def fvcom_file(tmp_path):
+    """Synthetic CF-UGRID triangular mesh with a known linear velocity."""
+    from scipy.io import netcdf_file
+    rng = np.random.default_rng(7)
+    n = 300
+    lon = rng.uniform(4.0, 5.0, n)
+    lat = rng.uniform(60.0, 60.5, n)
+    from scipy.spatial import Delaunay
+    tri = Delaunay(np.column_stack([lon, lat]))
+    nv = tri.simplices.T + 1  # FVCOM convention: (3, nele), 1-based
+    nele = nv.shape[1]
+    lonc = lon[tri.simplices].mean(axis=1)
+    latc = lat[tri.simplices].mean(axis=1)
+    path = str(tmp_path / "fvcom.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("node", n)
+    f.createDimension("nele", nele)
+    f.createDimension("three", 3)
+    f.createDimension("time", 2)
+    for nm, dims, data in [
+            ("lon", ("node",), lon), ("lat", ("node",), lat),
+            ("lonc", ("nele",), lonc), ("latc", ("nele",), latc),
+            ("h", ("node",), 50.0 + 10.0 * (lon - 4.0))]:
+        v = f.createVariable(nm, "d", dims)
+        v[:] = data
+    v = f.createVariable("nv", "i", ("three", "nele"))
+    v[:] = nv
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = [0.0, 1.0]
+    t.units = b"hours since 2020-01-01 00:00:00"
+    for nm, data in [("u", 0.1 * (lonc - 4.0)), ("v", 0.2 + 0.0 * latc)]:
+        v = f.createVariable(nm, "d", ("time", "nele"))
+        v[:] = np.stack([data, data])
+    z = f.createVariable("zeta", "d", ("time", "node"))
+    z[:] = np.stack([0.3 + 0.0 * lon, 0.3 + 0.0 * lon])
+    f.close()
+    return path
+
+
+def test_fvcom_reader(fvcom_file):
+    from opendrift_tpu.fields.unstructured import FVCOMReader
+    r = FVCOMReader(fvcom_file, resolution_deg=0.02)
+    assert set(["x_sea_water_velocity", "y_sea_water_velocity",
+                "sea_surface_height",
+                "sea_floor_depth_below_sea_level"]) <= set(r.variables)
+    assert r.times[0] == datetime(2020, 1, 1)
+    u = r._read_frame("x_sea_water_velocity", 0, slice(None),
+                      slice(None), slice(None))
+    LON, _ = np.meshgrid(r.x, r.y)
+    expect = 0.1 * (LON - 4.0)
+    inside = np.isfinite(u)
+    assert inside.mean() > 0.3
+    # cell-centre field regridded back: linear field within a few percent
+    assert np.nanmedian(np.abs(u[inside] - expect[inside])) < 0.01
+    zeta = r._read_frame("sea_surface_height", 0, slice(None),
+                         slice(None), slice(None))
+    assert abs(np.nanmean(zeta) - 0.3) < 1e-3
+
+
+def test_fvcom_drift_run(fvcom_file):
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import FVCOMReader
+    m = OceanDrift(loglevel=50)
+    r = FVCOMReader(fvcom_file, resolution_deg=0.02)
+    m.add_reader(r)
+    m.set_config("general:use_auto_landmask", False)
+    m.seed_elements(lon=4.5, lat=60.25, time=r.times[0], number=4)
+    m.run(duration=timedelta(minutes=50), time_step=600)
+    lat = np.asarray(m.result["lat"])
+    # v = 0.2 m/s northward for 3000 s -> ~600 m -> ~0.0054 deg
+    dlat = lat[:, -1] - lat[:, 0]
+    assert np.all(dlat > 0.003)
+    assert np.all(dlat < 0.009)
