@@ -1,0 +1,65 @@
+"""GRIB2 forcing reader on the from-scratch parser (utils/grib2.py).
+
+Counterpart of the reference's pygrib-based reader (reference:
+opendrift/readers/reader_grib.py:1-220) but wider: the reference
+supports only lat-lon GRIBs; this one also reads polar-stereographic
+and Lambert grids with simple or JPEG2000 packing, feeding the same
+packed structured device kernel as every other reader.
+"""
+
+import logging
+
+import numpy as np
+
+from .grid import StructuredGridReader
+from ..utils.grib2 import Grib2File
+
+logger = logging.getLogger(__name__)
+
+
+class GribReader(StructuredGridReader):
+    def __init__(self, filename, name=None, variable_map=None):
+        files = filename if isinstance(filename, (list, tuple)) \
+            else [filename]
+        self.name = name or str(files[0])
+        msgs = []
+        for f in files:
+            msgs.extend(Grib2File(f).messages)
+        if variable_map:
+            for m in msgs:
+                if m.parameter_key in variable_map:
+                    m.standard_name = variable_map[m.parameter_key]
+        msgs = [m for m in msgs if m.standard_name is not None]
+        if not msgs:
+            raise ValueError(f"{self.name}: no mapped GRIB2 variables "
+                             "(pass variable_map={(disc, cat, num): name})")
+        # all messages must share one grid
+        g0 = msgs[0]
+        for m in msgs:
+            if m.shape != g0.shape or m.proj4 != g0.proj4:
+                raise ValueError(f"{self.name}: mixed grids in GRIB file "
+                                 "are not supported")
+        self.proj4 = g0.proj4
+        self.x = g0.x
+        self.y = g0.y
+        self.depths = None
+        # frame index: (std, time) -> message closest to the surface
+        self._frames = {}
+        for m in msgs:
+            key = (m.standard_name, m.valid_time)
+            prev = self._frames.get(key)
+            if prev is None or abs(m.level) < abs(prev.level):
+                self._frames[key] = m
+        self.times = sorted({t for (_, t) in self._frames})
+        self.variables = sorted({v for (v, _) in self._frames})
+        self._var_has_z = {v: False for v in self.variables}
+        super().__init__()
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        when = self.times[ti]
+        m = self._frames.get((std, when))
+        if m is None:  # variable missing at this time: nearest frame
+            cands = [(abs((t - when).total_seconds()), mm)
+                     for (v, t), mm in self._frames.items() if v == std]
+            m = min(cands)[1]
+        return m.values()[yslice, xslice]
