@@ -29,6 +29,9 @@ _MODEL_REGISTRY = {
     "RadionuclideDrift": "opendrift_tpu.models.radionuclides",
     "ChemicalDrift": "opendrift_tpu.models.chemicaldrift",
     "SeaLice": "opendrift_tpu.models.sealice",
+    "OpenHNS": "opendrift_tpu.models.legacy",
+    "OpenBergOld": "opendrift_tpu.models.legacy",
+    "ModelTemplate": "opendrift_tpu.models.model_template",
 }
 
 

@@ -39,7 +39,8 @@ class UnstructuredReader(StructuredGridReader):
         self.x = self._regrid.lons
         self.y = self._regrid.lats
         self.proj4 = "+proj=latlong"
-        self.depths = None
+        if not hasattr(self, "depths"):
+            self.depths = None
         super(UnstructuredReader, self).__init__()
 
     def _read_frame(self, std, ti, zslice, yslice, xslice):
@@ -107,6 +108,168 @@ class TelemacReader(UnstructuredReader):
     def _node_values(self, std, ti):
         vals = self._slf.read_variable(self._name_index[std], ti)
         return vals[self._surf]
+
+
+class SCHISMReader(UnstructuredReader):
+    """SCHISM native output (reference: opendrift/readers/
+    reader_schism_native.py:18-300).  Node coordinates are projected
+    (``SCHISM_hgrid_node_x/y``) — pass the model ``proj4``.  Supports
+    depth-averaged ``dahv`` and, with ``use_3d=True``, ``hvel`` columns
+    interpolated from the time-varying ``zcor`` levels onto fixed target
+    depths at load time."""
+
+    SCALAR_VARS = {
+        "elev": "sea_surface_height",
+        "depth": "sea_floor_depth_below_sea_level",
+        "salt": "sea_water_salinity",
+        "temp": "sea_water_temperature",
+    }
+
+    def __init__(self, filename, proj4, use_3d=False, target_depths=None,
+                 resolution_deg=None, name=None):
+        from ..utils import crs as crslib
+        self._ds = ncio.open_dataset(filename)
+        self.name = name or filename
+        ds = self._ds
+        x = np.asarray(ds.variables["SCHISM_hgrid_node_x"][:],
+                       dtype=np.float64).ravel()
+        y = np.asarray(ds.variables["SCHISM_hgrid_node_y"][:],
+                       dtype=np.float64).ravel()
+        # coordinate arrays may be tiled (time, node) in some files
+        mesh_crs = crslib.from_proj4(proj4)
+        self._node_lon, self._node_lat = mesh_crs.inv(np, x, y)
+        tv = ds.variables["time"]
+        self.times = list(ncio.parse_cf_time(
+            tv.attrs.get("units", "seconds since 1970-01-01"), tv[:]))
+        self._use_3d = use_3d and "hvel" in ds.variables
+        self.variables = []
+        self._var_has_z = {}
+        for raw, std in self.SCALAR_VARS.items():
+            if raw in ds.variables:
+                self.variables.append(std)
+                self._var_has_z[std] = False
+        if self._use_3d or "dahv" in ds.variables:
+            for std in ("x_sea_water_velocity", "y_sea_water_velocity"):
+                self.variables.append(std)
+                self._var_has_z[std] = self._use_3d
+        self.variables.append("land_binary_mask")
+        self._var_has_z["land_binary_mask"] = False
+        if self._use_3d:
+            if target_depths is None:
+                hmax = float(np.nanmax(np.asarray(
+                    ds.variables["depth"][:])))
+                from .roms import DEFAULT_DEPTHS
+                target_depths = DEFAULT_DEPTHS[
+                    DEFAULT_DEPTHS <= max(hmax, 5.0)]
+            self.depths = np.asarray(target_depths, dtype=np.float32)
+        else:
+            self.depths = None
+        super().__init__(resolution_deg=resolution_deg)
+
+    def _velocity_nodes(self, comp, ti):
+        """(n_nodes,) for 2D dahv, or (L, n_nodes) from hvel columns."""
+        ds = self._ds
+        if not self._use_3d:
+            v = ds.variables["dahv"]
+            return ncio.cf_unpack(v, v[ti])[..., comp]
+        hvel = ncio.cf_unpack(ds.variables["hvel"],
+                              ds.variables["hvel"][ti])  # (node, lev, 2)
+        zcor = ncio.cf_unpack(ds.variables["zcor"],
+                              ds.variables["zcor"][ti])  # (node, lev)
+        data = hvel[..., comp]
+        out = np.empty((len(self.depths), data.shape[0]), np.float32)
+        S = zcor.shape[1]
+        for li, d in enumerate(self.depths):
+            zt = -float(d)
+            k = np.clip(np.sum(zcor < zt, axis=1), 1, S - 1)
+            z_lo = np.take_along_axis(zcor, (k - 1)[:, None], 1)[:, 0]
+            z_hi = np.take_along_axis(zcor, k[:, None], 1)[:, 0]
+            v_lo = np.take_along_axis(data, (k - 1)[:, None], 1)[:, 0]
+            v_hi = np.take_along_axis(data, k[:, None], 1)[:, 0]
+            denom = np.where(z_hi != z_lo, z_hi - z_lo, 1.0)
+            w = np.clip((zt - z_lo) / denom, 0.0, 1.0)
+            out[li] = v_lo * (1.0 - w) + w * v_hi
+        return out
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        if std == "land_binary_mask":
+            return super()._read_frame(std, ti, zslice, yslice, xslice)
+        comp = {"x_sea_water_velocity": 0, "y_sea_water_velocity": 1}
+        if std in comp:
+            vals = self._velocity_nodes(comp[std], ti)
+            out = self._regrid(vals)
+            if out.ndim == 3:
+                return out[zslice, yslice, xslice]
+            return out[yslice, xslice]
+        raw = next(k for k, v in self.SCALAR_VARS.items() if v == std)
+        var = self._ds.variables[raw]
+        if "time" in var.dimensions:
+            vals = ncio.cf_unpack(var, var[ti])
+        else:
+            vals = ncio.cf_unpack(var, var[:])
+        return self._regrid(vals.ravel())[yslice, xslice]
+
+
+class SHYFEMReader(UnstructuredReader):
+    """SHYFEM unstructured output (reference: opendrift/readers/
+    unstructured/shyfem.py:20-240): geographic node coordinates
+    (``longitude``/``latitude``), fixed ``level`` depths (positive down,
+    layer bottoms), variables identified by their ``standard_name``."""
+
+    NAME_MAP = {
+        "sea_floor_depth_below_sea_surface":
+            "sea_floor_depth_below_sea_level",
+        "eastward_sea_water_velocity": "x_sea_water_velocity",
+        "northward_sea_water_velocity": "y_sea_water_velocity",
+    }
+
+    def __init__(self, filename, resolution_deg=None, name=None):
+        self._ds = ncio.open_dataset(filename)
+        self.name = name or filename
+        ds = self._ds
+        self._node_lon = np.asarray(ds.variables["longitude"][:],
+                                    dtype=np.float64).ravel()
+        self._node_lat = np.asarray(ds.variables["latitude"][:],
+                                    dtype=np.float64).ravel()
+        tv = ds.variables["time"]
+        self.times = list(ncio.parse_cf_time(
+            tv.attrs.get("units", "seconds since 1970-01-01"), tv[:]))
+        # layer-bottom depths -> layer-centre depths (reference
+        # shyfem.py:97-102)
+        lv = np.asarray(ds.variables["level"][:], dtype=np.float64).ravel()
+        centres = lv - np.diff(np.concatenate([[0.0], lv])) / 2.0
+        self._levels = centres.astype(np.float32)
+        self._sources = {}
+        self.variables = []
+        self._var_has_z = {}
+        for vn, var in ds.variables.items():
+            if vn in ("time", "longitude", "latitude", "level"):
+                continue
+            std = var.attrs.get("standard_name", vn)
+            std = self.NAME_MAP.get(std, std)
+            if std in self._sources:
+                continue
+            has_z = "level" in var.dimensions
+            self._sources[std] = (vn, has_z)
+            self._var_has_z[std] = has_z
+            self.variables.append(std)
+        self.variables.append("land_binary_mask")
+        self._var_has_z["land_binary_mask"] = False
+        self.depths = self._levels if any(
+            h for _, h in self._sources.values()) else None
+        super().__init__(resolution_deg=resolution_deg)
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        if std == "land_binary_mask":
+            return super()._read_frame(std, ti, zslice, yslice, xslice)
+        vn, has_z = self._sources[std]
+        var = self._ds.variables[vn]
+        vals = ncio.cf_unpack(
+            var, var[ti] if "time" in var.dimensions else var[:])
+        if has_z:  # (level, node)
+            out = self._regrid(vals)
+            return out[zslice, yslice, xslice]
+        return self._regrid(vals.ravel())[yslice, xslice]
 
 
 class FVCOMReader(UnstructuredReader):

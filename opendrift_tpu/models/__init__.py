@@ -13,9 +13,12 @@ from .larvalfish import LarvalFish
 from .sealice import SeaLice
 from .radionuclides import RadionuclideDrift
 from .chemicaldrift import ChemicalDrift
+from .legacy import OpenHNS, OpenBergOld
+from .model_template import ModelTemplate
 
 __all__ = ["OpenDriftSimulation", "Mode", "StepContext", "OceanDrift",
            "Lagrangian3DArray", "WindBlow", "SeaIceDrift",
            "PelagicEggDrift", "PlastDrift", "SedimentDrift", "Leeway",
            "ShipDrift", "OpenOil", "OpenBerg", "LarvalFish", "SeaLice",
-           "RadionuclideDrift", "ChemicalDrift"]
+           "RadionuclideDrift", "ChemicalDrift", "OpenHNS",
+           "OpenBergOld", "ModelTemplate"]

@@ -1216,6 +1216,11 @@ class StepContext(PhysicsContext):
         self._key_counter += 1
         return jax.random.fold_in(self._key, self._key_counter)
 
+    @property
+    def dt(self):
+        """Signed step length in seconds (negative for backward runs)."""
+        return self.params["dt"]
+
     # -- state update helpers ---------------------------------------------
     @property
     def active(self):

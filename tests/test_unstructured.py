@@ -170,3 +170,149 @@ def test_fvcom_drift_run(fvcom_file):
     dlat = lat[:, -1] - lat[:, 0]
     assert np.all(dlat > 0.003)
     assert np.all(dlat < 0.009)
+
+
+@pytest.fixture
+def schism_file(tmp_path):
+    """Synthetic SCHISM output: projected nodes, dahv + 3D hvel/zcor."""
+    from scipy.io import netcdf_file
+    rng = np.random.default_rng(11)
+    n, nlev = 250, 5
+    # NZTM-like local transverse mercator around (173E, 40S)
+    from opendrift_tpu.utils import crs as crslib
+    proj = ("+proj=tmerc +lat_0=0 +lon_0=173 +k_0=0.9996 +x_0=1600000 "
+            "+y_0=10000000 +ellps=WGS84 +units=m")
+    p = crslib.from_proj4(proj)
+    lon = rng.uniform(172.5, 173.5, n)
+    lat = rng.uniform(-40.5, -39.5, n)
+    x, y = p.fwd(np, lon, lat)
+    depth = np.full(n, 40.0)
+    # zcor: evenly spaced levels from -depth to 0 per node
+    zcor = np.linspace(-depth, 0.0, nlev).T  # (node, lev) ascending
+    # hvel: u = 0.1 at surface decaying to 0 at bottom; v = const 0.05
+    frac = (zcor + depth[:, None]) / depth[:, None]
+    u3 = 0.1 * frac
+    v3 = np.full_like(u3, 0.05)
+    path = str(tmp_path / "schism.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("time", 2)
+    f.createDimension("node", n)
+    f.createDimension("lev", nlev)
+    f.createDimension("two", 2)
+    for nm, data in [("SCHISM_hgrid_node_x", x),
+                     ("SCHISM_hgrid_node_y", y), ("depth", depth)]:
+        v = f.createVariable(nm, "d", ("node",))
+        v[:] = data
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = [0.0, 3600.0]
+    t.units = b"seconds since 2021-06-01 00:00:00"
+    ev = f.createVariable("elev", "d", ("time", "node"))
+    ev[:] = 0.1
+    hv = f.createVariable("hvel", "d", ("time", "node", "lev", "two"))
+    hv[:] = np.stack([np.stack([u3, v3], axis=-1)] * 2)
+    zc = f.createVariable("zcor", "d", ("time", "node", "lev"))
+    zc[:] = np.stack([zcor] * 2)
+    dv = f.createVariable("dahv", "d", ("time", "node", "two"))
+    dv[:] = np.stack([np.stack([0.05 * np.ones(n), 0.05 * np.ones(n)],
+                               axis=-1)] * 2)
+    f.close()
+    return path, proj
+
+
+def test_schism_reader_3d(schism_file):
+    from opendrift_tpu.fields.unstructured import SCHISMReader
+    path, proj = schism_file
+    r = SCHISMReader(path, proj4=proj, use_3d=True, resolution_deg=0.05)
+    assert "x_sea_water_velocity" in r.variables
+    assert r._var_has_z["x_sea_water_velocity"]
+    assert r.depths is not None and len(r.depths) >= 3
+    u = r._read_frame("x_sea_water_velocity", 0, slice(None),
+                      slice(None), slice(None))
+    assert u.ndim == 3
+    # u decays from 0.1 at surface to 0 at 40 m
+    surf = np.nanmedian(u[0])
+    i20 = int(np.argmin(np.abs(np.asarray(r.depths) - 20.0)))
+    mid = np.nanmedian(u[i20])
+    assert abs(surf - 0.1) < 0.01
+    assert abs(mid - 0.05) < 0.01
+
+
+def test_schism_reader_2d_dahv(schism_file):
+    from opendrift_tpu.fields.unstructured import SCHISMReader
+    path, proj = schism_file
+    r = SCHISMReader(path, proj4=proj, use_3d=False, resolution_deg=0.05)
+    assert not r._var_has_z["x_sea_water_velocity"]
+    u = r._read_frame("x_sea_water_velocity", 0, slice(None),
+                      slice(None), slice(None))
+    assert u.ndim == 2
+    assert abs(np.nanmedian(u) - 0.05) < 0.005
+
+
+@pytest.fixture
+def shyfem_file(tmp_path):
+    """Synthetic SHYFEM output: geographic nodes, level-resolved u/v."""
+    from scipy.io import netcdf_file
+    rng = np.random.default_rng(13)
+    n, nlev = 220, 4
+    lon = rng.uniform(12.5, 13.5, n)
+    lat = rng.uniform(40.0, 40.8, n)
+    levels = np.array([2.0, 10.0, 30.0, 80.0])  # layer bottoms
+    path = str(tmp_path / "shyfem.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("time", 2)
+    f.createDimension("node", n)
+    f.createDimension("level", nlev)
+    for nm, data in [("longitude", lon), ("latitude", lat)]:
+        v = f.createVariable(nm, "d", ("node",))
+        v[:] = data
+    lv = f.createVariable("level", "d", ("level",))
+    lv[:] = levels
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = [0.0, 1.0]
+    t.units = b"hours since 2022-03-01 00:00:00"
+    u = f.createVariable("u_velocity", "d", ("time", "level", "node"))
+    prof = np.array([0.2, 0.1, 0.05, 0.0])
+    u[:] = np.broadcast_to(prof[None, :, None], (2, nlev, n)).copy()
+    u.standard_name = b"eastward_sea_water_velocity"
+    s = f.createVariable("salinity", "d", ("time", "level", "node"))
+    s[:] = 38.0
+    s.standard_name = b"sea_water_salinity"
+    b = f.createVariable("total_depth", "d", ("node",))
+    b[:] = 100.0
+    b.standard_name = b"sea_floor_depth_below_sea_surface"
+    f.close()
+    return path
+
+
+def test_shyfem_reader(shyfem_file):
+    from opendrift_tpu.fields.unstructured import SHYFEMReader
+    r = SHYFEMReader(shyfem_file, resolution_deg=0.05)
+    assert "x_sea_water_velocity" in r.variables
+    assert "sea_water_salinity" in r.variables
+    assert "sea_floor_depth_below_sea_level" in r.variables
+    # layer centres: bottoms [2,10,30,80] -> [1, 6, 20, 55]
+    assert np.allclose(np.asarray(r.depths), [1.0, 6.0, 20.0, 55.0])
+    u = r._read_frame("x_sea_water_velocity", 0, slice(None),
+                      slice(None), slice(None))
+    assert u.ndim == 3
+    assert abs(np.nanmedian(u[0]) - 0.2) < 0.01
+    assert abs(np.nanmedian(u[2]) - 0.05) < 0.01
+    h = r._read_frame("sea_floor_depth_below_sea_level", 0, slice(None),
+                      slice(None), slice(None))
+    assert abs(np.nanmedian(h) - 100.0) < 0.1
+
+
+def test_shyfem_drift_run(shyfem_file):
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import SHYFEMReader
+    m = OceanDrift(loglevel=50)
+    r = SHYFEMReader(shyfem_file, resolution_deg=0.05)
+    m.add_reader(r)
+    m.set_config("general:use_auto_landmask", False)
+    # seed at 20 m depth: u there is 0.05 m/s
+    m.seed_elements(lon=13.0, lat=40.4, time=r.times[0], number=4, z=-20.0)
+    m.run(duration=timedelta(minutes=50), time_step=600)
+    lon = np.asarray(m.result["lon"])
+    dx_m = (lon[:, -1] - lon[:, 0]) * np.cos(np.radians(40.4)) * 111320
+    # 3000 s * 0.05 m/s = 150 m
+    assert np.all(np.abs(dx_m - 150.0) < 30.0)
