@@ -8,6 +8,8 @@ Layout matches the reference: dims (trajectory, time), CF featureType
 "trajectory", config round-tripped through ``config_*`` global attributes.
 """
 
+import os
+
 import numpy as np
 from scipy.io import netcdf_file
 
@@ -60,6 +62,65 @@ def write_result(result, filename):
         f.flush()
     finally:
         f.close()
+
+
+class IncrementalWriter:
+    """Crash-safe buffered trajectory export (reference:
+    export/io_netcdf.py:30-104 buffered append on the unlimited time
+    dimension, with a final rewrite to the fixed-dim layout).
+
+    Frames are appended to ``filename`` with time as the NetCDF record
+    dimension, i.e. variables are (time, trajectory); a run killed
+    mid-way leaves a readable file with every flushed output step.  On
+    ``finalize(result)`` the file is atomically replaced by the standard
+    (trajectory, time) layout of :func:`write_result`."""
+
+    def __init__(self, filename, n_trajectories):
+        self.filename = filename
+        self.n = n_trajectories
+        self._f = netcdf_file(filename, "w", version=2)
+        self._f.createDimension("time", None)  # record dim (must be 1st)
+        self._f.createDimension("trajectory", n_trajectories)
+        v = self._f.createVariable("trajectory", "i", ("trajectory",))
+        v[:] = np.arange(1, n_trajectories + 1, dtype=np.int32)
+        v.cf_role = "trajectory_id"
+        self._tvar = self._f.createVariable("time", "d", ("time",))
+        self._tvar.units = "seconds since 1970-01-01 00:00:00"
+        self._vars = {}
+        self._written = 0
+
+    def append(self, frames, frame_times):
+        """frames: list of {name: (N,) array}; times: list of datetimes."""
+        if not frames:
+            return
+        for name in frames[0]:
+            if name not in self._vars:
+                flt = np.issubdtype(frames[0][name].dtype, np.floating)
+                self._vars[name] = self._f.createVariable(
+                    name, "f" if flt else "i", ("time", "trajectory"))
+        t0 = self._written
+        for i, (fr, when) in enumerate(zip(frames, frame_times)):
+            self._tvar[t0 + i] = (np.datetime64(when, "s")
+                                  - EPOCH).astype("float64")
+            for name, vals in fr.items():
+                v = self._vars[name]
+                v[t0 + i] = vals.astype(
+                    np.float32 if v.typecode() == "f" else np.int32)
+        self._written += len(frames)
+        self._f.flush()
+
+    def finalize(self, result):
+        """Replace the record-layout file with the standard layout."""
+        self._f.close()
+        tmp = self.filename + ".tmp"
+        write_result(result, tmp)
+        os.replace(tmp, self.filename)
+
+    def abort_close(self):
+        try:
+            self._f.close()
+        except Exception:
+            pass
 
 
 def read_result(filename):

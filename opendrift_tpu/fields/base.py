@@ -108,6 +108,11 @@ class BaseReader:
     def _covers_xy_host(self, x, y):
         ok = np.ones(np.shape(x), dtype=bool)
         if self.xmin is not None:
+            # geographic grids: honour the file's longitude convention
+            # (0..360 vs -180..180) before the range test
+            if getattr(self.crs, "is_latlon", False):
+                x = np.where(x > self.xmax, x - 360.0, x)
+                x = np.where(x < self.xmin, x + 360.0, x)
             ok &= (x >= self.xmin) & (x <= self.xmax)
         if self.ymin is not None:
             ok &= (y >= self.ymin) & (y <= self.ymax)

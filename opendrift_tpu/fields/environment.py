@@ -173,7 +173,7 @@ class Environment:
 
     # ------------------------------------------------------ device sampling
     def get_environment(self, dev_states, varnames, t, lon, lat, z,
-                        key=None):
+                        key=None, member=None):
         """The fused on-device equivalent of reference
         ``Environment.get_environment`` (environment.py:499-923).
 
@@ -194,7 +194,13 @@ class Environment:
                     and reader.name in self.priority_list.get(v, [])]
             if not want:
                 continue
-            vals, covers = reader.sample(dev_state, want, t, lon, lat, z)
+            if member is not None and getattr(reader, "ensemble_size",
+                                              1) > 1:
+                vals, covers = reader.sample(dev_state, want, t, lon,
+                                             lat, z, member=member)
+            else:
+                vals, covers = reader.sample(dev_state, want, t, lon,
+                                             lat, z)
             for v in want:
                 good = missing[v] & covers & jnp.isfinite(vals[v])
                 env[v] = jnp.where(good, vals[v], env[v])

@@ -161,13 +161,17 @@ class StructuredGridReader(BaseReader):
         i0 = int(np.clip(i0, 0, max(n - F, 0)))
         return list(range(i0, min(i0 + F, n)))
 
-    def _load_frame(self, std, ti):
+    def _load_frame(self, std, ti, member=0):
         """Scrubbed, NaN-filled frame (host, cached)."""
-        key = (std, ti)
+        key = (std, ti, member)
         if key in self._frame_cache:
             return self._frame_cache[key]
         zsl = slice(None)
-        raw = self._read_frame(std, ti, zsl, self._iy, self._ix)
+        if getattr(self, "ensemble_size", 1) > 1:
+            raw = self._read_frame(std, ti, zsl, self._iy, self._ix,
+                                   member)
+        else:
+            raw = self._read_frame(std, ti, zsl, self._iy, self._ix)
         arr = np.asarray(raw, dtype=np.float32)
         if self._flip_x:
             arr = arr[..., ::-1]
@@ -215,28 +219,36 @@ class StructuredGridReader(BaseReader):
         x_paired = (Z * ny * nx * max(C, 1) * 2 * 4) < 256e6 and C > 0
         self._sampler = PackedSampler(Z, ny, nx, F, col_of, x_paired)
 
+        M = getattr(self, "ensemble_size", 1)
         out = {}
         if C > 0:
-            packed = np.empty((Z, ny, nx, C), dtype=np.float32)
-            for v in self._group3:
-                c0 = col_of[v][0]
-                for fi, ti in enumerate(tidx):
-                    packed[:, :, :, c0 + fi] = self._load_frame(v, ti)
-            for v in self._group2:
-                c0 = col_of[v][0]
-                for fi, ti in enumerate(tidx):
-                    packed[:, :, :, c0 + fi] = \
-                        self._load_frame(v, ti)[None, :, :]
-            packed = packed.reshape(Z * ny * nx, C)
-            if x_paired:
-                # append the x+1 neighbour's row: one gather covers the
-                # x-pair of the bilinear stencil
-                nxt = packed.reshape(Z, ny, nx, C)
-                shifted = np.concatenate(
-                    [nxt[:, :, 1:], nxt[:, :, -1:]], axis=2)
-                packed = np.concatenate(
-                    [nxt, shifted], axis=3).reshape(Z * ny * nx, 2 * C)
-            out["packed"] = jnp.asarray(packed)
+            blocks = []
+            for m in range(M):
+                packed = np.empty((Z, ny, nx, C), dtype=np.float32)
+                for v in self._group3:
+                    c0 = col_of[v][0]
+                    for fi, ti in enumerate(tidx):
+                        packed[:, :, :, c0 + fi] = \
+                            self._load_frame(v, ti, m)
+                for v in self._group2:
+                    c0 = col_of[v][0]
+                    for fi, ti in enumerate(tidx):
+                        packed[:, :, :, c0 + fi] = \
+                            self._load_frame(v, ti, m)[None, :, :]
+                packed = packed.reshape(Z * ny * nx, C)
+                if x_paired:
+                    # append the x+1 neighbour's row: one gather covers
+                    # the x-pair of the bilinear stencil
+                    nxt = packed.reshape(Z, ny, nx, C)
+                    shifted = np.concatenate(
+                        [nxt[:, :, 1:], nxt[:, :, -1:]], axis=2)
+                    packed = np.concatenate(
+                        [nxt, shifted], axis=3).reshape(Z * ny * nx,
+                                                        2 * C)
+                blocks.append(packed)
+            # member m's rows start at m * Z*ny*nx
+            out["packed"] = jnp.asarray(np.concatenate(blocks, axis=0)
+                                        if M > 1 else blocks[0])
         if self._groups:
             out["bs"] = jnp.asarray(np.stack(
                 [self._load_frame(v, 0) for v in self._groups]))
@@ -253,15 +265,29 @@ class StructuredGridReader(BaseReader):
     # ---------------------------------------------------------- sampling -
     def _grid_indices(self, lon, lat):
         x, y = self.crs.fwd(jnp, lon, lat)
+        # geographic grids: map particle longitudes into the file's lon
+        # convention, incl. dateline wrap for global 0..360 grids
+        # (reference reader_netCDF_CF_generic.py:452-466 split-and-concat)
+        if getattr(self.crs, "is_latlon", False):
+            x = jnp.where(x > self.xmax, x - 360.0, x)
+            x = jnp.where(x < self.xmin, x + 360.0, x)
         x0 = self.x[self._ix][0]
         y0 = self.y[self._iy][0]
         xi = (x - x0) / self.delta_x
         yi = (y - y0) / self.delta_y
         return xi, yi
 
-    def sample(self, dev_state, varnames, t, lon, lat, z):
+    def sample(self, dev_state, varnames, t, lon, lat, z, member=None):
         xi, yi = self._grid_indices(lon, lat)
         covers = self._covers_idx(xi, yi)
+        # ensemble forcing: element -> member by round-robin on ID
+        # (reference reader_netCDF_CF_generic.py:560-569)
+        M = getattr(self, "ensemble_size", 1)
+        if M > 1 and member is not None:
+            row_offset = (member.astype(jnp.int32) % M) \
+                * (self._sampler.Z * self._sampler.Y * self._sampler.X)
+        else:
+            row_offset = 0
         # temporal coverage with one reader-step slack on either side
         times = dev_state["times"]
         if self.time_step is not None:
@@ -275,7 +301,8 @@ class StructuredGridReader(BaseReader):
         wants = [v for v in varnames if v in self._groups]
         if want_t:
             rows = self._sampler.gather_rows(dev_state["packed"], xi, yi,
-                                             depth, dev_state["depths"])
+                                             depth, dev_state["depths"],
+                                             row_offset=row_offset)
             values.update(self._sampler.values(rows, times, t, want_t))
         if wants:
             idx = [self._groups.index(v) for v in wants]

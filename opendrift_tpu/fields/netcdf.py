@@ -131,7 +131,7 @@ class NetCDFReader(StructuredGridReader):
     """CF NetCDF reader over regular 1D-coordinate grids."""
 
     def __init__(self, filename, name=None, proj4=None,
-                 standard_name_mapping=None):
+                 standard_name_mapping=None, shift_x=0.0, shift_y=0.0):
         if isinstance(filename, (list, tuple)):
             self._files = [ncio.open_dataset(f) for f in filename]
             self.name = name or str(filename[0])
@@ -171,6 +171,18 @@ class NetCDFReader(StructuredGridReader):
         # ---- vertical axis
         self._z_name, depths, self._z_positive_down = self._find_z(ds)
         self.depths = depths
+
+        # ---- ensemble axis (EPS forcing): members are served round-robin
+        # to elements (reference reader_netCDF_CF_generic.py:560-569)
+        self._ens_dim = None
+        self.ensemble_size = 1
+        for cand in ("realization", "ensemble_member", "member"):
+            if cand in ds.dimensions and (ds.dimensions[cand] or 0) > 1:
+                self._ens_dim = cand
+                self.ensemble_size = int(ds.dimensions[cand])
+                logger.info("%s: ensemble forcing with %d members",
+                            self.name, self.ensemble_size)
+                break
 
         # ---- variable mapping
         self._sources = {}        # std -> (var name, has_z, invert_sign)
@@ -232,8 +244,10 @@ class NetCDFReader(StructuredGridReader):
                         self._var_has_z["land_binary_mask"] = False
                         break
 
-        self.x = x
-        self.y = y
+        # hidden grid-registration correction, in grid units
+        # (reference reader_netCDF_CF_generic.py:609-624 shift_x/shift_y)
+        self.x = x + shift_x
+        self.y = y + shift_y
         super().__init__()
 
     # ------------------------------------------------------ autodetection
@@ -322,7 +336,7 @@ class NetCDFReader(StructuredGridReader):
         return None, None, True
 
     # ----------------------------------------------------------- reading -
-    def _read_frame(self, std, ti, zslice, yslice, xslice):
+    def _read_frame(self, std, ti, zslice, yslice, xslice, member=0):
         if std == "land_binary_mask":
             return self._land_raster[yslice, xslice]
         vname, has_z = self._sources[std]
@@ -341,8 +355,10 @@ class NetCDFReader(StructuredGridReader):
                 idx.append(yslice)
             elif d == ds.variables[self._x_name].dimensions[-1]:
                 idx.append(xslice)
+            elif d == self._ens_dim:
+                idx.append(member)
             else:
-                idx.append(0)  # e.g. singleton height/ensemble dims
+                idx.append(0)  # e.g. singleton height dims
         raw = var[tuple(idx)]
         out = ncio.cf_unpack(var, raw)
         if has_z and self._z_flip:

@@ -194,6 +194,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Shard elements over all visible devices "
                 "(data parallelism); forcing fields are replicated"},
+            "export:buffer_length": {
+                "type": "int", "default": 100, "min": 0, "max": 10 ** 6,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Flush the outfile every this many output "
+                "steps during the run (crash-safe incremental export); "
+                "0 writes only at the end"},
         })
 
     def _add_seed_configs(self):
@@ -653,6 +659,30 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.timer_start("main loop")
         frames = []
         frame_times = []
+        # crash-safe incremental export: flush every buffer_length output
+        # frames to the outfile with time as the record dimension
+        # (reference export_buffer_length, basemodel/__init__.py:2390)
+        writer = None
+        flushed = 0
+        buffer_length = self.get_config("export:buffer_length") or 0
+        if outfile is not None and buffer_length > 0:
+            from ..export.io_netcdf import IncrementalWriter
+            n_out = getattr(self, "_n_real_elements", None) \
+                or int(state.data["lon"].shape[0])
+            writer = IncrementalWriter(outfile, n_out)
+
+        def flush(force=False):
+            nonlocal flushed
+            if writer is None:
+                return
+            pending = frames[flushed:]
+            if pending and (force or len(pending) >= buffer_length):
+                n_real = getattr(self, "_n_real_elements", None)
+                writer.append(
+                    [{n: (v[..., :n_real] if n_real else v)
+                      for n, v in f.items()} for f in pending],
+                    frame_times[flushed:])
+                flushed = len(frames)
         try:
             for k in range(n_intervals):
                 t_rel = k * K * dt
@@ -666,6 +696,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 frames.append(jax.device_get(snap))
                 frame_times.append(self.start_time
                                    + timedelta(seconds=t_rel))
+                flush()
             # final snapshot at end time
             t_rel = n_intervals * K * dt
             dev_states = self.env.build_device_states(
@@ -675,6 +706,10 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             frame_times.append(self.start_time + timedelta(seconds=t_rel))
             self.state = jax.device_get(state)
         except Exception:
+            # leave the partial record-layout file readable
+            flush(force=True)
+            if writer is not None:
+                writer.abort_close()
             self.timer_end("main loop")
             raise
         self.timer_end("main loop")
@@ -682,8 +717,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.timer_start("postprocessing")
         self.result = self._assemble_result(frames, frame_times)
         if outfile is not None:
-            from ..export.io_netcdf import write_result
-            write_result(self.result, outfile)
+            if writer is not None:
+                flush(force=True)
+                writer.finalize(self.result)
+            else:
+                from ..export.io_netcdf import write_result
+                write_result(self.result, outfile)
         self.timer_end("postprocessing")
         self.timer_end("total time")
         self.mode = Mode.Result
@@ -933,6 +972,9 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         east = self.get_config("drift:deactivate_east_of")
         north = self.get_config("drift:deactivate_north_of")
         south = self.get_config("drift:deactivate_south_of")
+        # EPS ensemble forcing: elements ride members round-robin by ID
+        has_ensemble = any(getattr(r, "ensemble_size", 1) > 1
+                           for r in env.readers.values())
 
         def pre_update(state, dev_states, t_rel, tau, key):
             """Release, env fetch, deactivations, coastline/seafloor —
@@ -945,7 +987,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
 
             envs, missing = env.get_environment(
                 dev_states, env_vars, t_rel, d["lon"], d["lat"], d["z"],
-                key=key if env.uncertainty else None)
+                key=key if env.uncertainty else None,
+                member=d["ID"] if has_ensemble else None)
 
             # deactivate elements missing mandatory data (reference :2501)
             if no_fallback_vars:
@@ -1228,8 +1271,13 @@ class StepContext(PhysicsContext):
 
     def get_environment(self, varnames, t_rel, lon, lat, z):
         key = self.next_key() if self.sim.env.uncertainty else None
+        member = None
+        if any(getattr(r, "ensemble_size", 1) > 1
+               for r in self.sim.env.readers.values()):
+            member = self.state.data["ID"]
         envs, _ = self.sim.env.get_environment(
-            self.dev_states, varnames, t_rel, lon, lat, z, key=key)
+            self.dev_states, varnames, t_rel, lon, lat, z, key=key,
+            member=member)
         return envs
 
     def update_positions(self, x_vel, y_vel):

@@ -108,9 +108,14 @@ class PackedSampler:
         self.col_of = col_of        # var -> first column (frame 0)
         self.x_paired = x_paired
 
-    def gather_rows(self, packed, xi, yi, depth, depths):
+    def gather_rows(self, packed, xi, yi, depth, depths, row_offset=0):
         """4 (x_paired) or 8 corner gathers -> spatially interpolated
-        rows (N, C) plus the vertical bracketing already applied."""
+        rows (N, C) plus the vertical bracketing already applied.
+
+        ``row_offset``: per-element row offset into ``packed`` — used for
+        ensemble forcing, where member m's block starts at m*Z*Y*X
+        (reference: round-robin EPS member assignment,
+        interpolation/structured.py:120-134)."""
         Z, Y, X = self.Z, self.Y, self.X
         x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, max(X - 2, 0))
         y0 = jnp.clip(jnp.floor(yi).astype(jnp.int32), 0, max(Y - 2, 0))
@@ -132,14 +137,14 @@ class PackedSampler:
         if self.x_paired:
             half = C // 2
             def corner(zz, yy):
-                lin = (zz * Y + yy) * X + x0
+                lin = (zz * Y + yy) * X + x0 + row_offset
                 g = jnp.take(packed, lin, axis=0, mode="clip")
                 return g[:, :half] * (1.0 - fx) + g[:, half:] * fx
         else:
             x1 = jnp.minimum(x0 + 1, X - 1)
             def corner(zz, yy):
-                lin0 = (zz * Y + yy) * X + x0
-                lin1 = (zz * Y + yy) * X + x1
+                lin0 = (zz * Y + yy) * X + x0 + row_offset
+                lin1 = (zz * Y + yy) * X + x1 + row_offset
                 a = jnp.take(packed, lin0, axis=0, mode="clip")
                 b = jnp.take(packed, lin1, axis=0, mode="clip")
                 return a * (1.0 - fx) + b * fx

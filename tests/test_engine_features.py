@@ -105,3 +105,45 @@ def test_stranding_position_bisected():
     assert inside.all()          # stranded on land...
     back = shape.contains(final_lon - 0.06, final_lat)  # ...but barely
     assert not back.any()
+
+
+def test_incremental_export_matches_memory(tmp_path):
+    """Buffered outfile flushes during the run and finalizes to the
+    standard layout identical to the in-memory result (reference
+    export_buffer_length machinery, basemodel/__init__.py:2390)."""
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+    from opendrift_tpu.export.io_netcdf import read_result
+    out = str(tmp_path / "inc.nc")
+    o = OceanDrift(loglevel=50)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.2,
+                                 "y_sea_water_velocity": 0.0}))
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("export:buffer_length", 3)
+    o.seed_elements(lon=4.0, lat=60.0, number=7,
+                    time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=6), time_step=900,
+          time_step_output=1800, outfile=out)
+    r = read_result(out)
+    assert r.dims == {"trajectory": 7, "time": 13}
+    assert np.allclose(r["lon"].values, np.asarray(o.result["lon"]),
+                       equal_nan=True)
+
+
+def test_incremental_export_partial_file_readable(tmp_path):
+    """A file left behind by a crashed run is a valid record-layout
+    NetCDF with all flushed frames."""
+    from opendrift_tpu.export.io_netcdf import IncrementalWriter
+    from scipy.io import netcdf_file
+    path = str(tmp_path / "partial.nc")
+    w = IncrementalWriter(path, 5)
+    w.append([{"lon": np.full(5, 4.0, np.float32),
+               "status": np.zeros(5, np.int32)},
+              {"lon": np.full(5, 4.1, np.float32),
+               "status": np.zeros(5, np.int32)}],
+             [datetime(2020, 1, 1), datetime(2020, 1, 1, 1)])
+    w.abort_close()  # crash before finalize
+    f = netcdf_file(path, "r", mmap=False)
+    assert f.variables["lon"].shape[0] == 2
+    assert np.allclose(f.variables["lon"][1], 4.1)
+    f.close()
