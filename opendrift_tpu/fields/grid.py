@@ -216,8 +216,21 @@ class StructuredGridReader(BaseReader):
             col_of[v] = (col, "t")
             col += F
         C = col
-        x_paired = (Z * ny * nx * max(C, 1) * 2 * 4) < 256e6 and C > 0
-        self._sampler = PackedSampler(Z, ny, nx, F, col_of, x_paired)
+        # neighbour-packing tier from the 256 MB row-array budget.
+        # Measured on v5e: 'x' (4 gathers) beats 'none' (8) by ~1.3x;
+        # 'xy' (2 gathers, 2x wider rows) moves the same bytes for no
+        # time gain and ~17x the compile time, so it is opt-in only
+        # (useful when rows are very narrow and index cost dominates).
+        import os as _os
+        base_bytes = Z * ny * nx * max(C, 1) * 4
+        if C > 0 and base_bytes * 4 < 256e6 \
+                and _os.environ.get("OPENDRIFT_XY_PAIR") == "1":
+            pair_mode = "xy"
+        elif C > 0 and base_bytes * 2 < 256e6:
+            pair_mode = "x"
+        else:
+            pair_mode = "none"
+        self._sampler = PackedSampler(Z, ny, nx, F, col_of, pair_mode)
 
         M = getattr(self, "ensemble_size", 1)
         out = {}
@@ -235,17 +248,22 @@ class StructuredGridReader(BaseReader):
                     for fi, ti in enumerate(tidx):
                         packed[:, :, :, c0 + fi] = \
                             self._load_frame(v, ti, m)[None, :, :]
-                packed = packed.reshape(Z * ny * nx, C)
-                if x_paired:
-                    # append the x+1 neighbour's row: one gather covers
-                    # the x-pair of the bilinear stencil
-                    nxt = packed.reshape(Z, ny, nx, C)
-                    shifted = np.concatenate(
-                        [nxt[:, :, 1:], nxt[:, :, -1:]], axis=2)
-                    packed = np.concatenate(
-                        [nxt, shifted], axis=3).reshape(Z * ny * nx,
-                                                        2 * C)
-                blocks.append(packed)
+                if pair_mode != "none":
+                    # append neighbour rows so one gather covers the
+                    # x-pair ('x') or the full bilinear stencil ('xy')
+                    def shift_x(a):
+                        return np.concatenate([a[:, :, 1:], a[:, :, -1:]],
+                                              axis=2)
+
+                    def shift_y(a):
+                        return np.concatenate([a[:, 1:], a[:, -1:]],
+                                              axis=1)
+                    variants = [packed, shift_x(packed)]
+                    if pair_mode == "xy":
+                        variants += [shift_y(packed),
+                                     shift_x(shift_y(packed))]
+                    packed = np.concatenate(variants, axis=3)
+                blocks.append(packed.reshape(Z * ny * nx, -1))
             # member m's rows start at m * Z*ny*nx
             out["packed"] = jnp.asarray(np.concatenate(blocks, axis=0)
                                         if M > 1 else blocks[0])

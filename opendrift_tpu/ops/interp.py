@@ -97,16 +97,25 @@ class PackedSampler:
     variable per layer, interpolation/structured.py:107-163) needs
     O(16 x n_vars) indices per sample.  Here the host packs, for every
     (z, y, x) cell, ALL variables x ALL window frames (plus, optionally,
-    the x+1 neighbour) into one contiguous row of a (Z*Y*X, C) array; a
-    sample then needs only 4 gathers (x packed) or 8 (x unpacked)
-    regardless of variable count, and the RK stage refetches ride the
-    same rows for free."""
+    the x+1 / y+1 / diagonal neighbours) into one contiguous row of a
+    (Z*Y*X, C*k) array; a sample then needs only 2 gathers (xy packed,
+    k=4), 4 (x packed, k=2) or 8 (unpacked) regardless of variable
+    count, and the RK stage refetches ride the same rows for free.
 
-    def __init__(self, Z, Y, X, n_frames, col_of, x_paired):
+    ``pair_mode``: 'xy' | 'x' | 'none' — chosen by the host packer from
+    the 256 MB row-array budget."""
+
+    def __init__(self, Z, Y, X, n_frames, col_of, pair_mode):
         self.Z, self.Y, self.X = Z, Y, X
         self.F = n_frames
         self.col_of = col_of        # var -> first column (frame 0)
-        self.x_paired = x_paired
+        if pair_mode is True or pair_mode is False:  # legacy bool
+            pair_mode = "x" if pair_mode else "none"
+        self.pair_mode = pair_mode
+
+    @property
+    def x_paired(self):
+        return self.pair_mode in ("x", "xy")
 
     def gather_rows(self, packed, xi, yi, depth, depths, row_offset=0):
         """4 (x_paired) or 8 corner gathers -> spatially interpolated
@@ -134,7 +143,22 @@ class PackedSampler:
         y1 = jnp.minimum(y0 + 1, Y - 1)
 
         C = packed.shape[-1]
-        if self.x_paired:
+        if self.pair_mode == "xy":
+            # columns: [base | x+1 | y+1 | x+1,y+1]; one gather yields
+            # the full bilinear stencil -> 2 gathers total (z0, z1)
+            q = C // 4
+            def plane(zz):
+                lin = (zz * Y + y0) * X + x0 + row_offset
+                g = jnp.take(packed, lin, axis=0, mode="clip")
+                row_y0 = g[:, :q] * (1.0 - fx) + g[:, q:2 * q] * fx
+                row_y1 = g[:, 2 * q:3 * q] * (1.0 - fx) + g[:, 3 * q:] * fx
+                return row_y0 * (1.0 - fy) + row_y1 * fy
+            rz0 = plane(z0)
+            if Z > 1:
+                rz1 = plane(z1)
+                return rz0 * (1.0 - fz) + rz1 * fz
+            return rz0
+        if self.pair_mode == "x":
             half = C // 2
             def corner(zz, yy):
                 lin = (zz * Y + yy) * X + x0 + row_offset

@@ -98,3 +98,51 @@ def test_fill_towards_seafloor():
     out = fill_towards_seafloor(a)
     assert out[2, 0, 0] == 1.0
     assert np.isfinite(out).all()
+
+
+def test_packed_sampler_pair_modes_agree():
+    """'none', 'x' and 'xy' neighbour-packing tiers give identical
+    samples (xy is opt-in via $OPENDRIFT_XY_PAIR; this exercises the
+    kernel directly)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opendrift_tpu.ops.interp import PackedSampler
+    rng = np.random.default_rng(5)
+    Z, Y, X, F = 4, 20, 25, 2
+    n_vars = 3
+    C = n_vars * F
+    base = rng.standard_normal((Z, Y, X, C)).astype(np.float32)
+
+    def build(mode):
+        if mode == "none":
+            p = base
+        else:
+            sx = np.concatenate([base[:, :, 1:], base[:, :, -1:]],
+                                axis=2)
+            variants = [base, sx]
+            if mode == "xy":
+                sy = np.concatenate([base[:, 1:], base[:, -1:]], axis=1)
+                sxy = np.concatenate([sy[:, :, 1:], sy[:, :, -1:]],
+                                     axis=2)
+                variants += [sy, sxy]
+            p = np.concatenate(variants, axis=3)
+        return jnp.asarray(p.reshape(Z * Y * X, -1))
+
+    N = 500
+    xi = jnp.asarray(rng.uniform(0, X - 1.01, N).astype(np.float32))
+    yi = jnp.asarray(rng.uniform(0, Y - 1.01, N).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0, 25, N).astype(np.float32))
+    depths = jnp.asarray(np.linspace(0, 30, Z).astype(np.float32))
+    col_of = {f"v{i}": (i * F, "t") for i in range(n_vars)}
+    times = jnp.asarray([0.0, 3600.0])
+
+    results = {}
+    for mode in ("none", "x", "xy"):
+        s = PackedSampler(Z, Y, X, F, col_of, mode)
+        rows = s.gather_rows(build(mode), xi, yi, depth, depths)
+        results[mode] = s.values(rows, times, jnp.float32(1200.0),
+                                 list(col_of))
+    for v in col_of:
+        a = np.asarray(results["none"][v])
+        assert np.allclose(a, np.asarray(results["x"][v]), atol=1e-5)
+        assert np.allclose(a, np.asarray(results["xy"][v]), atol=1e-5)

@@ -1,0 +1,85 @@
+"""North-star demo: multi-million-particle RK4 drift in real ROMS
+forcing (BASELINE.md: '10M-particle NorKyst RK4 drift run ... measured
+at 1 chip').  Reports steady-state particle-steps/s on the attached
+device, excluding one-time XLA compilation.
+
+Usage: python tools/flagship_run.py [n_million] [n_steps]
+"""
+
+import os
+import sys
+import time
+from datetime import timedelta
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    n_million = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    N = int(n_million * 1e6)
+
+    import jax
+    try:  # persistent compile cache (honoured by local backends)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    nordic = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
+              "Nordic_subset.nc")
+    o = OceanDrift(loglevel=30)
+    reader = ROMSReader(nordic)
+    o.add_reader(reader)
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:advection_scheme", "runge-kutta4")
+    o.set_config("drift:vertical_advection", False)
+    o.set_config("drift:horizontal_diffusivity", 10.0)
+
+    rng = np.random.default_rng(0)
+    o.seed_elements(lon=rng.uniform(13.0, 14.5, N),
+                    lat=rng.uniform(66.9, 67.8, N),
+                    time=reader.times[0])
+
+    dt = 900
+    K = 10  # steps fused per device call
+    t0 = time.perf_counter()
+    advance, final_snap, state, base_key = o.prepare_run(
+        dt=float(dt), K=K, export_variables=["lon", "lat", "status"],
+        total_steps=n_steps)
+    dev_states = o.env.build_device_states()
+    # compile + first interval
+    state, snap = advance(state, dev_states, jnp.float32(0.0),
+                          jax.random.fold_in(base_key, 0))
+    checksum = float(jax.device_get(jnp.nansum(snap["lon"])))
+    t_compile = time.perf_counter() - t0
+    print(f"compile + first interval: {t_compile:.1f} s "
+          f"(checksum {checksum:.1f})", flush=True)
+
+    # steady state: remaining intervals
+    n_intervals = max(n_steps // K - 1, 1)
+    t0 = time.perf_counter()
+    for k in range(1, n_intervals + 1):
+        state, snap = advance(state, dev_states,
+                              jnp.float32(k * K * dt),
+                              jax.random.fold_in(base_key, k))
+    lon_last = jax.device_get(snap["lon"])
+    wall = time.perf_counter() - t0
+    rate = N * n_intervals * K / wall
+    print(f"{N/1e6:.0f}M particles x {n_intervals * K} RK4 steps "
+          f"(steady state) in {wall:.1f} s -> "
+          f"{rate/1e6:.2f} M particle-steps/s/chip", flush=True)
+    finite = np.isfinite(lon_last).mean()
+    print(f"finite fraction at end: {finite:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
