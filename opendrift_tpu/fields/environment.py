@@ -235,6 +235,23 @@ class Environment:
                     env[var] = env[var] + noise
         return env, missing
 
+    def uv_block_plan_index(self):
+        """Plan index of the single top-priority reader serving BOTH
+        current components through packed rows — the precondition for
+        single-fetch RK (drift:advection_single_fetch).  None when the
+        configuration doesn't qualify (multiple current sources, or a
+        reader type without packed u/v)."""
+        names = ("x_sea_water_velocity", "y_sea_water_velocity")
+        tops = [self.priority_list.get(v, [None])[0] for v in names]
+        if tops[0] is None or tops[0] != tops[1]:
+            return None
+        for i, (reader, served) in enumerate(self._plan or []):
+            if reader.name == tops[0]:
+                if getattr(reader, "supports_uv_block", lambda: False)():
+                    return i
+                return None
+        return None
+
     def get_profiles(self, dev_states, varnames, t, lon, lat, zlevels):
         """Sample profile variables at fixed z-levels: ({var: f32[L, N]})."""
         varnames = list(varnames)

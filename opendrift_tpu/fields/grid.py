@@ -342,6 +342,48 @@ class StructuredGridReader(BaseReader):
             values = self.rotate_vectors_sampled(values, varnames, gamma)
         return values, covers
 
+    # ------------------------------------------------- single-fetch RK --
+    def supports_uv_block(self):
+        """True when u/v ride the packed time-varying rows, so RK stages
+        can re-evaluate one gathered corner block instead of refetching
+        (used by drift:advection_single_fetch)."""
+        s = getattr(self, "_sampler", None)
+        return (s is not None and s.pair_mode in ("x", "xy")
+                and "x_sea_water_velocity" in self._group3
+                + self._group2
+                and "y_sea_water_velocity" in self._group3
+                + self._group2)
+
+    def uv_corner_block(self, dev_state, lon, lat, z, member=None):
+        """Gather the stage-reusable corner block at the start positions;
+        also returns the start-position coverage mask."""
+        xi, yi = self._grid_indices(lon, lat)
+        covers = self._covers_idx(xi, yi)
+        M = getattr(self, "ensemble_size", 1)
+        if M > 1 and member is not None:
+            row_offset = (member.astype(jnp.int32) % M) \
+                * (self._sampler.Z * self._sampler.Y * self._sampler.X)
+        else:
+            row_offset = 0
+        depth = jnp.maximum(-z, 0.0)
+        block = self._sampler.gather_corner_block(
+            dev_state["packed"], xi, yi, depth, dev_state["depths"],
+            row_offset=row_offset,
+            keep_vars=["x_sea_water_velocity", "y_sea_water_velocity"])
+        return block, covers
+
+    def uv_from_block(self, dev_state, block, t, lon, lat):
+        """Evaluate u/v from a gathered block at (possibly displaced)
+        stage positions — no gathers, just VPU blends + rotation."""
+        xi, yi = self._grid_indices(lon, lat)
+        names = ["x_sea_water_velocity", "y_sea_water_velocity"]
+        vals = self._sampler.eval_corner_block(
+            block, xi, yi, dev_state["times"], t, names)
+        if not self.crs.is_latlon:
+            gamma = self.crs.convergence(jnp, lon, lat)
+            vals = self.rotate_vectors_sampled(vals, names, gamma)
+        return vals["x_sea_water_velocity"], vals["y_sea_water_velocity"]
+
     def sample_profiles(self, dev_state, varnames, t, lon, lat, zlevels):
         """Profiles at fixed z-levels: per-level packed-row gathers."""
         want3 = [v for v in varnames if v in self._group3]

@@ -194,6 +194,13 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Shard elements over all visible devices "
                 "(data parallelism); forcing fields are replicated"},
+            "drift:advection_single_fetch": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "RK stages re-evaluate one gathered "
+                "corner block instead of refetching fields (4x fewer "
+                "gathers; exact while stage displacements stay inside "
+                "one grid cell, clamped beyond)"},
             "export:buffer_length": {
                 "type": "int", "default": 100, "min": 0, "max": 10 ** 6,
                 "level": CONFIG_LEVEL_ADVANCED,

@@ -40,11 +40,43 @@ class PhysicsContext:
             self.update_positions(factor * u, factor * v)
             return
 
+        # single-fetch RK (opt-in): gather the u/v corner block once and
+        # evaluate every stage against it — 4 gathers/step instead of
+        # 4 per stage.  Stage displacements are normally well under one
+        # grid cell (|u| dt/2 << dx), where this is exact; beyond one
+        # cell the block evaluation clamps (bounded approximation).
+        single = False
+        try:
+            single = self.sim.get_config("drift:advection_single_fetch")
+        except ValueError:
+            pass
+        block_ctx = None
+        if single:
+            idx = self.sim.env.uv_block_plan_index()
+            if idx is not None:
+                reader = self.sim.env._plan[idx][0]
+                dev_state = self.dev_states[idx]
+                member = None
+                if getattr(reader, "ensemble_size", 1) > 1:
+                    member = d["ID"]
+                block, covers0 = reader.uv_corner_block(
+                    dev_state, d["lon"], d["lat"], d["z"], member=member)
+                block_ctx = (reader, dev_state, block, covers0)
+
         def stage(lon0, lat0, uvel, vvel, dist_frac, t_frac):
             az = jnp.degrees(jnp.arctan2(uvel, vvel))
             speed = jnp.sqrt(uvel * uvel + vvel * vvel)
             lat_s, lon_s = geodesic_direct(jnp, lat0, lon0, az,
                                            speed * dt * dist_frac)
+            if block_ctx is not None:
+                reader, dev_state, block, covers0 = block_ctx
+                u_s, v_s = reader.uv_from_block(
+                    dev_state, block, self.t_rel + dt * t_frac,
+                    lon_s, lat_s)
+                # outside the primary reader: hold the priority-merged
+                # start velocities (fallback semantics)
+                return (jnp.where(covers0, u_s, uvel),
+                        jnp.where(covers0, v_s, vvel))
             env = self.get_environment(
                 ["x_sea_water_velocity", "y_sea_water_velocity"],
                 self.t_rel + dt * t_frac, lon_s, lat_s, d["z"])

@@ -180,6 +180,82 @@ class PackedSampler:
         rz1 = r10 * (1.0 - fy) + r11 * fy
         return rz0 * (1.0 - fz) + rz1 * fz
 
+    def gather_corner_block(self, packed, xi, yi, depth, depths,
+                            row_offset=0, keep_vars=None):
+        """Gather the z-blended 2x2 (y x x-pair) stencil at the cell of
+        (xi, yi) WITHOUT applying the x/y interpolation — 4 gathers whose
+        rows can then be re-evaluated at nearby positions for free
+        (single-fetch RK stages, see PhysicsContext.advect_ocean_current).
+        Requires pair_mode 'x' or 'xy'; returns a block usable with
+        :meth:`eval_corner_block`.
+
+        ``keep_vars``: retain only these variables' columns in the held
+        block (the gather still reads full rows, but the O(N) residency
+        shrinks to the needed columns — essential at 10M+ elements)."""
+        assert self.pair_mode in ("x", "xy"), \
+            "corner blocks need x-paired rows"
+        Z, Y, X = self.Z, self.Y, self.X
+        x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, max(X - 2, 0))
+        y0 = jnp.clip(jnp.floor(yi).astype(jnp.int32), 0, max(Y - 2, 0))
+        if Z > 1:
+            z0 = jnp.clip(jnp.searchsorted(depths, depth, side="right")
+                          - 1, 0, Z - 2)
+            dz = depths[z0 + 1] - depths[z0]
+            fz = jnp.where(dz != 0, (depth - depths[z0]) / dz, 0.0)
+            fz = jnp.clip(fz, 0.0, 1.0)[:, None]
+            z1 = z0 + 1
+        else:
+            z0 = jnp.zeros_like(x0)
+            z1 = z0
+            fz = jnp.zeros((xi.shape[0], 1), dtype=jnp.float32)
+        y1 = jnp.minimum(y0 + 1, Y - 1)
+
+        C = packed.shape[-1]
+        q = C // (4 if self.pair_mode == "xy" else 2)
+        if keep_vars is not None:
+            import numpy as _np
+            F = self.F
+            sub_cols = []
+            block_col_of = {}
+            for v in keep_vars:
+                c0, kind = self.col_of[v]
+                block_col_of[v] = (len(sub_cols), kind)
+                sub_cols.extend(range(c0, c0 + F))
+            sub = _np.asarray(sub_cols, dtype=_np.int32)
+            cols = _np.concatenate([sub, sub + q])  # base + x+1 halves
+        else:
+            cols = None
+            block_col_of = self.col_of
+
+        def corner(zz, yy):
+            lin = (zz * Y + yy) * X + x0 + row_offset
+            g = jnp.take(packed, lin, axis=0, mode="clip")
+            if cols is not None:
+                return g[:, cols]
+            return g[:, :2 * q]
+        g_y0 = corner(z0, y0) * (1.0 - fz) + corner(z1, y0) * fz
+        g_y1 = corner(z0, y1) * (1.0 - fz) + corner(z1, y1) * fz
+        return g_y0, g_y1, x0, y0, block_col_of
+
+    def eval_corner_block(self, block, xi, yi, times, t, varnames):
+        """Evaluate a gathered corner block at (xi, yi) — pure VPU ops,
+        no gathers.  Positions outside the gathered cell are clamped to
+        its edge (bounded extrapolation; acceptable for RK stages whose
+        displacement is well under one cell)."""
+        g_y0, g_y1, x0, y0, block_col_of = block
+        q = g_y0.shape[1] // 2
+        fx = jnp.clip(xi - x0, 0.0, 1.0)[:, None]
+        fy = jnp.clip(yi - y0, 0.0, 1.0)[:, None]
+        row0 = g_y0[:, :q] * (1.0 - fx) + g_y0[:, q:] * fx
+        row1 = g_y1[:, :q] * (1.0 - fx) + g_y1[:, q:] * fx
+        rows = row0 * (1.0 - fy) + row1 * fy
+        saved = self.col_of
+        try:
+            self.col_of = block_col_of
+            return self.values(rows, times, t, varnames)
+        finally:
+            self.col_of = saved
+
     def values(self, rows, times, t, varnames):
         """Blend the bracketing frame columns per variable."""
         F = self.F

@@ -147,3 +147,41 @@ def test_incremental_export_partial_file_readable(tmp_path):
     assert f.variables["lon"].shape[0] == 2
     assert np.allclose(f.variables["lon"][1], 4.1)
     f.close()
+
+
+def test_single_fetch_rk4_matches_refetch():
+    """drift:advection_single_fetch evaluates RK stages against one
+    gathered corner block; trajectories must match the full-refetch
+    path to metre level over 12 h (stage displacements << cell size)."""
+    from opendrift_tpu.fields.roms import ROMSReader
+    nordic = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
+              "Nordic_subset.nc")
+    import os
+    if not os.path.exists(nordic):
+        pytest.skip("no Nordic test data")
+
+    def run(single):
+        o = OceanDrift(loglevel=50)
+        o.add_reader(ROMSReader(nordic))
+        o.set_config("general:use_auto_landmask", False)
+        o.set_config("drift:advection_scheme", "runge-kutta4")
+        o.set_config("drift:advection_single_fetch", single)
+        o.set_config("drift:horizontal_diffusivity", 0.0)
+        o.seed_elements(lon=13.28, lat=66.86, radius=2000, number=100,
+                        time=o.env.readers[nordic].times[0])
+        o.run(duration=timedelta(hours=12), time_step=900)
+        return (np.asarray(o.result["lon"]), np.asarray(o.result["lat"]))
+
+    lon_r, lat_r = run(False)
+    lon_s, lat_s = run(True)
+    m = np.isfinite(lon_r[:, -1]) & np.isfinite(lon_s[:, -1])
+    assert m.sum() > 50
+    err = np.hypot((lon_s[m, -1] - lon_r[m, -1]) * 111320
+                   * np.cos(np.radians(67)),
+                   (lat_s[m, -1] - lat_r[m, -1]) * 111320)
+    disp = np.hypot((lon_r[m, -1] - lon_r[m, 0]) * 111320
+                    * np.cos(np.radians(67)),
+                    (lat_r[m, -1] - lat_r[m, 0]) * 111320)
+    assert np.median(disp) > 500         # particles actually moved
+    assert np.median(err) < 5.0          # metre-level agreement
+    assert err.max() < 50.0

@@ -3,7 +3,7 @@ forcing (BASELINE.md: '10M-particle NorKyst RK4 drift run ... measured
 at 1 chip').  Reports steady-state particle-steps/s on the attached
 device, excluding one-time XLA compilation.
 
-Usage: python tools/flagship_run.py [n_million] [n_steps]
+Usage: python tools/flagship_run.py [n_million] [n_steps] [single_fetch]
 """
 
 import os
@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     n_million = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    single_fetch = len(sys.argv) > 3 and sys.argv[3] == "1"
     N = int(n_million * 1e6)
 
     import jax
@@ -43,6 +44,9 @@ def main():
     o.set_config("drift:advection_scheme", "runge-kutta4")
     o.set_config("drift:vertical_advection", False)
     o.set_config("drift:horizontal_diffusivity", 10.0)
+    if single_fetch:
+        o.set_config("drift:advection_single_fetch", True)
+        print("single-fetch RK enabled", flush=True)
 
     rng = np.random.default_rng(0)
     o.seed_elements(lon=rng.uniform(13.0, 14.5, N),
