@@ -148,11 +148,21 @@ class NetCDFReader(StructuredGridReader):
         self._index_in_file = []
         for fi, f in enumerate(self._files):
             tv = f.variables[time_name]
-            tvals = ncio.parse_cf_time(tv.attrs["units"], tv[:])
-            for i, t in enumerate(tvals):
+            raw_t = np.asarray(tv[:], dtype=np.float64)
+            # trim corrupt/fill time entries (reference
+            # reader_netCDF_CF_generic.py:210-239 corrupt-time trimming)
+            good = np.isfinite(raw_t) & (np.abs(raw_t) < 1e30)
+            if not good.all():
+                logger.warning("%s: dropping %d corrupt time frames",
+                               self.name, int((~good).sum()))
+            tvals = ncio.parse_cf_time(tv.attrs["units"], raw_t[good])
+            for i, t in zip(np.nonzero(good)[0], tvals):
                 self.times.append(t)
                 self._file_of_frame.append(fi)
-                self._index_in_file.append(i)
+                self._index_in_file.append(int(i))
+        if not self.times:
+            raise ValueError(f"{self.name}: no valid time frames "
+                             "(all time values are fill/corrupt)")
         order = np.argsort([t.timestamp() for t in self.times])
         self.times = [self.times[i] for i in order]
         self._file_of_frame = [self._file_of_frame[i] for i in order]

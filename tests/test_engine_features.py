@@ -185,3 +185,64 @@ def test_single_fetch_rk4_matches_refetch():
     assert np.median(disp) > 500         # particles actually moved
     assert np.median(err) < 5.0          # metre-level agreement
     assert err.max() < 50.0
+
+
+def test_opendrift_open_roundtrip(tmp_path):
+    """opendrift_tpu.open() reconstructs a Result-mode simulation from
+    an output file, incl. class and config (reference
+    opendrift/__init__.py:46-88, io_netcdf.import_file)."""
+    import opendrift_tpu
+    from opendrift_tpu.models.base import Mode
+    out = str(tmp_path / "run.nc")
+    o = OceanDrift(loglevel=50)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.15,
+                                 "y_sea_water_velocity": 0.05}))
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:horizontal_diffusivity", 3.0)
+    o.seed_elements(lon=4.0, lat=60.0, number=30,
+                    time=datetime(2021, 5, 1))
+    o.run(duration=timedelta(hours=4), time_step=900, outfile=out)
+
+    o2 = opendrift_tpu.open(out)
+    assert type(o2).__name__ == "OceanDrift"
+    assert o2.mode == Mode.Result
+    assert np.allclose(np.asarray(o2.result["lon"]),
+                       np.asarray(o.result["lon"]), equal_nan=True,
+                       atol=1e-5)
+    # config round-tripped through global attributes
+    assert o2.get_config("drift:horizontal_diffusivity") == 3.0
+    # post-processing works on the imported result
+    Hs, Hsub, Hstr, lons, lats = o2.get_density_array(pixelsize_m=2000)
+    assert (Hs + Hsub + Hstr).sum() > 0
+
+
+def test_corrupt_time_frames_trimmed(tmp_path):
+    """Fill-valued time entries are dropped, not parsed (reference
+    reader_netCDF_CF_generic corrupt-time trimming)."""
+    from scipy.io import netcdf_file
+    from opendrift_tpu.fields.netcdf import NetCDFReader
+    path = str(tmp_path / "corrupt.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("lon", 5)
+    f.createDimension("lat", 4)
+    f.createDimension("time", 4)
+    lon = f.createVariable("lon", "d", ("lon",))
+    lon[:] = np.linspace(3, 5, 5)
+    lon.standard_name = b"longitude"
+    lon.units = b"degree_east"
+    lat = f.createVariable("lat", "d", ("lat",))
+    lat[:] = np.linspace(59, 61, 4)
+    lat.standard_name = b"latitude"
+    lat.units = b"degree_north"
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = [0.0, 1.0, 9.969e36, 3.0]   # frame 2 corrupt
+    t.units = b"hours since 2020-01-01 00:00:00"
+    u = f.createVariable("u", "d", ("time", "lat", "lon"))
+    u[:] = 0.1
+    u.standard_name = b"eastward_sea_water_velocity"
+    f.close()
+    r = NetCDFReader(path)
+    assert len(r.times) == 3
+    hours = [(tt - r.times[0]).total_seconds() / 3600
+             for tt in r.times]
+    assert hours == [0.0, 1.0, 3.0]
