@@ -135,8 +135,13 @@ class StructuredGridReader(BaseReader):
                               - halo_y, 0, len(self.y) - 2))
             iy1 = int(np.clip((np.max(ys) - self.y[0]) / self.delta_y
                               + halo_y + 2, iy0 + 2, len(self.y)))
-            self._ix = slice(ix0, ix1)
-            self._iy = slice(iy0, iy1)
+            new_ix, new_iy = slice(ix0, ix1), slice(iy0, iy1)
+            if (new_ix, new_iy) != (self._ix, self._iy):
+                # frames cached before the subset (e.g. the ocean_only
+                # relocation's full-grid landmask) have the wrong shape
+                self._frame_cache.clear()
+            self._ix = new_ix
+            self._iy = new_iy
             logger.info("%s: grid subset x[%d:%d] y[%d:%d] of (%d, %d)",
                         self.name, ix0, ix1, iy0, iy1, len(self.x),
                         len(self.y))

@@ -747,6 +747,13 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             self.time_step = timedelta(seconds=dt)
             self.time_step_output = timedelta(seconds=K * dt)
 
+        # relocate land-seeded elements to the nearest ocean cell
+        # (reference basemodel/__init__.py:1005-1070 closest_ocean_points)
+        if self.get_config("seed:ocean_only"):
+            for s in self._seedings:
+                s["lon"], s["lat"] = self.closest_ocean_points(
+                    s["lon"], s["lat"])
+
         # ---- build initial state arrays (host)
         state_np = self._build_initial_state(dt)
 
@@ -1210,6 +1217,161 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         return TrajectoryDataset(variables, coords, attrs)
 
     # ------------------------------------------------------ diagnostics ---
+    def closest_ocean_points(self, lon, lat):
+        """Move points that fall on land to the nearest ocean grid cell
+        of the best available landmask (reference basemodel/
+        __init__.py:1005-1070 via cKDTree over the mask raster)."""
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64)).copy()
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64)).copy()
+        reader = None
+        for r in self.env.readers.values():
+            if "land_binary_mask" in getattr(r, "variables", []) \
+                    and hasattr(r, "_load_frame"):
+                reader = r
+                break
+        if reader is None:
+            logger.warning("no gridded landmask available; cannot "
+                           "relocate land points to ocean")
+            return lon, lat
+        land = np.asarray(reader._load_frame("land_binary_mask", 0))
+        if land.ndim == 3:
+            land = land[0]
+        X, Y = np.meshgrid(reader.x, reader.y)
+        if getattr(reader.crs, "is_latlon", False):
+            lons_g, lats_g = X, Y
+        else:
+            lons_g, lats_g = reader.crs.inv(np, X, Y)
+        ocean = land < 0.5
+        if not ocean.any():
+            logger.warning("landmask raster contains no ocean cells")
+            return lon, lat
+        from scipy.spatial import cKDTree
+        pts = np.column_stack([lon, lat])
+        # on-land test by nearest raster cell
+        all_tree = cKDTree(np.column_stack([lons_g.ravel(),
+                                            lats_g.ravel()]))
+        _, idx = all_tree.query(pts)
+        on_land = land.ravel()[idx] > 0.5
+        if not on_land.any():
+            return lon, lat
+        logger.info("moving %d land-seeded points to the nearest "
+                    "ocean cell", int(on_land.sum()))
+        ocean_tree = cKDTree(np.column_stack([lons_g[ocean],
+                                              lats_g[ocean]]))
+        _, oidx = ocean_tree.query(pts[on_land])
+        lon[on_land] = lons_g[ocean][oidx]
+        lat[on_land] = lats_g[ocean][oidx]
+        return lon, lat
+
+    def num_elements_total(self):
+        """(reference basemodel/__init__.py:999)."""
+        return self.num_elements_scheduled_total
+
+    def num_elements_activated(self):
+        """Elements released so far (reference basemodel:995)."""
+        if self.result is not None:
+            status = self.result["status"].values
+            return int((~np.isnan(
+                np.asarray(self.result["lon"].values[:, -1]))).sum()
+                + (status[:, -1] > 0).sum())
+        return 0
+
+    def get_time_array(self):
+        """Output times of the last run (deprecated; use result.time)
+        (reference basemodel/__init__.py:4506)."""
+        times = np.asarray(self.result.coords["time"]) \
+            .astype("datetime64[s]").tolist()
+        rel = [t - times[0] for t in times]
+        return times, rel
+
+    def get_property(self, propname):
+        """Deprecated accessor (reference basemodel:4603): returns
+        (values.T, status.T) like the reference."""
+        logger.warning("get_property is deprecated; use o.result[...]")
+        prop = np.asarray(self.result[propname].values)
+        status = np.asarray(self.result["status"].values)
+        return prop.T, status.T
+
+    def get_trajectory_lengths(self):
+        """Lengths and speeds along trajectories
+        (reference basemodel/__init__.py:4614-4634)."""
+        from ..utils.geodesic import geodesic_inverse
+        lon = np.asarray(self.result["lon"].values)   # (N, T)
+        lat = np.asarray(self.result["lat"].values)
+        _, _, dist = geodesic_inverse(np, lat[:, :-1], lon[:, :-1],
+                                      lat[:, 1:], lon[:, 1:])
+        dist = np.nan_to_num(dist, nan=0.0)
+        dt_out = self.time_step_output.total_seconds()
+        speeds = dist / dt_out
+        bad = speeds > 100
+        dist[bad] = 0
+        speeds[bad] = 0
+        total = np.cumsum(dist, axis=1)[:, -1]
+        return total, dist, speeds
+
+    def add_readers_from_file(self, filename, timeout=None, lazy=True):
+        """Add readers from a text file of paths/URLs, one per line
+        (reference basemodel/__init__.py:622-624)."""
+        from ..fields.factory import reader_from_url
+        with open(filename) as fd:
+            urls = [ln.strip() for ln in fd
+                    if ln.strip() and not ln.startswith("#")]
+        for u in urls:
+            try:
+                self.add_reader(reader_from_url(u, lazy=lazy))
+            except Exception as e:
+                logger.warning("could not open reader %s: %s", u, e)
+
+    def default_readers(self):
+        """Paths from scripts/data_sources.txt
+        (reference basemodel/__init__.py:626-631)."""
+        import importlib.resources as res
+        try:
+            txt = (res.files("opendrift_tpu.scripts")
+                   / "data_sources.txt").read_text()
+        except Exception:
+            return []
+        return [ln.strip() for ln in txt.splitlines()
+                if ln.strip() and not ln.startswith("#")]
+
+    def seed_from_ladim(self, ladimfile, roms):
+        """Seed from a LADiM *.rls release file [time, x, y, z]
+        (reference basemodel/__init__.py:1655-1680); grid x/y are
+        converted through the given ROMS reader's coordinates."""
+        data = np.loadtxt(ladimfile,
+                          dtype={"names": ("time", "x", "y", "z"),
+                                 "formats": ("U20", "f4", "f4", "f4")},
+                          usecols=(0, 1, 2, 3))
+        time = np.array([datetime.strptime(t, "%Y-%m-%dT%H")
+                         for t in np.atleast_1d(data["time"])])
+        x = np.atleast_1d(data["x"])
+        y = np.atleast_1d(data["y"])
+        z = -np.abs(np.atleast_1d(data["z"]))
+        # fractional ROMS grid indices -> lon/lat via the rho coordinates
+        xi = np.clip(x.astype(int), 0, roms._lon_rho.shape[1] - 1)
+        yi = np.clip(y.astype(int), 0, roms._lon_rho.shape[0] - 1)
+        lon = roms._lon_rho[yi, xi]
+        lat = roms._lat_rho[yi, xi]
+        self.seed_elements(lon=lon, lat=lat, z=z, time=list(time))
+
+    def seed_from_geopandas(self, geodataframe, time, **kwargs):
+        """Seed within the polygons (or at the points) of a GeoPandas
+        GeoDataFrame or any duck-typed equivalent
+        (reference basemodel/__init__.py:1584-1652)."""
+        g = geodataframe
+        geoms = list(g.geometry)
+        if all(getattr(geom, "geom_type", "") == "Point"
+               for geom in geoms):
+            self.seed_elements(lon=[p.x for p in geoms],
+                               lat=[p.y for p in geoms],
+                               time=time, **kwargs)
+            return
+        for geom in geoms:
+            if hasattr(geom, "exterior"):
+                lons, lats = zip(*list(geom.exterior.coords))
+                self.seed_within_polygon(np.array(lons), np.array(lats),
+                                         time=time, **kwargs)
+
     def num_elements_active(self):
         if self.result is not None:
             status = self.result["status"].values

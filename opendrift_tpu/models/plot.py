@@ -193,6 +193,39 @@ class PlottingMixin:
             plt.close(fig)
         return anim
 
+    def plot_environment(self, filename=None, ax=None, show=False):
+        """Time series of element-mean wind and current speed
+        (reference basemodel/__init__.py:4532-4560)."""
+        import matplotlib.pyplot as plt
+        res = self.result
+        wind = None
+        if "x_wind" in res:
+            wind = np.hypot(np.asarray(res["x_wind"].values),
+                            np.asarray(res["y_wind"].values))
+        curr = np.hypot(np.asarray(res["x_sea_water_velocity"].values),
+                        np.asarray(res["y_sea_water_velocity"].values)) \
+            if "x_sea_water_velocity" in res else None
+        times = np.asarray(res.coords["time"]).astype("datetime64[s]")
+        hours = (times - times[0]) / np.timedelta64(1, "h")
+        if ax is None:
+            _, ax = plt.subplots()
+        if curr is not None:
+            ax.plot(hours, np.nanmean(curr, axis=0), label="current [m/s]")
+        if wind is not None:
+            ax2 = ax.twinx()
+            ax2.plot(hours, np.nanmean(wind, axis=0), "r",
+                     label="wind [m/s]")
+            ax2.set_ylabel("wind speed [m/s]", color="r")
+        ax.set_xlabel("time [hours]")
+        ax.set_ylabel("current speed [m/s]")
+        ax.grid(True)
+        if filename:
+            plt.savefig(filename, dpi=120)
+            plt.close()
+        elif show:
+            plt.show()
+        return ax
+
     def plot_property(self, prop, filename=None, mean=False):
         """Time series of an element property
         (reference basemodel/__init__.py:4000-4030)."""

@@ -93,6 +93,120 @@ class PostProcessingMixin:
                 H[ti] = h
         return H_surf, H_sub, H_str, lonbin, latbin
 
+    def get_density_array_proj(self, pixelsize_m, density_proj=None,
+                               llcrnrlon=None, llcrnrlat=None,
+                               urcrnrlon=None, urcrnrlat=None,
+                               weight=None):
+        """Particle density on a projected grid
+        (reference basemodel/__init__.py:4148-4240).
+
+        Returns (H[time, y, x], x_edges, y_edges, crs)."""
+        from ..utils import crs as crslib
+        if density_proj is None:
+            crs = crslib.from_proj4("+proj=latlong")
+            pixel = pixelsize_m / 111320.0
+        else:
+            crs = crslib.from_proj4(density_proj) \
+                if isinstance(density_proj, str) else density_proj
+            pixel = float(pixelsize_m)
+        lon = self.result["lon"].values
+        lat = self.result["lat"].values
+        x, y = crs.fwd(np, np.nan_to_num(lon, nan=0.0),
+                       np.nan_to_num(lat, nan=0.0))
+        valid = np.isfinite(lon)
+        if llcrnrlon is not None:
+            x0, y0 = crs.fwd(np, np.float64(llcrnrlon),
+                             np.float64(llcrnrlat))
+            x1, y1 = crs.fwd(np, np.float64(urcrnrlon),
+                             np.float64(urcrnrlat))
+        else:
+            x0 = np.nanmin(np.where(valid, x, np.nan))
+            x1 = np.nanmax(np.where(valid, x, np.nan))
+            y0 = np.nanmin(np.where(valid, y, np.nan))
+            y1 = np.nanmax(np.where(valid, y, np.nan))
+        xe = np.arange(x0, x1 + pixel, pixel)
+        ye = np.arange(y0, y1 + pixel, pixel)
+        n_time = lon.shape[1]
+        H = np.zeros((n_time, len(ye) - 1, len(xe) - 1))
+        w_arr = None
+        if weight is not None:
+            w_arr = self.result[weight].values if isinstance(weight, str) \
+                else np.asarray(weight)
+        for ti in range(n_time):
+            sel = valid[:, ti]
+            w = None
+            if w_arr is not None:
+                w = w_arr[sel, ti] if w_arr.ndim == 2 else w_arr[sel]
+            h, _, _ = np.histogram2d(y[sel, ti], x[sel, ti],
+                                     bins=[ye, xe], weights=w)
+            H[ti] = h
+        return H, xe, ye, crs
+
+    def write_netcdf_density_map_proj(self, filename, pixelsize_m=1000.0,
+                                      density_proj=None, **corner_kw):
+        """Projected density map file
+        (reference basemodel/__init__.py:4342-4440)."""
+        from scipy.io import netcdf_file
+        H, xe, ye, crs = self.get_density_array_proj(
+            pixelsize_m, density_proj=density_proj, **corner_kw)
+        xc = 0.5 * (xe[:-1] + xe[1:])
+        yc = 0.5 * (ye[:-1] + ye[1:])
+        times = np.asarray(self.result.coords["time"]) \
+            .astype("datetime64[s]").astype("float64")
+        f = netcdf_file(filename, "w", version=2)
+        try:
+            f.createDimension("time", H.shape[0])
+            f.createDimension("y", len(yc))
+            f.createDimension("x", len(xc))
+            tv = f.createVariable("time", "d", ("time",))
+            tv[:] = times
+            tv.units = "seconds since 1970-01-01 00:00:00"
+            xv = f.createVariable("x", "d", ("x",))
+            xv[:] = xc
+            yv = f.createVariable("y", "d", ("y",))
+            yv[:] = yc
+            dv = f.createVariable("density", "f", ("time", "y", "x"))
+            dv[:] = H.astype(np.float32)
+            dv.grid_mapping = "projection"
+            f.proj4 = getattr(crs, "proj4", "+proj=latlong")
+        finally:
+            f.close()
+
+    def write_geotiff(self, filename, pixelsize_km=0.2):
+        """Write one georeferenced TIFF per timestep (reference
+        basemodel/__init__.py:4444-4504).  GDAL is unavailable here, so
+        each frame is a plain TIFF plus an ESRI world file (.tfw) and
+        .prj — the georeferencing convention every GIS accepts."""
+        from PIL import Image
+        import matplotlib
+        H, lon_c, lat_c = self.get_histogram(pixelsize_m=pixelsize_km
+                                             * 1000.0)
+        H = H.sum(axis=-1)  # collapse origin markers
+        times = np.asarray(self.result.coords["time"]) \
+            .astype("datetime64[s]").tolist()
+        cmap = matplotlib.colormaps["viridis"]
+        written = []
+        for ti, when in enumerate(times):
+            fname = when.strftime(filename) if "%" in filename \
+                else filename.replace(".tif", f"_{ti:04d}.tif")
+            h = H[ti].T[::-1]  # (lat desc, lon) image orientation
+            hn = h / max(h.max(), 1)
+            rgba = (cmap(hn) * 255).astype(np.uint8)
+            rgba[..., 3] = np.where(h > 0, 255, 0)
+            Image.fromarray(rgba).save(fname)
+            dlon = lon_c[1] - lon_c[0] if len(lon_c) > 1 else 1e-3
+            dlat = lat_c[1] - lat_c[0] if len(lat_c) > 1 else 1e-3
+            with open(fname[:-4] + ".tfw", "w") as fw:
+                fw.write(f"{dlon}\n0.0\n0.0\n{-dlat}\n"
+                         f"{lon_c[0]}\n{lat_c[-1]}\n")
+            with open(fname[:-4] + ".prj", "w") as fp:
+                fp.write('GEOGCS["WGS 84",DATUM["WGS_1984",'
+                         'SPHEROID["WGS 84",6378137,298.257223563]],'
+                         'PRIMEM["Greenwich",0],'
+                         'UNIT["degree",0.0174532925199433]]')
+            written.append(fname)
+        return written
+
     def get_residence_time(self, pixelsize_m):
         """Accumulated element counts over the run
         (reference basemodel/__init__.py:4247-4251)."""
