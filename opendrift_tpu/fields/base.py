@@ -153,6 +153,60 @@ class BaseReader:
                     outs[v].append(vals[v])
         return {v: jnp.stack(outs[v]) for v in varnames}, covers
 
+    def get_timeseries_at_position(self, lon, lat, variables=None,
+                                   start_time=None, end_time=None,
+                                   times=None, z=0.0):
+        """Sample a time series of ``variables`` at one position — the
+        standalone reader diagnostic (reference:
+        readers/basereader/__init__.py:387-431).
+
+        Returns ``{'time': [datetimes], var: np.ndarray[T], ...}``.  All
+        times are sampled in one vmapped device call.
+        """
+        import jax
+
+        if variables is None:
+            variables = list(self.variables)
+        variables = list(variables)
+        if times is None:
+            own = getattr(self, "times", None)
+            if own:
+                times = [t for t in own
+                         if (start_time is None or t >= start_time)
+                         and (end_time is None or t <= end_time)]
+            else:
+                t0 = start_time or self.start_time
+                t1 = end_time or self.end_time
+                if t0 is None or t1 is None:
+                    raise ValueError(
+                        "give explicit times for a reader without a "
+                        "time axis")
+                times = [t0 + i * (t1 - t0) / 19 for i in range(20)]
+        if not times:
+            raise ValueError("no times within the requested range")
+        self.set_run_epoch(times[0])
+        span = (times[-1] - times[0]).total_seconds()
+        self.prepare(interval_seconds=span if span > 0 else None)
+        dev = self.device_state(times[0], times[-1])
+        trel = jnp.asarray([(t - times[0]).total_seconds() for t in times],
+                           dtype=jnp.float32)
+        lonv = jnp.asarray([lon], dtype=jnp.float32)
+        latv = jnp.asarray([lat], dtype=jnp.float32)
+        zv = jnp.asarray([z], dtype=jnp.float32)
+
+        @jax.jit
+        def run(ts):
+            def one(t):
+                vals, _ = self.sample(dev, variables, t, lonv, latv, zv)
+                return {v: vals[v][0] for v in variables}
+            return jax.vmap(one)(ts)
+
+        out = jax.device_get(run(trel))
+        result = {"time": list(times)}
+        for v in variables:
+            result[v] = np.asarray(out[v])
+        return result
+
     def set_run_epoch(self, epoch):
         """Record the run's t=0 (a datetime); samplers convert relative t."""
         self._run_epoch = epoch

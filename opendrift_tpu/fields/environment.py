@@ -235,6 +235,49 @@ class Environment:
                     env[var] = env[var] + noise
         return env, missing
 
+    def get_variables_along_trajectory(self, variables, lons, lats, times,
+                                       z=0.0):
+        """Sample environment variables at a sequence of (time, position)
+        observations — the input builder for wind-drift-factor calibration
+        (reference: environment.py:925-941, used by physics_methods.py:28).
+
+        Requires ``finalize()`` to have been called.  Returns
+        ``{'time': [...], var: np.ndarray[N], ...}``.
+        """
+        import jax
+        import numpy as np
+
+        if not getattr(self, "_plan", None):
+            raise RuntimeError(
+                "Environment not finalized — call finalize() first")
+        variables = list(variables)
+        epoch = times[0]
+        for reader, _ in self._plan:
+            reader.set_run_epoch(epoch)
+        span = (times[-1] - times[0]).total_seconds()
+        self.prepare_readers(interval_seconds=span if span > 0 else None)
+        dev_states = self.build_device_states(times[0], times[-1])
+        trel = jnp.asarray([(t - epoch).total_seconds() for t in times],
+                           dtype=jnp.float32)
+        lonv = jnp.asarray(lons, dtype=jnp.float32)
+        latv = jnp.asarray(lats, dtype=jnp.float32)
+        zv = jnp.full_like(lonv, z)
+
+        @jax.jit
+        def run(ts, lo, la, zz):
+            def one(t, lo1, la1, z1):
+                env, _ = self.get_environment(
+                    dev_states, variables, t, lo1[None], la1[None],
+                    z1[None])
+                return {v: env[v][0] for v in variables}
+            return jax.vmap(one)(ts, lo, la, zz)
+
+        out = jax.device_get(run(trel, lonv, latv, zv))
+        result = {"time": list(times)}
+        for v in variables:
+            result[v] = np.asarray(out[v])
+        return result
+
     def uv_block_plan_index(self):
         """Plan index of the single top-priority reader serving BOTH
         current components through packed rows — the precondition for

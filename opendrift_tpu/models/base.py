@@ -449,6 +449,24 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                                   number=number, **kwargs)
 
     @require_mode([Mode.Config, Mode.Ready])
+    def seed_letters(self, text, lon, lat, time, number, scale=1.2,
+                     **kwargs):
+        """Seed elements within the glyph outlines of ``text`` anchored at
+        (lon, lat) — one seed_within_polygon call per glyph polygon
+        (reference basemodel/__init__.py:1635-1652).  ``scale`` is the
+        glyph height in degrees; ``number`` is per polygon."""
+        from matplotlib.textpath import TextPath
+        from matplotlib.font_manager import FontProperties
+        fp = FontProperties(family="DejaVu Sans", weight="bold")
+        path = TextPath((lon, lat), text, size=1 * scale, prop=fp)
+        for p in path.to_polygons():
+            if len(p) < 3:
+                continue
+            self.seed_within_polygon(lons=p[:, 0], lats=p[:, 1],
+                                     number=number, time=time, **kwargs)
+        return self
+
+    @require_mode([Mode.Config, Mode.Ready])
     def seed_repeated_segment(self, lons, lats, start_time, end_time=None,
                               time_interval=None, number_per_segment=None,
                               **kwargs):
@@ -666,6 +684,18 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.timer_start("main loop")
         frames = []
         frame_times = []
+        # host RSS per output interval (reference samples psutil into
+        # self.memory_usage each step, basemodel/__init__.py:2194)
+        self.memory_usage = []
+
+        def _sample_memory():
+            try:
+                import resource
+                self.memory_usage.append(
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                    / 1024.0)  # MB on linux (ru_maxrss is KB)
+            except Exception:  # noqa: BLE001 — diagnostics only
+                pass
         # crash-safe incremental export: flush every buffer_length output
         # frames to the outfile with time as the record dimension
         # (reference export_buffer_length, basemodel/__init__.py:2390)
@@ -703,6 +733,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 frames.append(jax.device_get(snap))
                 frame_times.append(self.start_time
                                    + timedelta(seconds=t_rel))
+                _sample_memory()
                 flush()
             # final snapshot at end time
             t_rel = n_intervals * K * dt

@@ -530,3 +530,142 @@ class OpenOil(OceanDrift):
                              + out["mass_dispersed"]
                              + out["mass_biodegraded"])
         return out
+
+    def plot_oil_budget(self, filename=None, show=False):
+        """Stacked oil mass budget plot (reference openoil.py:1342-1420)."""
+        import matplotlib.pyplot as plt
+        b = self.get_oil_budget()
+        times = np.asarray(self.result.coords["time"]) \
+            .astype("datetime64[s]")
+        hours = (times - times[0]) / np.timedelta64(1, "h")
+        layers = [("mass_dispersed", "Dispersed", "darkslategrey"),
+                  ("mass_submerged", "Submerged", "darkblue"),
+                  ("mass_surface", "Surface", "royalblue"),
+                  ("mass_evaporated", "Evaporated", "skyblue"),
+                  ("mass_biodegraded", "Biodegraded", "indianred")]
+        fig, ax = plt.subplots(figsize=(9, 5))
+        bottom = np.zeros_like(hours, dtype=float)
+        for key, label, color in layers:
+            vals = np.asarray(b[key], dtype=float)
+            ax.fill_between(hours, bottom, bottom + vals,
+                            label=label, color=color, alpha=0.85)
+            bottom = bottom + vals
+        ax.set_xlabel("Time [hours]")
+        ax.set_ylabel("Mass oil [kg]")
+        ax.set_xlim(hours[0], hours[-1])
+        ax.legend(loc="upper left", fontsize=8)
+        ax.set_title(f"Oil budget: {getattr(self, 'oil_name', 'oil')}")
+        if filename is not None:
+            fig.savefig(filename, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+        elif show:
+            plt.show()
+        return fig, ax
+
+    def seed_from_gml(self, gmlfile, num_elements=1000, **kwargs):
+        """Seed oil within slick polygons from a KSAT-style oil-detection
+        GML file (reference openoil.py:1773-1867).  The detection time is
+        taken from ``od:detectionTime``; points are placed on an
+        equal-spacing grid covering each polygon, spacing chosen so the
+        total count over all slicks is ~``num_elements`` (proportional to
+        slick area, as the reference does)."""
+        from xml.etree import ElementTree
+        from datetime import datetime as _dt
+        from matplotlib.path import Path
+
+        ns = {"od": "http://cweb.ksat.no/cweb/schema/geoweb/oil",
+              "gml": "http://www.opengis.net/gml"}
+        tree = ElementTree.parse(gmlfile)
+        tpos = "od:oilDetectionMember/od:oilDetection/od:detectionTime"
+        oil_time = _dt.strptime(tree.find(tpos, ns).text,
+                                "%Y-%m-%dT%H:%M:%S.%fZ")
+        ppos = ("od:oilDetectionMember/od:oilDetection/od:oilSpill/"
+                "gml:Polygon")
+        rpos = "gml:exterior/gml:LinearRing/gml:posList"
+        slicks = []
+        for patch in tree.findall(ppos, ns):
+            c = np.array(patch.find(rpos, ns).text.split(), dtype=float)
+            slicks.append((c[0::2], c[1::2]))  # lon, lat
+        if not slicks:
+            raise ValueError(f"No slick polygons found in {gmlfile}")
+
+        # local equal-area-ish metric: metres per degree at mean latitude
+        lat0 = np.mean([la.mean() for _, la in slicks])
+        mx = 111320.0 * np.cos(np.radians(lat0))
+        my = 110540.0
+
+        def to_xy(lon, lat):
+            return lon * mx, lat * my
+
+        areas = []
+        for lon, lat in slicks:
+            x, y = to_xy(lon, lat)
+            areas.append(abs(np.sum(x * np.roll(y, -1)
+                                    - np.roll(x, -1) * y)) / 2.0)
+        deltax = np.sqrt(np.sum(areas) / num_elements)
+        lons_out, lats_out = [], []
+        for lon, lat in slicks:
+            x, y = to_xy(lon, lat)
+            xv = np.arange(x.min(), x.max(), deltax)
+            yv = np.arange(y.min(), y.max(), deltax)
+            if len(xv) == 0 or len(yv) == 0:
+                continue
+            gx, gy = np.meshgrid(xv, yv)
+            pts = np.column_stack([gx.ravel() / mx, gy.ravel() / my])
+            inside = Path(np.column_stack([lon, lat])).contains_points(pts)
+            lons_out.append(pts[inside, 0])
+            lats_out.append(pts[inside, 1])
+        lons_out = np.concatenate(lons_out)
+        lats_out = np.concatenate(lats_out)
+        return self.seed_elements(lon=lons_out, lat=lats_out,
+                                  number=len(lons_out), time=oil_time,
+                                  **kwargs)
+
+    def seed_from_geotiff_thickness(self, filename, number=50000,
+                                    **kwargs):
+        """Seed oil from a categorical slick-thickness GeoTIFF (categories
+        1-4 as provided by C. Hu; reference openoil.py:1869-1958).
+
+        The reference polygonises with GDAL and seeds within polygons;
+        without GDAL the same seeding is done directly on pixels: per
+        category, element count ~ area x thickness, each element placed
+        uniformly within a random pixel of that category.
+        """
+        from datetime import datetime as _dt
+        from ...utils.geotiff import read_geotiff
+
+        time = kwargs.pop("time", None)
+        if time is None:
+            try:
+                time = _dt.strptime(filename[-28:-13], "%Y%m%d.%H%M%S")
+            except ValueError:
+                time = _dt.now()
+        data, (lon0, dlon, lat0, dlat) = read_geotiff(filename)
+        thickness_microns = np.array([0.04, 0.44, 4.4, 16.0])
+        ny, nx = data.shape
+        lat_of_row = lat0 + dlat * (np.arange(ny) + 0.5)
+        pixel_area = (abs(dlon) * 111320.0
+                      * np.cos(np.radians(lat_of_row))[:, None]
+                      * abs(dlat) * 110540.0)  # m2, (ny, 1)
+        total_area = np.array([
+            (pixel_area * (data == cat)).sum() for cat in (1, 2, 3, 4)])
+        weighted = total_area * thickness_microns
+        if weighted.sum() == 0:
+            raise ValueError(f"No slick pixels (categories 1-4) in "
+                             f"{filename}")
+        numbers = np.round(number * weighted / weighted.sum()).astype(int)
+        oil_density = 1000.0
+        mass_oil = total_area * thickness_microns / 1e6 * oil_density
+        for i, cat in enumerate((1, 2, 3, 4)):
+            if numbers[i] == 0:
+                continue
+            rows, cols = np.nonzero(data == cat)
+            pick = self._np_random.randint(0, len(rows), numbers[i])
+            jitter = self._np_random.uniform(0, 1, (numbers[i], 2))
+            lons = lon0 + dlon * (cols[pick] + jitter[:, 0])
+            lats = lat0 + dlat * (rows[pick] + jitter[:, 1])
+            self.seed_elements(
+                lon=lons, lat=lats, number=int(numbers[i]), time=time,
+                oil_film_thickness=float(thickness_microns[i]) / 1e6,
+                mass_oil=float(mass_oil[i] / numbers[i]), **kwargs)
+        return self

@@ -226,6 +226,45 @@ class PlottingMixin:
             plt.show()
         return ax
 
+    def plot_vertical_distribution(self, time_index=-1, bins=50,
+                                   maxdepth=None, filename=None, ax=None):
+        """Histogram of element depths at one output time
+        (reference basemodel/__init__.py:3990-4055 — the interactive
+        slider version; here one static frame per call)."""
+        import matplotlib.pyplot as plt
+        z = np.asarray(self.result["z"].values)[:, time_index]
+        z = z[np.isfinite(z)]
+        if maxdepth is None:
+            maxdepth = min(float(np.nanmin(z)) if len(z) else -10.0, -1.0)
+        if ax is None:
+            _, ax = plt.subplots(figsize=(4, 6))
+        ax.hist(z, bins=bins, range=(maxdepth, 0),
+                orientation="horizontal", color="royalblue")
+        ax.set_ylim(maxdepth, 0)
+        ax.set_ylabel("Depth [m]")
+        ax.set_xlabel("Number of elements")
+        ax.grid(True)
+        if filename is not None:
+            plt.savefig(filename, dpi=110, bbox_inches="tight")
+            plt.close()
+        return ax
+
+    def plot_memory_usage(self, filename=None, ax=None):
+        """Host RSS sampled once per output interval during run()
+        (reference basemodel/__init__.py:4671-4685)."""
+        import matplotlib.pyplot as plt
+        mem = np.asarray(getattr(self, "memory_usage", []) or [])
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.plot(np.arange(len(mem)), mem)
+        ax.set_xlabel("Output interval")
+        ax.set_ylabel("Host memory [MB]")
+        ax.grid(True)
+        if filename is not None:
+            plt.savefig(filename, dpi=110, bbox_inches="tight")
+            plt.close()
+        return ax
+
     def plot_property(self, prop, filename=None, mean=False):
         """Time series of an element property
         (reference basemodel/__init__.py:4000-4030)."""

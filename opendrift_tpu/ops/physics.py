@@ -258,3 +258,127 @@ def sea_water_dynamic_viscosity(T=10.0, S=35.0):
 
 def sea_water_kinematic_viscosity(T=10.0, S=35.0):
     return sea_water_dynamic_viscosity(T, S) / sea_water_density(T, S)
+
+
+def seawater_dynamic_viscosity_ladim(T=10.0, S=35.0):
+    """LADiM variant (reference physics_methods.py:147-156):
+    mu = 1.79e-3 exp(-(T0.6-0.98)) with salinity correction."""
+    mu = 1.7915e-3 - 5.3152e-5 * T + 6.946e-7 * T ** 2 \
+        + 2.23e-6 * S
+    return mu
+
+
+# --------------------------------------------------- wind stress / solar ----
+
+def windspeed_from_stress(wind_stress, rho_air=1.225):
+    """Invert the Large & Pond (1981) drag law tau = Cd(U) rho U^2 for U
+    (reference: physics_methods.py:987-994 does this with a cubic
+    polyfit; here the piecewise law is inverted in closed form, which is
+    exact and jit-friendly).
+
+    Low regime  (U <= 11):  tau = 0.0012 rho U^2        -> U = sqrt(tau/(0.0012 rho))
+    High regime (U > 11):   tau = 0.001(0.49+0.065U) rho U^2  (monotone cubic,
+    solved with a few Newton iterations from the low-regime estimate).
+    """
+    tau = jnp.maximum(jnp.asarray(wind_stress, dtype=jnp.float32), 0.0)
+    u_low = jnp.sqrt(tau / (0.0012 * rho_air))
+
+    def f(u):
+        return 0.001 * (0.49 + 0.065 * u) * rho_air * u ** 2 - tau
+
+    def df(u):
+        return 0.001 * rho_air * (2.0 * 0.49 * u + 3.0 * 0.065 * u ** 2)
+
+    u = jnp.maximum(u_low, 11.0)
+    for _ in range(6):
+        u = u - f(u) / jnp.maximum(df(u), 1e-12)
+    return jnp.where(u_low <= 11.0, u_low, u)
+
+
+def solar_declination(day_of_year):
+    """Solar declination [deg] (reference physics_methods.py:997-1011)."""
+    d = jnp.asarray(day_of_year, dtype=jnp.float32)
+    return jnp.rad2deg(jnp.arcsin(
+        jnp.deg2rad(-23.44) * jnp.cos(
+            jnp.radians((360.0 / 365.24) * (d + 10.0)
+                        + (360.0 / jnp.pi) * 0.0167
+                        * jnp.sin(jnp.radians((360.0 / 365.24)
+                                              * (d - 2.0)))))))
+
+
+def equation_of_time(day_of_year, hour_utc=12.0):
+    """Equation of time [minutes] (reference physics_methods.py:1013)."""
+    d = jnp.asarray(day_of_year, dtype=jnp.float32)
+    gamma = 2.0 * jnp.pi / 365.0 * (d - 1.0 + (hour_utc - 12.0) / 24.0)
+    return 229.18 * (0.000075 + 0.001868 * jnp.cos(gamma)
+                     - 0.032077 * jnp.sin(gamma)
+                     - 0.014615 * jnp.cos(2 * gamma)
+                     - 0.040849 * jnp.sin(2 * gamma))
+
+
+def hour_angle(day_of_year, minutes_utc, longitude):
+    """Solar hour angle [deg] (reference physics_methods.py:1026)."""
+    hour = jnp.asarray(minutes_utc, dtype=jnp.float32) / 60.0
+    eqt = equation_of_time(day_of_year, hour)
+    true_solar_minutes = minutes_utc + eqt + 4.0 * longitude
+    return true_solar_minutes / 4.0 - 180.0
+
+
+def solar_elevation(day_of_year, minutes_utc, longitude, latitude):
+    """Solar elevation angle [deg] at UTC time-of-day ``minutes_utc`` on
+    ``day_of_year`` (reference physics_methods.py:1036-1044).  Pure jnp —
+    convert datetimes with :func:`solar_elevation_time` host-side."""
+    d_rad = jnp.deg2rad(solar_declination(day_of_year))
+    h = jnp.deg2rad(hour_angle(day_of_year, minutes_utc, longitude))
+    lat = jnp.deg2rad(latitude)
+    return jnp.rad2deg(jnp.arcsin(
+        jnp.sin(lat) * jnp.sin(d_rad)
+        + jnp.cos(lat) * jnp.cos(d_rad) * jnp.cos(h)))
+
+
+def solar_elevation_time(time, longitude, latitude):
+    """Datetime-accepting host wrapper around :func:`solar_elevation`."""
+    import numpy as np
+    times = np.atleast_1d(time)
+    doy = jnp.asarray([t.timetuple().tm_yday for t in times],
+                      dtype=jnp.float32)
+    mins = jnp.asarray([t.hour * 60.0 + t.minute + t.second / 60.0
+                        for t in times], dtype=jnp.float32)
+    return solar_elevation(doy, mins, jnp.asarray(longitude),
+                           jnp.asarray(latitude))
+
+
+def plot_stokes_profile(profiles, view=("vertical",), filename=None):
+    """Plot Stokes-drift profiles: list of dicts with keys ``u``, ``v``,
+    ``z`` and optional ``kwargs`` (reference physics_methods.py:259-325).
+    Host-side matplotlib diagnostic."""
+    import numpy as np
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, len(view), squeeze=False)
+    for ax, kind in zip(axes[0], view):
+        for p in profiles:
+            u = np.asarray(p["u"])
+            v = np.asarray(p["v"])
+            z = np.asarray(p["z"])
+            kw = p.get("kwargs", {})
+            if kind == "vertical":
+                ax.plot(np.hypot(u, v), z, **kw)
+                ax.set_xlabel("Stokes speed [m/s]")
+                ax.set_ylabel("z [m]")
+            elif kind == "birdseye":
+                ax.plot(u, v, **kw)
+                ax.set_xlabel("u [m/s]")
+                ax.set_ylabel("v [m/s]")
+            elif kind == "u":
+                ax.plot(u, z, **kw)
+                ax.set_xlabel("u [m/s]")
+                ax.set_ylabel("z [m]")
+            elif kind == "v":
+                ax.plot(v, z, **kw)
+                ax.set_xlabel("v [m/s]")
+                ax.set_ylabel("z [m]")
+        ax.grid(True)
+    if filename is not None:
+        fig.savefig(filename, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+    return fig
