@@ -225,9 +225,12 @@ class TimeseriesReader(ContinuousReader):
     (reference: opendrift/readers/reader_timeseries.py).  Linear
     interpolation in time on device."""
 
-    def __init__(self, parameter_series_map, times):
+    def __init__(self, parameter_series_map, times, lon=None, lat=None):
         """``times``: list of datetimes; ``parameter_series_map``:
-        var -> array of values per time."""
+        var -> array of values per time.  ``lon``/``lat``: optional
+        measurement position (used by ``combine_gaussian`` blending)."""
+        self.lon = lon
+        self.lat = lat
         self.variables = list(parameter_series_map)
         self._series = {k: np.asarray(v, dtype=np.float32)
                         for k, v in parameter_series_map.items()}
@@ -253,3 +256,115 @@ class TimeseriesReader(ContinuousReader):
             val = jnp.interp(t_abs, tsec, series[v])
             values[v] = jnp.full_like(lon, 1.0) * val
         return values, jnp.ones_like(lon, dtype=bool)
+
+
+class PerElementReader(ContinuousReader):
+    """Constant environment values per element ID (reference:
+    reader_constant's ``_parameter_value_map`` with ``element_ID``,
+    used by ``seed_elements(..., environment={...})``,
+    basemodel/__init__.py:1228-1237).
+
+    Values live in a gather table indexed by element ID; the engine
+    forwards element IDs through the ``member`` channel (the same channel
+    ensemble readers use).  IDs without a value sample NaN, so the
+    priority chain falls through to the next reader / fallback.
+    """
+
+    needs_ids = True
+    always_valid = True
+
+    def __init__(self):
+        self.variables = []
+        self._chunks = {}          # var -> [(ids, values)]
+        super().__init__()
+        self.name = "per_element_environment"
+
+    def add(self, variable, ids, values):
+        ids = np.asarray(ids, dtype=np.int64)
+        values = np.broadcast_to(np.asarray(values, dtype=np.float32),
+                                 ids.shape)
+        if variable not in self._chunks:
+            self._chunks[variable] = []
+            self.variables.append(variable)
+        self._chunks[variable].append((ids, values.copy()))
+
+    def device_state(self, window_start=None, window_end=None):
+        size = 1 + max(int(ids.max())
+                       for lst in self._chunks.values()
+                       for ids, _ in lst)
+        tables = {}
+        for var, lst in self._chunks.items():
+            tab = np.full(size + 1, np.nan, dtype=np.float32)
+            for ids, vals in lst:
+                tab[ids] = vals
+            tables[var] = jnp.asarray(tab)
+        return tables
+
+    def sample(self, dev_state, varnames, t, lon, lat, z, member=None):
+        covers = jnp.ones_like(lon, dtype=bool)
+        if member is None:
+            return {v: jnp.full_like(lon, jnp.nan) for v in varnames}, \
+                covers
+        out = {}
+        for v in varnames:
+            tab = dev_state[v]
+            idx = jnp.clip(member.astype(jnp.int32), 0, tab.shape[0] - 1)
+            out[v] = tab[idx]
+        return out, covers
+
+
+class Constant2DReader(ContinuousReader):
+    """Static 2D fields on a regular grid, bilinearly sampled (reference:
+    opendrift/readers/reader_constant_2d.py — static array_dict served
+    through the structured-reader machinery; here one fused gather)."""
+
+    always_valid = True
+
+    def __init__(self, x, y, array_dict, proj4="+proj=latlong"):
+        self.proj4 = proj4
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.xmin, self.xmax = float(x.min()), float(x.max())
+        self.ymin, self.ymax = float(y.min()), float(y.max())
+        self._x0 = float(x[0])
+        self._y0 = float(y[0])
+        self._dx = float(x[1] - x[0]) if len(x) > 1 else 1.0
+        self._dy = float(y[1] - y[0]) if len(y) > 1 else 1.0
+        self._nx = len(x)
+        self._ny = len(y)
+        self.variables = list(array_dict)
+        self._arrays = {v: np.asarray(a, dtype=np.float32)
+                        for v, a in array_dict.items()}
+        for v, a in self._arrays.items():
+            if a.shape != (self._ny, self._nx):
+                raise ValueError(
+                    f"{v}: array shape {a.shape} != (ny, nx) "
+                    f"({self._ny}, {self._nx})")
+        super().__init__()
+        self.name = "constant_2d_reader"
+
+    def device_state(self, window_start=None, window_end=None):
+        return {v: jnp.asarray(a) for v, a in self._arrays.items()}
+
+    def sample(self, dev_state, varnames, t, lon, lat, z):
+        x, y = self.crs.fwd(jnp, lon, lat)
+        fi = (x - self._x0) / self._dx
+        fj = (y - self._y0) / self._dy
+        covers = ((fi >= 0) & (fi <= self._nx - 1)
+                  & (fj >= 0) & (fj <= self._ny - 1))
+        fi = jnp.clip(fi, 0.0, self._nx - 1.0)
+        fj = jnp.clip(fj, 0.0, self._ny - 1.0)
+        i0 = jnp.clip(fi.astype(jnp.int32), 0, self._nx - 2)
+        j0 = jnp.clip(fj.astype(jnp.int32), 0, self._ny - 2)
+        wx = fi - i0
+        wy = fj - j0
+        out = {}
+        for v in varnames:
+            a = dev_state[v]
+            v00 = a[j0, i0]
+            v01 = a[j0, i0 + 1]
+            v10 = a[j0 + 1, i0]
+            v11 = a[j0 + 1, i0 + 1]
+            out[v] = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+                      + wy * ((1 - wx) * v10 + wx * v11))
+        return out, covers

@@ -230,6 +230,56 @@ class BaseReader:
                 values[yv] = v
         return values
 
+    # --------------------------------------------------- reader algebra
+    # (reference operators/ops.py:9-92: Combine mixin on BaseReader)
+    def __add__(self, other):
+        from . import operators as _ops
+        from numbers import Number
+        if isinstance(other, Number):
+            return _ops.ScaledReader(self, scale=1.0, offset=float(other))
+        if isinstance(other, BaseReader):
+            return _ops.combine_add(self, other)
+        return NotImplemented
+
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __mul__(self, other):
+        from . import operators as _ops
+        from numbers import Number
+        if isinstance(other, Number):
+            return _ops.ScaledReader(self, scale=float(other))
+        return NotImplemented
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+    def __truediv__(self, other):
+        from numbers import Number
+        if isinstance(other, Number):
+            return self.__mul__(1.0 / float(other))
+        return NotImplemented
+
+    def __sub__(self, other):
+        from . import operators as _ops
+        from numbers import Number
+        if isinstance(other, Number):
+            return _ops.ScaledReader(self, scale=1.0, offset=-float(other))
+        if isinstance(other, BaseReader):
+            return _ops.combine_sub(self, other)
+        return NotImplemented
+
+    def combine_gaussian(self, measurement_reader, std):
+        """Blend a point observation into this background field with a
+        gaussian weight of width ``std`` metres centred on the
+        measurement reader's (lon, lat) (reference operators/ops.py:
+        combine_gaussian)."""
+        from . import operators as _ops
+        return _ops.GaussianBlendReader(
+            self, measurement_reader,
+            lon0=measurement_reader.lon, lat0=measurement_reader.lat,
+            radius_m=std)
+
     def __repr__(self):
         s = f"Reader: {self.name}\n  variables: {self.variables}\n"
         s += f"  proj4: {self.proj4}\n"

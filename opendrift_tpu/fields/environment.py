@@ -42,7 +42,8 @@ class Environment:
             name = reader.name
             base = name
             suffix = 0
-            while name in self.readers:
+            while name in self.readers \
+                    and self.readers[name] is not reader:
                 suffix += 1
                 name = f"{base}_{suffix}"
             reader.name = name
@@ -194,8 +195,9 @@ class Environment:
                     and reader.name in self.priority_list.get(v, [])]
             if not want:
                 continue
-            if member is not None and getattr(reader, "ensemble_size",
-                                              1) > 1:
+            if member is not None and (
+                    getattr(reader, "ensemble_size", 1) > 1
+                    or getattr(reader, "needs_ids", False)):
                 vals, covers = reader.sample(dev_state, want, t, lon,
                                              lat, z, member=member)
             else:

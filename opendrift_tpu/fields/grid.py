@@ -166,6 +166,20 @@ class StructuredGridReader(BaseReader):
         i0 = int(np.clip(i0, 0, max(n - F, 0)))
         return list(range(i0, min(i0 + F, n)))
 
+    def set_convolution_kernel(self, convolve):
+        """Smooth every loaded frame with a convolution kernel: an int N
+        (NxN box kernel) or a 2D array (reference structured.py:163-192).
+        Applied host-side at frame load, before device packing."""
+        if convolve is None:
+            self._convolve_kernel = None
+        else:
+            if isinstance(convolve, (int, np.integer)):
+                kernel = np.ones((int(convolve), int(convolve)))
+            else:
+                kernel = np.asarray(convolve, dtype=np.float64)
+            self._convolve_kernel = kernel / kernel.sum()
+        self._frame_cache.clear()
+
     def _load_frame(self, std, ti, member=0):
         """Scrubbed, NaN-filled frame (host, cached)."""
         key = (std, ti, member)
@@ -191,6 +205,16 @@ class StructuredGridReader(BaseReader):
                 arr = fill_towards_seafloor(arr)
             arr, any_valid = fill_invalid(arr)
             arr = np.nan_to_num(arr, nan=0.0)
+            kernel = getattr(self, "_convolve_kernel", None)
+            if kernel is not None:
+                from scipy import ndimage
+                if arr.ndim == 2:
+                    arr = ndimage.convolve(arr, kernel, mode="nearest")
+                else:
+                    arr = np.stack([
+                        ndimage.convolve(a, kernel, mode="nearest")
+                        for a in arr])
+                arr = arr.astype(np.float32)
         else:
             arr = np.nan_to_num(arr, nan=1.0)  # unknown -> land
         if len(self._frame_cache) > self._max_cached_frames:

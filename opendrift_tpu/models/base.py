@@ -361,11 +361,33 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 raise ValueError(
                     f"Seed property {name} has length {len(v)} != {number}")
             props[name] = v
+        # per-element constant environment (reference :1228-1237: a
+        # ConstantReader keyed on element_ID added with top priority)
+        per_elem_env = kwargs.pop("environment", None)
+
         unknown = [k for k in kwargs if k not in ("z",)]
         if unknown:
             raise ValueError(
                 f"Unknown seed properties for "
                 f"{type(self).__name__}: {unknown}")
+
+        if per_elem_env is not None:
+            from ..fields.analytic import PerElementReader
+            ids = np.arange(self.num_elements_scheduled_total + 1,
+                            self.num_elements_scheduled_total + number + 1)
+            rdr = getattr(self, "_per_element_reader", None)
+            if rdr is None:
+                rdr = self._per_element_reader = PerElementReader()
+                new_reader = True
+            else:
+                new_reader = False
+            for var, vals in per_elem_env.items():
+                rdr.add(var, ids, vals)
+            if new_reader:
+                self.add_reader(rdr, first=True)
+            else:
+                # re-register any newly served variables at top priority
+                self.env.add_reader(rdr, first=True)
 
         seeding = {
             "lon": lon.astype(np.float32),
@@ -1017,8 +1039,10 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         east = self.get_config("drift:deactivate_east_of")
         north = self.get_config("drift:deactivate_north_of")
         south = self.get_config("drift:deactivate_south_of")
-        # EPS ensemble forcing: elements ride members round-robin by ID
+        # EPS ensemble forcing: elements ride members round-robin by ID;
+        # per-element constant readers also key on ID (same channel)
         has_ensemble = any(getattr(r, "ensemble_size", 1) > 1
+                           or getattr(r, "needs_ids", False)
                            for r in env.readers.values())
 
         def pre_update(state, dev_states, t_rel, tau, key):

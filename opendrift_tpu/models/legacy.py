@@ -138,3 +138,42 @@ class OpenBergOld(OpenBerg):
                       "OpenBerg force-balance model", DeprecationWarning,
                       stacklevel=2)
         super().__init__(*args, **kwargs)
+
+
+def gls_tke(windstress, depths, sea_water_density, tke,
+            generic_length_scale, gls_parameters=None):
+    """Generic-length-scale TKE vertical diffusivity profile (reference:
+    opendrift/legacy.py:5-46, from LADiM, for ROMS k-omega closure
+    output).  Returns K of shape (len(depths), N).
+
+    Pure jnp: interior diffusivity from the GLS dissipation relation plus
+    a wave-enhanced surface layer scaled by the waterside friction
+    velocity cubed.
+    """
+    g = 9.81
+    f0 = 0.1   # mean wave frequency
+    c_w = 4.0  # wave mixing parameter
+    c_i = 0.2  # interior coefficient
+    if gls_parameters is None:
+        p, m, n = 0.0, 1.0, 1.0
+        cmu0 = 0.5477  # KANTHA_CLAYSON stability function
+    else:
+        p = gls_parameters["gls_p"]
+        m = gls_parameters["gls_m"]
+        n = gls_parameters["gls_n"]
+        cmu0 = gls_parameters["gls_cmu0"]
+
+    windstress = jnp.asarray(windstress, jnp.float32)
+    tke = jnp.asarray(tke, jnp.float32)
+    gls = jnp.asarray(generic_length_scale, jnp.float32)
+    rho = jnp.asarray(sea_water_density, jnp.float32)
+
+    phi = 100.0 * (windstress / rho) ** 1.5
+    eps = cmu0 ** (3.0 + p / n) * tke ** (1.5 + m / n) * gls ** (-1.0 / n)
+    l_i = c_i * tke ** 1.5 / jnp.maximum(eps, 1e-12)
+    ki = c_i * jnp.sqrt(2.0 * tke) * l_i
+    l_w = jnp.sqrt(phi / (g * f0))
+    kwave = c_w * jnp.sqrt(2.0 * tke) * l_w
+    kmix = ki + kwave
+    depths = jnp.asarray(depths, jnp.float32)
+    return jnp.broadcast_to(kmix, (depths.shape[0],) + kmix.shape)

@@ -208,6 +208,60 @@ class OceanDrift(OpenDriftSimulation):
         else:
             self.vertical_buoyancy(ctx)
         self.vertical_advection(ctx)
+        self.machine_learning_correction(ctx)
+
+    # ------------------------------------------------- ML drift correction
+    def set_ml_correction(self, weights, predictors, norm_in, norm_out,
+                          output_scale=1.0 / 3600.0):
+        """Attach a residual drift correction MLP (TPU-native counterpart
+        of the reference's optional Keras model, oceandrift.py:239-283).
+
+        ``weights``: list of (W, b) jnp arrays (tanh between layers);
+        ``predictors``: environment variable names forming the input, in
+        order; ``norm_in``/``norm_out``: (mean, std) arrays for input and
+        output normalisation; the denormalised 2-component output is a
+        residual displacement which ``output_scale`` converts to m/s
+        (default: metres-per-hour -> m/s).  The correction velocity is
+        applied every step inside the fused kernel (the reference applies
+        it in hourly bursts host-side).
+        """
+        self._ml = {
+            "weights": [(jnp.asarray(W, jnp.float32),
+                         jnp.asarray(b, jnp.float32))
+                        for W, b in weights],
+            "predictors": list(predictors),
+            "norm_in": (jnp.asarray(norm_in[0], jnp.float32),
+                        jnp.asarray(norm_in[1], jnp.float32)),
+            "norm_out": (jnp.asarray(norm_out[0], jnp.float32),
+                         jnp.asarray(norm_out[1], jnp.float32)),
+            "scale": float(output_scale),
+        }
+        new = [v for v in predictors if v not in self.required_variables]
+        for v in new:
+            self.required_variables[v] = {"fallback": 0.0}
+        if new:
+            # regenerate the auto environment:constant/fallback configs
+            self._add_environment_configs()
+
+    def machine_learning_correction(self, ctx):
+        """Apply the attached MLP residual correction (no-op unless
+        :meth:`set_ml_correction` was called)."""
+        ml = getattr(self, "_ml", None)
+        if ml is None:
+            return
+        mi, si = ml["norm_in"]
+        mo, so = ml["norm_out"]
+        x = jnp.stack([ctx.environment[p] for p in ml["predictors"]],
+                      axis=-1)
+        h = (x - mi) / si
+        n_layers = len(ml["weights"])
+        for i, (W, b) in enumerate(ml["weights"]):
+            h = h @ W + b
+            if i < n_layers - 1:
+                h = jnp.tanh(h)
+        out = h * so + mo
+        ctx.update_positions(out[:, 0] * ml["scale"],
+                             out[:, 1] * ml["scale"])
 
     # ------------------------------------------------------ model hooks ---
     def update_terminal_velocity(self, ctx, Tprofiles=None, Sprofiles=None,

@@ -72,10 +72,34 @@ class PlottingMixin:
             logger.debug("Could not shade landmask: %s", e)
 
     def plot(self, buffer=0.1, filename=None, show=False, linecolor=None,
-             hide_landmask=False, markersize=4, ax=None, **kwargs):
-        """Trajectory plot (reference basemodel/__init__.py:3482)."""
+             hide_landmask=False, markersize=4, ax=None, compare=None,
+             **kwargs):
+        """Trajectory plot (reference basemodel/__init__.py:3482).
+
+        ``compare``: another simulation object, an output filename, or a
+        dict with ``lon``/``lat`` arrays (e.g. an observed drifter
+        track), or a list of these — overlaid in distinct colours
+        (reference comparison plots :3438-3480)."""
         import matplotlib.pyplot as plt
         fig, ax = self._axes_with_land(buffer, hide_landmask, ax=ax)
+        if compare is not None:
+            if not isinstance(compare, list):
+                compare = [compare]
+            colors = ["tab:red", "tab:orange", "tab:purple", "tab:brown"]
+            for cn, comp in enumerate(compare):
+                if isinstance(comp, str):
+                    import opendrift_tpu as _od
+                    comp = _od.open(comp)
+                if isinstance(comp, dict):
+                    clon = np.atleast_2d(np.asarray(comp["lon"]))
+                    clat = np.atleast_2d(np.asarray(comp["lat"]))
+                else:
+                    clon = np.atleast_2d(np.asarray(comp.result["lon"]))
+                    clat = np.atleast_2d(np.asarray(comp.result["lat"]))
+                ax.plot(clon.T, clat.T, color=colors[cn % len(colors)],
+                        lw=1.0, alpha=0.8, zorder=4)
+                ax.plot([], [], color=colors[cn % len(colors)],
+                        label=f"compare {cn}")
         lon = self.result["lon"].values
         lat = self.result["lat"].values
         if linecolor is not None and linecolor in self.result:

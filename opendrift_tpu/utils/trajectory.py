@@ -77,3 +77,43 @@ def plot_wind_drift_factor(wdf, azimuth, wmax_plot=None, show=True):
     if show:
         plt.show()
     return fig, ax
+
+
+def distance_between_trajectories(lon1, lat1, lon2, lat2):
+    """Pointwise geodesic distance [m] between two equal-length
+    trajectories."""
+    lon1, lat1, lon2, lat2 = map(np.asarray, (lon1, lat1, lon2, lat2))
+    _, _, d = geodesic.geodesic_inverse(np, lat1, lon1, lat2, lon2)
+    return d
+
+
+def trajectory_length(lon, lat):
+    """Cumulative along-track length [m] of a trajectory."""
+    lon, lat = np.asarray(lon), np.asarray(lat)
+    _, _, seg = geodesic.geodesic_inverse(np, lat[:-1], lon[:-1],
+                                          lat[1:], lon[1:])
+    return np.concatenate([[0.0], np.cumsum(seg)])
+
+
+def skillscore_liu_weissberg(lon_obs, lat_obs, lon_model, lat_model,
+                             tolerance_threshold=1.0):
+    """Liu & Weisberg (2011) trajectory skill score.
+
+    ss = 1 - s/n (clipped at 0), where s is the cumulative separation
+    distance normalised by the cumulative observed trajectory length n.
+    This is the standard drifter-validation metric in the reference
+    ecosystem (provided there by the trajan dependency).
+    """
+    lon_obs = np.asarray(lon_obs, dtype=np.float64)
+    lat_obs = np.asarray(lat_obs, dtype=np.float64)
+    lon_model = np.asarray(lon_model, dtype=np.float64)
+    lat_model = np.asarray(lat_model, dtype=np.float64)
+    d = distance_between_trajectories(lon_obs, lat_obs,
+                                      lon_model, lat_model)
+    length = trajectory_length(lon_obs, lat_obs)
+    s = np.sum(d[1:])
+    n = np.sum(length[1:])
+    if n == 0:
+        return 0.0
+    index = s / (n * tolerance_threshold)
+    return float(max(0.0, 1.0 - index))
