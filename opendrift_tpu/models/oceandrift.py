@@ -121,6 +121,13 @@ class OceanDrift(OpenDriftSimulation):
                 "type": "bool", "default": False,
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Use T/S profiles in the mixing inner loop"},
+            "vertical_mixing:use_pallas": {
+                "type": "bool", "default": True,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "On TPU, run the mixing inner loop as a "
+                "fused Pallas VMEM kernel with the hardware PRNG "
+                "(base-model hook set only; statistically identical, "
+                "different random stream)"},
             "drift:wind_drift_depth": {
                 "type": "float", "default": 0.1, "min": 0, "max": 10,
                 "units": "meters", "level": CONFIG_LEVEL_ADVANCED,
@@ -389,6 +396,28 @@ class OceanDrift(OpenDriftSimulation):
                  ) / (2.0 * delta)
         return Kz, dKdz
 
+    def _pallas_mixing_applicable(self, model):
+        """True when the mixing inner loop can run as the fused Pallas
+        VMEM kernel: windspeed-parameterised diffusivity and every
+        per-substep hook still at its base implementation (subclasses
+        like OpenOil override the hooks and keep the jnp path)."""
+        from ..ops import pallas_mixing
+        if model not in pallas_mixing._WINDSPEED_MODELS:
+            return False
+        cls = type(self)
+        if not (cls.surface_stick is OceanDrift.surface_stick
+                and cls.surface_wave_mixing is OceanDrift.surface_wave_mixing
+                and cls.bottom_interaction is OceanDrift.bottom_interaction
+                and cls.terminal_velocity_inner
+                is OceanDrift.terminal_velocity_inner):
+            return False
+        try:
+            if not self.get_config("vertical_mixing:use_pallas"):
+                return False
+        except ValueError:
+            pass
+        return pallas_mixing.available() or pallas_mixing.FORCE_INTERPRET
+
     def vertical_mixing(self, ctx, store_depths=False):
         """Visser (1997) random-walk mixing inner loop
         (reference oceandrift.py:397-571)."""
@@ -461,6 +490,25 @@ class OceanDrift(OpenDriftSimulation):
             return mix
 
         extra = self.mixing_carry_extra(ctx)
+        if not extra and not store_depths \
+                and self._pallas_mixing_applicable(model):
+            from ..ops import pallas_mixing
+            w = d.get("terminal_velocity", jnp.zeros_like(d["z"]))
+            seed = jax.random.bits(base_key, dtype=jnp.uint32)
+            seed = jax.lax.bitcast_convert_type(seed, jnp.int32)
+            z_out = pallas_mixing.visser_mixing(
+                d["z"], moving, w, ctx.wind_speed(),
+                ctx.environment.get(
+                    "ocean_mixed_layer_thickness",
+                    jnp.full_like(d["z"], 50.0)),
+                zmin, seed,
+                ntimes=ntimes, dt_mix=dt_mix, model=model,
+                bg=float(self.get_config(
+                    "vertical_mixing:background_diffusivity")),
+                mixing_at_surface=bool(mixing_at_surface),
+                interpret=pallas_mixing.FORCE_INTERPRET)
+            ctx.set_var("z", jnp.where(active, z_out, d["z"]))
+            return
         mix = jax.lax.fori_loop(0, ntimes, body,
                                 {"z": d["z"], "moving": moving, **extra})
         ctx.set_var("z", jnp.where(active, mix["z"], d["z"]))

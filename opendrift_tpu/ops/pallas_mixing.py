@@ -1,0 +1,189 @@
+"""Pallas TPU kernel for the Visser vertical-mixing inner loop.
+
+The mixing inner loop is the framework's dominant FLOP source (reference:
+opendrift/models/oceandrift.py:397-571 runs dt/dt_mix Visser substeps per
+outer step, each with a fresh RNG draw per element — the reference's own
+heaviest benchmark, tests/benchmarks/performance_test.py:117-129).  The
+jnp fallback (models/oceandrift.py:vertical_mixing) expresses it as a
+``lax.fori_loop`` whose carry bounces through HBM every substep and whose
+RNG is counter-based threefry (~20 rounds per draw).
+
+This kernel instead runs the *whole* inner loop per element tile inside
+VMEM: one HBM read of the per-element inputs, ``ntimes`` substeps on the
+VPU, one HBM write of the final depths.  Memory traffic drops from
+O(ntimes x 7 arrays) to O(1 x 7 arrays); the RNG is an inline SplitMix32
+counter hash (~8 VPU integer ops per draw).
+
+Because the RNG is plain jnp integer math (not ``pltpu.prng_random_bits``,
+which the Mosaic interpreter stubs to zeros), the identical update rule
+runs as a pure-jnp function on CPU (``_emulate``) — the TPU kernel and
+the CPU path are op-for-op the same math, so tests on the CPU mesh
+validate exactly what the chip executes.
+
+Only the base-model path is lowered (windspeed-parameterised diffusivity,
+default surface/bottom hooks — the combination exercised by the flagship
+benchmark); models that override the mixing hooks (e.g. OpenOil wave
+entrainment, reference openoil.py:1017-1060) keep the jnp path in
+models/oceandrift.py.  RNG streams differ from that path (SplitMix32 vs
+threefry): statistically identical, not bit-identical — matching the
+reference's stance that mixing is stochastic.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_LANES = 128
+_ROWS = 256                      # tile = 256 x 128 = 32768 elements
+_TILE = _ROWS * _LANES
+
+_WINDSPEED_MODELS = ("windspeed_Sundby1983", "windspeed_Large1994",
+                     "stepfunction")
+
+# test hook: take the fast path on CPU via the pure-jnp emulation
+FORCE_INTERPRET = False
+
+
+def available():
+    """True when the default backend is a real TPU."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _diffusivity(model, wind, mld, bg, depth):
+    """Elementwise K(depth) — same formulas as ops.physics (which see for
+    reference citations); pure jnp, traces into the kernel body."""
+    from . import physics as ph
+    if model == "windspeed_Sundby1983":
+        return ph.verticaldiffusivity_Sundby1983(wind, depth, mld, bg)
+    if model == "windspeed_Large1994":
+        return ph.verticaldiffusivity_Large1994(wind, depth, mld, bg)
+    if model == "stepfunction":
+        return ph.verticaldiffusivity_stepfunction(depth)
+    raise ValueError(f"model {model} not lowered to pallas")
+
+
+def _splitmix32(x):
+    """SplitMix32 avalanche hash on uint32 (counter-based RNG)."""
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    x = x * jnp.uint32(0x7feb352d)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x846ca68b)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    return x
+
+
+def _mix_loop(z, mv, w, wind, mld, zmin, elem, seed, *, ntimes, dt_mix,
+              model, bg, mixing_at_surface):
+    """The shared update rule: runs unchanged inside the Pallas kernel
+    (per-tile blocks) and as the CPU emulation (full arrays).  ``elem``
+    is the global element index (uint32), ``seed`` a uint32 scalar."""
+    adt = abs(dt_mix)
+    base = _splitmix32(elem + seed * jnp.uint32(0x9e3779b9))
+
+    def K_of(depth):
+        return _diffusivity(model, wind, mld, bg, depth)
+
+    def body(i, z):
+        surface = z == 0.0
+        bits = _splitmix32(base + i.astype(jnp.uint32)
+                           * jnp.uint32(0x85ebca6b))
+        # top 24 bits -> uniform in [-1, 1), like the jnp path's
+        # 2*uniform-1 (models/oceandrift.py Visser draw); the value fits
+        # int32 after the shift, and Mosaic only lowers int->float casts
+        R = jax.lax.bitcast_convert_type(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
+        ).astype(jnp.float32) * jnp.float32(2.0 / 16777216.0) - 1.0
+        depth = jnp.abs(z)
+        Kz = K_of(depth)
+        # analytic central-difference dK/dz (z negative downward)
+        dKdz = -(K_of(depth + 0.5)
+                 - K_of(jnp.maximum(depth - 0.5, 0.0)))  # / (2*0.5)
+        z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
+        z = jnp.where(z >= 0.0, -z, z)                      # surface reflect
+        z = jnp.where((z < zmin) & (mv == 1.0),
+                      2.0 * zmin - z, z)                    # seafloor reflect
+        z = z + w * dt_mix * mv                             # buoyancy
+        if not mixing_at_surface:
+            z = jnp.where(surface, 0.0, z)
+        z = jnp.minimum(z, 0.0)                             # surface stick
+        z = jnp.maximum(z, zmin)                            # bottom stick
+        return z
+
+    return jax.lax.fori_loop(0, ntimes, body, z)
+
+
+def _kernel(seed_ref, z_ref, mv_ref, w_ref, wind_ref, mld_ref, zmin_ref,
+            out_ref, **opts):
+    from jax.experimental import pallas as pl
+
+    rows, lanes = z_ref.shape
+    elem = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0) * lanes
+            + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1)
+            + jnp.uint32(pl.program_id(0) * rows * lanes))
+    out_ref[:] = _mix_loop(
+        z_ref[:], mv_ref[:], w_ref[:], wind_ref[:], mld_ref[:], zmin_ref[:],
+        elem, seed_ref[0].astype(jnp.uint32), **opts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntimes", "dt_mix", "model", "bg",
+                     "mixing_at_surface", "interpret"))
+def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
+                  model, bg, mixing_at_surface, interpret=False):
+    """Run ``ntimes`` Visser substeps on every element.
+
+    z, moving, w, wind, mld, zmin: f32 (N,); seed: scalar (uint32/int32).
+    Returns the final z, f32 (N,).  ``interpret=True`` (and any non-TPU
+    backend) runs the op-identical pure-jnp emulation instead of the
+    Pallas lowering.
+    """
+    N = z.shape[0]
+    n_tiles = max(1, -(-N // _TILE))
+    Np = n_tiles * _TILE
+    pad = Np - N
+
+    opts = dict(ntimes=int(ntimes), dt_mix=float(dt_mix), model=model,
+                bg=float(bg), mixing_at_surface=bool(mixing_at_surface))
+
+    def prep(a, fill=0.0):
+        a = jnp.asarray(a, jnp.float32)
+        if a.ndim == 0:
+            a = jnp.full((N,), a)
+        if pad:
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+        return a.reshape(-1, _LANES)
+
+    args = (prep(z), prep(moving), prep(w), prep(wind), prep(mld),
+            prep(zmin))
+    seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
+
+    if interpret or not available():
+        R = Np // _LANES
+        elem = (jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 1))
+        out = _mix_loop(*args, elem, seed_u32, **opts)
+        return out.reshape(-1)[:N]
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # index_map under PrefetchScalarGridSpec receives (grid idx, scalar ref)
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[spec] * 6,
+        out_specs=spec,
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, **opts),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32),
+    )(jnp.atleast_1d(seed_u32.astype(jnp.int32)), *args)
+    return out.reshape(-1)[:N]

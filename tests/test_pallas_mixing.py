@@ -1,0 +1,119 @@
+"""Pallas Visser-mixing kernel vs the jnp inner loop.
+
+The kernel's RNG is the TPU hardware PRNG (threefry in the jnp path), so
+parity is statistical, mirroring how the reference validates mixing by
+distribution rather than per-element paths (its mixing draws fresh
+``np.random`` numbers per substep, reference oceandrift.py:521-531).
+On CPU the kernel runs through the Pallas interpreter.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opendrift_tpu.ops import pallas_mixing
+from opendrift_tpu.ops import physics as ph
+
+
+def _jnp_reference(z, moving, w, wind, mld, zmin, key, ntimes, dt_mix,
+                   model, bg, mixing_at_surface):
+    """The exact update rule of OceanDrift.vertical_mixing (jnp path)."""
+    def K_of(depth):
+        if model == "windspeed_Sundby1983":
+            return ph.verticaldiffusivity_Sundby1983(wind, depth, mld, bg)
+        if model == "windspeed_Large1994":
+            return ph.verticaldiffusivity_Large1994(wind, depth, mld, bg)
+        return ph.verticaldiffusivity_stepfunction(depth)
+
+    def body(i, zz):
+        k = jax.random.fold_in(key, i)
+        surface = zz == 0.0
+        depth = jnp.abs(zz)
+        Kz = K_of(depth)
+        dKdz = -(K_of(depth + 0.5) - K_of(jnp.maximum(depth - 0.5, 0.0)))
+        R = 2.0 * jax.random.uniform(k, zz.shape, dtype=zz.dtype) - 1.0
+        zz = zz - moving * (dKdz * dt_mix - R * jnp.sqrt(Kz * dt_mix * 6.0))
+        zz = jnp.where(zz >= 0.0, -zz, zz)
+        zz = jnp.where((zz < zmin) & (moving == 1.0), 2.0 * zmin - zz, zz)
+        zz = zz + w * dt_mix * moving
+        if not mixing_at_surface:
+            zz = jnp.where(surface, 0.0, zz)
+        zz = jnp.minimum(zz, 0.0)
+        zz = jnp.maximum(zz, zmin)
+        return zz
+    return jax.lax.fori_loop(0, ntimes, body, z)
+
+
+@pytest.mark.parametrize("model", ["windspeed_Sundby1983",
+                                   "windspeed_Large1994",
+                                   "stepfunction"])
+def test_statistical_parity(model):
+    N = 20000
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(-rng.uniform(0.1, 30.0, N), jnp.float32)
+    moving = jnp.ones(N, jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1e-4, N), jnp.float32)
+    wind = jnp.full(N, 8.0, jnp.float32)
+    mld = jnp.full(N, 40.0, jnp.float32)
+    zmin = jnp.full(N, -60.0, jnp.float32)
+    kw = dict(ntimes=20, dt_mix=60.0, model=model, bg=1.2e-5,
+              mixing_at_surface=False)
+
+    zp = pallas_mixing.visser_mixing(z, moving, w, wind, mld, zmin,
+                                     jnp.int32(1234), interpret=True, **kw)
+    zr = _jnp_reference(z, moving, w, wind, mld, zmin,
+                        jax.random.PRNGKey(0), **kw)
+    zp, zr = np.asarray(zp), np.asarray(zr)
+    assert np.all(zp <= 0.0) and np.all(zp >= -60.0)
+    # same ensemble statistics (random streams differ)
+    assert abs(zp.mean() - zr.mean()) < 0.8
+    assert abs(zp.std() - zr.std()) < 0.8
+    q = np.linspace(5, 95, 10)
+    assert np.max(np.abs(np.percentile(zp, q) - np.percentile(zr, q))) < 1.5
+
+
+def test_frozen_and_surface_elements():
+    """moving=0 elements only feel buoyancy=0 (stay put); surface
+    elements are held at z=0 when mixing_at_surface is off."""
+    z = jnp.asarray([0.0, -5.0, -5.0], jnp.float32)
+    moving = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    w = jnp.zeros(3, jnp.float32)
+    wind = jnp.full(3, 10.0, jnp.float32)
+    mld = jnp.full(3, 50.0, jnp.float32)
+    zmin = jnp.full(3, -100.0, jnp.float32)
+    out = pallas_mixing.visser_mixing(
+        z, moving, w, wind, mld, zmin, jnp.int32(9),
+        ntimes=5, dt_mix=60.0, model="windspeed_Sundby1983", bg=0.0,
+        mixing_at_surface=False, interpret=True)
+    out = np.asarray(out)
+    assert out[0] == 0.0          # surface hold
+    assert out[1] == -5.0         # frozen element
+    assert out[2] != -5.0 and -100.0 <= out[2] <= 0.0
+
+
+def test_model_integration_interpret(monkeypatch):
+    """OceanDrift.vertical_mixing takes the Pallas fast path (interpreter
+    on CPU) and produces a plausible mixed-layer distribution."""
+    monkeypatch.setattr(pallas_mixing, "FORCE_INTERPRET", True)
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields import ConstantReader
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("drift:vertical_mixing", True)
+    o.set_config("vertical_mixing:diffusivitymodel", "windspeed_Sundby1983")
+    o.set_config("vertical_mixing:timestep", 60.0)
+    o.set_config("drift:advection_scheme", "euler")
+    o.add_reader(ConstantReader({"x_wind": 10.0, "y_wind": 0.0,
+                                "x_sea_water_velocity": 0.0,
+                                "y_sea_water_velocity": 0.0,
+                                "sea_floor_depth_below_sea_level": 100.0}))
+    from datetime import datetime, timedelta
+    t0 = datetime(2020, 1, 1)
+    o.seed_elements(4.0, 60.0, number=512, time=t0, z=-2.0)
+    assert o._pallas_mixing_applicable("windspeed_Sundby1983")
+    o.run(duration=timedelta(minutes=30), time_step=600)
+    z = np.asarray(o.result["z"])[:, -1]
+    assert np.all(z <= 0.0) and np.all(z > -100.0)
+    assert z.std() > 0.1          # actually mixed
