@@ -173,6 +173,17 @@ class Environment:
         return tuple(states)
 
     # ------------------------------------------------------ device sampling
+    def has_reader_for(self, variable):
+        """True when some active reader (not just a fallback value)
+        serves ``variable`` — i.e. the field has spatial structure."""
+        for reader, served in (self._plan or []):
+            if reader.name in self.discarded_readers:
+                continue
+            if variable in served and \
+                    reader.name in self.priority_list.get(variable, []):
+                return True
+        return False
+
     def get_environment(self, dev_states, varnames, t, lon, lat, z,
                         key=None, member=None):
         """The fused on-device equivalent of reference

@@ -162,6 +162,22 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "type": "float", "default": 2.0, "min": 0, "max": 100,
                 "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Speed bound used for coverage/halo sizing"},
+            "drift:position_update": {
+                "type": "enum", "enum": ["fused", "sequential"],
+                "default": "fused", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "'fused' sums process velocities and "
+                "commits one geodesic solve per step; 'sequential' "
+                "solves per process like the reference's repeated "
+                "Geod.fwd calls (slower, differs by mm-scale curvature "
+                "terms)"},
+            "drift:geodesy": {
+                "type": "enum", "enum": ["second_order", "vincenty"],
+                "default": "second_order",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Committed position update: 'second_order' "
+                "ellipsoidal expansion (mm-accurate per step, 2 vector "
+                "transcendentals) or the full 'vincenty' direct solve "
+                "(sub-mm, ~6x costlier on the VPU)"},
             "drift:deactivate_north_of": {
                 "type": "float", "default": None, "min": -90, "max": 90,
                 "units": "degrees", "level": CONFIG_LEVEL_ADVANCED,
@@ -1082,10 +1098,23 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             d["status"] = jnp.where(active & bad, status_outside, d["status"])
             active = d["status"] == ACTIVE
 
-            # coastline interaction (reference :670-746)
-            if "land_binary_mask" in envs and coastline_action != "none":
+            # coastline interaction (reference :670-746).  When no reader
+            # serves the landmask (fallback constant only), the field has
+            # no coast to cross: a fallback of 0 can never strand anything
+            # and the 4 bisection refetches below would be pure waste.
+            landmask_spatial = env.has_reader_for("land_binary_mask")
+            if "land_binary_mask" in envs and coastline_action != "none" \
+                    and (landmask_spatial
+                         or float(env.fallback_values.get(
+                             "land_binary_mask", 0.0) or 0.0) > 0.5):
                 on_land = envs["land_binary_mask"] > 0.5
-                if coastline_action == "stranding":
+                if coastline_action == "stranding" and not landmask_spatial:
+                    # uniform mask=1: everything strands where it is
+                    strand = active & on_land
+                    d["status"] = jnp.where(strand, status_stranded,
+                                            d["status"])
+                    active = d["status"] == ACTIVE
+                elif coastline_action == "stranding":
                     # bisect the land crossing along the last transect so
                     # stranded elements sit at the coastline, not inland
                     # (reference coastline_crossing :81-134, replaced by a
@@ -1171,6 +1200,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                               t_rel, params, key, zlevels)
             self.update(ctx)
             ctx.horizontal_diffusion()
+            ctx.flush_positions()
             # record this step's environment for next-step comparisons
             prev_updates = {f"prev_env_{v}": envs[v]
                             for v in self.store_previous_env_vars()
@@ -1477,6 +1507,15 @@ class StepContext(PhysicsContext):
         self.zlevels = zlevels
         self._key = key
         self._key_counter = 0
+        # fused position mode: accumulate process velocities, commit one
+        # geodesic solve per step (see update_positions)
+        try:
+            self._fused_positions = (
+                sim.get_config("drift:position_update") == "fused")
+        except ValueError:
+            self._fused_positions = True
+        self._u_acc = None
+        self._v_acc = None
 
     # -- RNG ---------------------------------------------------------------
     def next_key(self):
@@ -1506,14 +1545,46 @@ class StepContext(PhysicsContext):
 
     def update_positions(self, x_vel, y_vel):
         """Geodesic position update (reference basemodel/__init__.py:4631):
-        masked to active, moving elements."""
-        from ..utils.geodesic import geodesic_step
+        masked to active, moving elements.
+
+        In 'fused' mode (default) the per-process velocities are summed
+        and ONE Vincenty solve commits the step in :meth:`flush_positions`
+        — the reference instead runs ``Geod.fwd`` per process (current,
+        windage, Stokes, diffusion each call update_positions).  All
+        processes are evaluated from the same start-of-step environment,
+        so the sequential solves differ from the fused one only by
+        O((s/R)^2) path-curvature terms (mm at km steps)."""
+        if self._fused_positions:
+            mv = self.state.data["moving"]
+            u, v = x_vel * mv, y_vel * mv
+            if self._u_acc is None:
+                self._u_acc, self._v_acc = u, v
+            else:
+                self._u_acc = self._u_acc + u
+                self._v_acc = self._v_acc + v
+            return
+        self._commit_positions(x_vel * self.state.data["moving"],
+                               y_vel * self.state.data["moving"])
+
+    def flush_positions(self):
+        """Commit accumulated fused-mode velocities (one geodesic solve)."""
+        if self._u_acc is not None:
+            u, v = self._u_acc, self._v_acc
+            self._u_acc = self._v_acc = None
+            self._commit_positions(u, v)
+
+    def _commit_positions(self, u, v):
+        from ..utils.geodesic import geodesic_step, \
+            geodesic_step_second_order
         d = self.state.data
         mask = self.active
-        u = x_vel * d["moving"]
-        v = y_vel * d["moving"]
-        lat2, lon2 = geodesic_step(jnp, d["lat"], d["lon"], u, v,
-                                   self.params["dt"])
+        try:
+            vincenty = self.sim.get_config("drift:geodesy") == "vincenty"
+        except ValueError:
+            vincenty = False
+        step_fn = geodesic_step if vincenty else geodesic_step_second_order
+        lat2, lon2 = step_fn(jnp, d["lat"], d["lon"], u, v,
+                             self.params["dt"])
         self.state = self.state.replace(
             lon=jnp.where(mask, lon2, d["lon"]),
             lat=jnp.where(mask, lat2, d["lat"]))

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import physics as ph
-from ..utils.geodesic import geodesic_direct
+from ..utils.geodesic import geodesic_direct, geodesic_step_fast
 
 
 class PhysicsContext:
@@ -64,10 +64,11 @@ class PhysicsContext:
                 block_ctx = (reader, dev_state, block, covers0)
 
         def stage(lon0, lat0, uvel, vvel, dist_frac, t_frac):
-            az = jnp.degrees(jnp.arctan2(uvel, vvel))
-            speed = jnp.sqrt(uvel * uvel + vvel * vvel)
-            lat_s, lon_s = geodesic_direct(jnp, lat0, lon0, az,
-                                           speed * dt * dist_frac)
+            # stage positions only sample smooth fields — the fast
+            # tangent-plane step (error << field variation over metres)
+            # replaces the full Vincenty solve of the committed update
+            lat_s, lon_s = geodesic_step_fast(jnp, lat0, lon0, uvel, vvel,
+                                              dt * dist_frac)
             if block_ctx is not None:
                 reader, dev_state, block, covers0 = block_ctx
                 u_s, v_s = reader.uv_from_block(
