@@ -1118,25 +1118,38 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                     # bisect the land crossing along the last transect so
                     # stranded elements sit at the coastline, not inland
                     # (reference coastline_crossing :81-134, replaced by a
-                    # fixed-K sampled transect against the mask)
+                    # fixed-K sampled transect against the mask).  Gated
+                    # behind lax.cond: on the typical step nothing strands
+                    # and the K mask refetches (each a full-fleet gather)
+                    # are skipped entirely at runtime.
                     K_SAMP = 4
-                    frac_land = jnp.ones_like(d["lon"])
-                    for ks in range(K_SAMP, 0, -1):
-                        f = ks / float(K_SAMP)
-                        slon = d["prev_lon"] + f * (d["lon"] - d["prev_lon"])
-                        slat = d["prev_lat"] + f * (d["lat"] - d["prev_lat"])
-                        menv, _ = env.get_environment(
-                            dev_states, ["land_binary_mask"], t_rel,
-                            slon, slat, d["z"])
-                        land_here = menv["land_binary_mask"] > 0.5
-                        frac_land = jnp.where(land_here, f, frac_land)
                     strand = active & on_land
+                    lon_a, lat_a = d["lon"], d["lat"]
+                    plon, plat = d["prev_lon"], d["prev_lat"]
+                    zz = d["z"]
+
+                    def bisect(ops):
+                        lon_a, lat_a, plon, plat, zz = ops
+                        frac = jnp.ones_like(lon_a)
+                        for ks in range(K_SAMP, 0, -1):
+                            f = ks / float(K_SAMP)
+                            slon = plon + f * (lon_a - plon)
+                            slat = plat + f * (lat_a - plat)
+                            menv, _ = env.get_environment(
+                                dev_states, ["land_binary_mask"], t_rel,
+                                slon, slat, zz)
+                            frac = jnp.where(
+                                menv["land_binary_mask"] > 0.5, f, frac)
+                        return frac
+
+                    frac_land = jax.lax.cond(
+                        jnp.any(strand), bisect,
+                        lambda ops: jnp.ones_like(ops[0]),
+                        (lon_a, lat_a, plon, plat, zz))
                     d["lon"] = jnp.where(
-                        strand, d["prev_lon"] + frac_land
-                        * (d["lon"] - d["prev_lon"]), d["lon"])
+                        strand, plon + frac_land * (lon_a - plon), lon_a)
                     d["lat"] = jnp.where(
-                        strand, d["prev_lat"] + frac_land
-                        * (d["lat"] - d["prev_lat"]), d["lat"])
+                        strand, plat + frac_land * (lat_a - plat), lat_a)
                     d["status"] = jnp.where(strand, status_stranded,
                                             d["status"])
                     active = d["status"] == ACTIVE

@@ -220,7 +220,8 @@ class PackedSampler:
             for v in keep_vars:
                 c0, kind = self.col_of[v]
                 block_col_of[v] = (len(sub_cols), kind)
-                sub_cols.extend(range(c0, c0 + F))
+                n = 1 if kind == "static" else F
+                sub_cols.extend(range(c0, c0 + n))
             sub = _np.asarray(sub_cols, dtype=_np.int32)
             cols = _np.concatenate([sub, sub + q])  # base + x+1 halves
         else:

@@ -146,3 +146,44 @@ def test_packed_sampler_pair_modes_agree():
         a = np.asarray(results["none"][v])
         assert np.allclose(a, np.asarray(results["x"][v]), atol=1e-5)
         assert np.allclose(a, np.asarray(results["xy"][v]), atol=1e-5)
+
+
+def test_half_precision_packed_rows():
+    """Opt-in float16 packed rows stay within ~1e-3 relative of the f32
+    sampling path (gathers are random-access-bandwidth bound on TPU;
+    f16 halves the bytes)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    path = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
+            "Nordic_subset.nc")
+    import os
+    import pytest
+    if not os.path.exists(path):
+        pytest.skip("reference test data unavailable")
+
+    rng = np.random.default_rng(1)
+    lon = jnp.asarray(rng.uniform(13.0, 14.5, 500), jnp.float32)
+    lat = jnp.asarray(rng.uniform(66.9, 67.8, 500), jnp.float32)
+    z = jnp.asarray(-rng.uniform(0, 20, 500), jnp.float32)
+
+    out = {}
+    for dtype in ("float32", "float16"):
+        r = ROMSReader(path)
+        r.packed_dtype = dtype
+        r.set_run_epoch(r.times[0])
+        r.prepare()
+        ds = r.device_state()
+        assert ds["packed"].dtype == jnp.dtype(dtype)
+        vals, covers = r.sample(
+            ds, ["x_sea_water_velocity", "y_sea_water_velocity",
+                 "sea_floor_depth_below_sea_level"],
+            jnp.float32(1800.0), lon, lat, z)
+        out[dtype] = {k: np.asarray(v) for k, v in vals.items()}
+        assert np.asarray(covers).all()
+
+    for k in out["float32"]:
+        a, b = out["float32"][k], out["float16"][k]
+        scale = max(np.nanmax(np.abs(a)), 1e-6)
+        assert np.nanmax(np.abs(a - b)) / scale < 2e-3, k

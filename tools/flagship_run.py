@@ -39,6 +39,10 @@ def main():
               "Nordic_subset.nc")
     o = OceanDrift(loglevel=30)
     reader = ROMSReader(nordic)
+    # half-precision forcing rows: gathers are random-access-bandwidth
+    # bound, f16 rows double sampling throughput (~1e-3 rel. forcing
+    # error, below the source files' own int16 packing)
+    reader.packed_dtype = "float16"
     o.add_reader(reader)
     o.set_config("general:use_auto_landmask", False)
     o.set_config("drift:advection_scheme", "runge-kutta4")
