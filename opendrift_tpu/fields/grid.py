@@ -25,8 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .base import BaseReader, STANDARD_NAMES
-from ..ops.interp import (interp_xyzt, interp_nearest_xyt, fill_invalid,
-                          fill_towards_seafloor)
+from ..ops.interp import fill_invalid, fill_towards_seafloor
 
 logger = logging.getLogger(__name__)
 
@@ -244,16 +243,22 @@ class StructuredGridReader(BaseReader):
         for v in self._group2:
             col_of[v] = (col, "t")
             col += F
-        # linearly-interpolated statics (bathymetry etc.) ride the same
-        # row gathers as one extra column each — sampling them through a
-        # separate narrow-block gather costs ~10x the whole packed fetch
-        # (gathers are per-index bound, row width is nearly free)
+        # Statics (bathymetry, masks) ride the same row gathers as one
+        # extra column each — sampling them through a separate
+        # narrow-block gather costs ~10x the whole packed fetch (TPU
+        # gathers are per-index bound, row width is nearly free).
+        # Nearest-sampled masks (reference uses nearest for masks,
+        # interpolation/structured.py:117-119) are corner-selected from
+        # the very same gathers, zero extra cost.
         self._static_packed = [v for v in self._groups
                                if v not in NEAREST_VARIABLES]
-        self._static_bs = [v for v in self._groups
-                           if v in NEAREST_VARIABLES]
+        self._static_near = [v for v in self._groups
+                             if v in NEAREST_VARIABLES]
         for v in self._static_packed:
             col_of[v] = (col, "static")
+            col += 1
+        for v in self._static_near:
+            col_of[v] = (col, "near")
             col += 1
         C = col
         # neighbour-packing tier from the 256 MB row-array budget.
@@ -288,7 +293,7 @@ class StructuredGridReader(BaseReader):
                     for fi, ti in enumerate(tidx):
                         packed[:, :, :, c0 + fi] = \
                             self._load_frame(v, ti, m)[None, :, :]
-                for v in self._static_packed:
+                for v in self._static_packed + self._static_near:
                     packed[:, :, :, col_of[v][0]] = \
                         self._load_frame(v, 0, m)[None, :, :]
                 if pair_mode != "none":
@@ -318,9 +323,6 @@ class StructuredGridReader(BaseReader):
             # source NetCDF files.  Opt in: reader.packed_dtype='float16'.
             dtype = getattr(self, "packed_dtype", "float32")
             out["packed"] = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
-        if self._static_bs:
-            out["bs"] = jnp.asarray(np.stack(
-                [self._load_frame(v, 0) for v in self._static_bs]))
         epoch = self._run_epoch
         out["times"] = jnp.asarray(
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],
@@ -368,19 +370,20 @@ class StructuredGridReader(BaseReader):
         want_t = [v for v in varnames
                   if v in self._group3 or v in self._group2
                   or v in self._static_packed]
-        wants = [v for v in varnames if v in self._static_bs]
-        if want_t:
-            rows = self._sampler.gather_rows(dev_state["packed"], xi, yi,
-                                             depth, dev_state["depths"],
-                                             row_offset=row_offset)
-            values.update(self._sampler.values(rows, times, t, want_t))
-        if wants:
-            idx = [self._static_bs.index(v) for v in wants]
-            bs = dev_state["bs"][np.array(idx)][:, None, :, :]
-            t0 = jnp.zeros((1,), dtype=jnp.float32)
-            for i, v in enumerate(wants):
-                values[v] = interp_nearest_xyt(
-                    bs[i:i + 1], t0, xi, yi, jnp.float32(0.0))[0]
+        want_n = [v for v in varnames if v in self._static_near]
+        if want_t or want_n:
+            ncols = [self._sampler.col_of[v][0] for v in want_n]
+            res = self._sampler.gather_rows(
+                dev_state["packed"], xi, yi, depth, dev_state["depths"],
+                row_offset=row_offset, nearest_cols=ncols or None)
+            if ncols:
+                rows, near = res
+                for v, c in zip(want_n, ncols):
+                    values[v] = near[c]
+            else:
+                rows = res
+            if want_t:
+                values.update(self._sampler.values(rows, times, t, want_t))
         # rotate grid-relative vector pairs to east/north
         if not self.crs.is_latlon:
             gamma = self.crs.convergence(jnp, lon, lat)

@@ -117,14 +117,21 @@ class PackedSampler:
     def x_paired(self):
         return self.pair_mode in ("x", "xy")
 
-    def gather_rows(self, packed, xi, yi, depth, depths, row_offset=0):
+    def gather_rows(self, packed, xi, yi, depth, depths, row_offset=0,
+                    nearest_cols=None):
         """4 (x_paired) or 8 corner gathers -> spatially interpolated
         rows (N, C) plus the vertical bracketing already applied.
 
         ``row_offset``: per-element row offset into ``packed`` — used for
         ensemble forcing, where member m's block starts at m*Z*Y*X
         (reference: round-robin EPS member assignment,
-        interpolation/structured.py:120-134)."""
+        interpolation/structured.py:120-134).
+
+        ``nearest_cols``: optional list of column indices to ALSO return
+        nearest-corner sampled (masks use nearest in the reference,
+        interpolation/structured.py:117-119) — selected from the same
+        corner gathers, so a nearest-sampled landmask costs zero extra
+        gathers.  Returns rows or (rows, {col: f32[N]})."""
         Z, Y, X = self.Z, self.Y, self.X
         x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, max(X - 2, 0))
         y0 = jnp.clip(jnp.floor(yi).astype(jnp.int32), 0, max(Y - 2, 0))
@@ -143,42 +150,66 @@ class PackedSampler:
         y1 = jnp.minimum(y0 + 1, Y - 1)
 
         C = packed.shape[-1]
+        near = {}
+
+        def near_select(g_y0_a, g_y0_b, g_y1_a, g_y1_b):
+            # nearest corner from the 2x2 stencil (x-halves a/b per y row)
+            for c in (nearest_cols or ()):
+                gy0 = jnp.where(fx[:, 0] > 0.5, g_y0_b[:, c], g_y0_a[:, c])
+                gy1 = jnp.where(fx[:, 0] > 0.5, g_y1_b[:, c], g_y1_a[:, c])
+                near[c] = jnp.where(fy[:, 0] > 0.5, gy1, gy0).astype(
+                    jnp.float32)
+
         if self.pair_mode == "xy":
             # columns: [base | x+1 | y+1 | x+1,y+1]; one gather yields
             # the full bilinear stencil -> 2 gathers total (z0, z1)
             q = C // 4
-            def plane(zz):
+            def plane_raw(zz):
                 lin = (zz * Y + y0) * X + x0 + row_offset
-                g = jnp.take(packed, lin, axis=0, mode="clip")
+                return jnp.take(packed, lin, axis=0, mode="clip")
+            g0 = plane_raw(z0)
+            def blend(g):
                 row_y0 = g[:, :q] * (1.0 - fx) + g[:, q:2 * q] * fx
                 row_y1 = g[:, 2 * q:3 * q] * (1.0 - fx) + g[:, 3 * q:] * fx
                 return row_y0 * (1.0 - fy) + row_y1 * fy
-            rz0 = plane(z0)
+            near_select(g0[:, :q], g0[:, q:2 * q],
+                        g0[:, 2 * q:3 * q], g0[:, 3 * q:])
+            rz0 = blend(g0)
+            out = rz0
             if Z > 1:
-                rz1 = plane(z1)
-                return rz0 * (1.0 - fz) + rz1 * fz
-            return rz0
+                rz1 = blend(plane_raw(z1))
+                out = rz0 * (1.0 - fz) + rz1 * fz
+            return (out, near) if nearest_cols else out
         if self.pair_mode == "x":
             half = C // 2
-            def corner(zz, yy):
+            def corner_raw(zz, yy):
                 lin = (zz * Y + yy) * X + x0 + row_offset
                 g = jnp.take(packed, lin, axis=0, mode="clip")
-                return g[:, :half] * (1.0 - fx) + g[:, half:] * fx
+                return g[:, :half], g[:, half:]
+            def corner_of(raw):
+                a, b = raw
+                return a * (1.0 - fx) + b * fx
         else:
             x1 = jnp.minimum(x0 + 1, X - 1)
-            def corner(zz, yy):
+            def corner_raw(zz, yy):
                 lin0 = (zz * Y + yy) * X + x0 + row_offset
                 lin1 = (zz * Y + yy) * X + x1 + row_offset
-                a = jnp.take(packed, lin0, axis=0, mode="clip")
-                b = jnp.take(packed, lin1, axis=0, mode="clip")
+                return (jnp.take(packed, lin0, axis=0, mode="clip"),
+                        jnp.take(packed, lin1, axis=0, mode="clip"))
+            def corner_of(raw):
+                a, b = raw
                 return a * (1.0 - fx) + b * fx
-        r00 = corner(z0, y0)
-        r01 = corner(z0, y1)
-        r10 = corner(z1, y0)
-        r11 = corner(z1, y1)
+        raw00 = corner_raw(z0, y0)
+        raw01 = corner_raw(z0, y1)
+        near_select(raw00[0], raw00[1], raw01[0], raw01[1])
+        r00 = corner_of(raw00)
+        r01 = corner_of(raw01)
+        r10 = corner_of(corner_raw(z1, y0))
+        r11 = corner_of(corner_raw(z1, y1))
         rz0 = r00 * (1.0 - fy) + r01 * fy
         rz1 = r10 * (1.0 - fy) + r11 * fy
-        return rz0 * (1.0 - fz) + rz1 * fz
+        out = rz0 * (1.0 - fz) + rz1 * fz
+        return (out, near) if nearest_cols else out
 
     def gather_corner_block(self, packed, xi, yi, depth, depths,
                             row_offset=0, keep_vars=None):
