@@ -1122,25 +1122,31 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                     # behind lax.cond: on the typical step nothing strands
                     # and the K mask refetches (each a full-fleet gather)
                     # are skipped entirely at runtime.
-                    K_SAMP = 4
+                    K_ROUNDS = 3     # 1/2^3 transect resolution
                     strand = active & on_land
                     lon_a, lat_a = d["lon"], d["lat"]
                     plon, plat = d["prev_lon"], d["prev_lat"]
                     zz = d["z"]
 
                     def bisect(ops):
+                        # true bisection of [prev(sea), current(land)]:
+                        # each round is ONE mask fetch and halves the
+                        # interval (the fixed-grid scan needed 2^k
+                        # fetches for the same resolution)
                         lon_a, lat_a, plon, plat, zz = ops
-                        frac = jnp.ones_like(lon_a)
-                        for ks in range(K_SAMP, 0, -1):
-                            f = ks / float(K_SAMP)
-                            slon = plon + f * (lon_a - plon)
-                            slat = plat + f * (lat_a - plat)
+                        lo = jnp.zeros_like(lon_a)
+                        hi = jnp.ones_like(lon_a)
+                        for _ in range(K_ROUNDS):
+                            mid = 0.5 * (lo + hi)
+                            slon = plon + mid * (lon_a - plon)
+                            slat = plat + mid * (lat_a - plat)
                             menv, _ = env.get_environment(
                                 dev_states, ["land_binary_mask"], t_rel,
                                 slon, slat, zz)
-                            frac = jnp.where(
-                                menv["land_binary_mask"] > 0.5, f, frac)
-                        return frac
+                            land = menv["land_binary_mask"] > 0.5
+                            hi = jnp.where(land, mid, hi)
+                            lo = jnp.where(land, lo, mid)
+                        return hi   # first-land point along the transect
 
                     frac_land = jax.lax.cond(
                         jnp.any(strand), bisect,
