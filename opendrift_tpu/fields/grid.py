@@ -371,6 +371,18 @@ class StructuredGridReader(BaseReader):
                   if v in self._group3 or v in self._group2
                   or v in self._static_packed]
         want_n = [v for v in varnames if v in self._static_near]
+        if want_n and not want_t:
+            # mask-only fetch (e.g. coastline bisection probes): nearest
+            # sampling needs ONE rounded-index gather, not the 4-gather
+            # bilinear stencil (statics are z-broadcast, plane 0 suffices)
+            s = self._sampler
+            x0 = jnp.clip(jnp.round(xi).astype(jnp.int32), 0, s.X - 1)
+            y0 = jnp.clip(jnp.round(yi).astype(jnp.int32), 0, s.Y - 1)
+            lin = y0 * s.X + x0 + row_offset
+            g = jnp.take(dev_state["packed"], lin, axis=0, mode="clip")
+            for v in want_n:
+                values[v] = g[:, s.col_of[v][0]].astype(jnp.float32)
+            return values, covers
         if want_t or want_n:
             ncols = [self._sampler.col_of[v][0] for v in want_n]
             res = self._sampler.gather_rows(
