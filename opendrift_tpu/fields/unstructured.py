@@ -3,21 +3,32 @@
 TPU-first counterpart of the reference's unstructured framework
 (reference: opendrift/readers/basereader/unstructured.py:10-186,
 reader_telemac_selafin.py, reader_netCDF_CF_unstructured.py,
-reader_FVCOM_xarray.py, unstructured/shyfem.py): instead of per-fetch
-KD-tree nearest-node lookups, each frame is regridded once at load time
-through precomputed Delaunay barycentric weights (fields/regrid.py) onto
-a regular lon/lat grid, after which the device-side sampling is the same
-packed-row kernel as every structured reader.
+reader_FVCOM_xarray.py, unstructured/shyfem.py).  Two device paths:
+
+* ``sampling='regrid'`` (default): each frame is regridded once at load
+  time through precomputed Delaunay barycentric weights (fields/regrid.py)
+  onto a regular lon/lat grid, after which the device-side sampling is the
+  same packed-row kernel as every structured reader.
+* ``sampling='native'``: the mesh itself is sampled on device with
+  barycentric interpolation via a precomputed triangle-lookup grid
+  (fields/mesh.py) — preserves the mesh's variable resolution and, where
+  the file carries element connectivity, its exact coastline holes.  More
+  accurate than the reference, whose unstructured path is nearest-node
+  with no horizontal interpolation (unstructured.py:57-74).
 """
 
 import logging
 from datetime import datetime, timedelta
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
+from .base import STANDARD_NAMES
 from .grid import StructuredGridReader
 from .regrid import DelaunayRegridder
 from ..utils import ncio
+from ..utils import crs as crslib
 
 logger = logging.getLogger(__name__)
 
@@ -30,10 +41,16 @@ class UnstructuredReader(StructuredGridReader):
       self._node_lon, self._node_lat : (n_nodes,)
       self.times : list of datetimes
       self.variables, self._var_has_z (all False in this base)
-    and implement ``_node_values(std, time_index) -> (n_nodes,)``.
+    and implement ``_node_values(std, time_index) -> (n_nodes,)``
+    (or, for z-resolved native sampling, ``_node_frame`` returning
+    ``(Z, n_nodes)``).  Optionally set ``self._mesh_triangles`` from the
+    file's element connectivity before calling ``super().__init__()``.
     """
 
-    def __init__(self, resolution_deg=None):
+    def __init__(self, resolution_deg=None, sampling="regrid"):
+        if sampling not in ("regrid", "native"):
+            raise ValueError("sampling must be 'regrid' or 'native'")
+        self._sampling = sampling
         self._regrid = DelaunayRegridder(self._node_lon, self._node_lat,
                                          resolution_deg=resolution_deg)
         self.x = self._regrid.lons
@@ -42,6 +59,13 @@ class UnstructuredReader(StructuredGridReader):
         if not hasattr(self, "depths"):
             self.depths = None
         super(UnstructuredReader, self).__init__()
+        self._mesh = None
+        self._node_frame_cache = {}
+        if sampling == "native":
+            from .mesh import MeshSampler
+            self._mesh = MeshSampler(
+                self._node_lon, self._node_lat,
+                triangles=getattr(self, "_mesh_triangles", None))
 
     def _read_frame(self, std, ti, zslice, yslice, xslice):
         if std == "land_binary_mask":
@@ -51,6 +75,191 @@ class UnstructuredReader(StructuredGridReader):
             return land[yslice, xslice]
         vals = self._node_values(std, ti)
         return self._regrid(vals)[yslice, xslice]
+
+    # ------------------------------------------------- native mesh path --
+    def _node_frame(self, std, ti):
+        """Raw node values for one frame: (n_nodes,) or (Z, n_nodes)."""
+        return self._node_values(std, ti)
+
+    def _nearest_valid_nodes(self, good, bad):
+        from scipy.spatial import cKDTree
+        pts = np.column_stack([self._node_lon, self._node_lat])
+        tree = cKDTree(pts[good])
+        _, idx = tree.query(pts[bad])
+        return idx
+
+    def _load_node_frame(self, std, ti):
+        """Scrubbed, NaN-filled node frame (host, cached): valid-range
+        scrub per standard name (reference variables.py:630-668), seafloor
+        downward fill along z (reference interpolation/structured.py:50-71)
+        and nearest-valid-node horizontal fill."""
+        key = (std, ti)
+        if key in self._node_frame_cache:
+            return self._node_frame_cache[key]
+        vals = np.array(self._node_frame(std, ti), dtype=np.float32,
+                        copy=True)
+        rng = STANDARD_NAMES.get(std)
+        if rng is not None:
+            outside = (vals < rng["valid_min"]) | (vals > rng["valid_max"])
+            vals[outside] = np.nan
+        flat = np.atleast_2d(vals)
+        for k in range(1, flat.shape[0]):          # towards seafloor
+            nan = ~np.isfinite(flat[k])
+            flat[k][nan] = flat[k - 1][nan]
+        for k in range(flat.shape[0]):             # nearest valid node
+            bad = ~np.isfinite(flat[k])
+            if bad.any():
+                good = ~bad
+                if good.any():
+                    flat[k][bad] = flat[k][good][
+                        self._nearest_valid_nodes(good, bad)]
+                else:
+                    flat[k][bad] = 0.0
+        out = flat if vals.ndim > 1 else flat[0]
+        if len(self._node_frame_cache) > 256:
+            self._node_frame_cache.clear()
+        self._node_frame_cache[key] = out
+        return out
+
+    def device_state(self, window_start=None, window_end=None):
+        if self._sampling != "native":
+            return super().device_state(window_start, window_end)
+        tidx = self._frame_indices(window_start, window_end)
+        F = len(tidx)
+        Z = len(self.depths) if (self._group3 and
+                                 self.depths is not None) else 1
+        # packed node rows: per node, all vars x frames (x z-levels)
+        cols = {}
+        c = 0
+        for v in self._group3:
+            cols[v] = (c, "t3")
+            c += Z * F
+        for v in self._group2:
+            cols[v] = (c, "t")
+            c += F
+        for v in self._groups:
+            if v == "land_binary_mask":
+                continue  # served from mesh coverage, not node data
+            cols[v] = (c, "static")
+            c += 1
+        self._mesh_cols = cols
+        self._mesh_F = F
+        self._mesh_Z = Z
+        rows = np.zeros((self._mesh.n_nodes, max(c, 1)), dtype=np.float32)
+        for v, (c0, kind) in cols.items():
+            if kind == "t3":
+                for fi, ti in enumerate(tidx):
+                    fr = np.atleast_2d(self._load_node_frame(v, ti))
+                    for zi in range(Z):
+                        rows[:, c0 + zi * F + fi] = \
+                            fr[min(zi, fr.shape[0] - 1)]
+            elif kind == "t":
+                for fi, ti in enumerate(tidx):
+                    rows[:, c0 + fi] = \
+                        np.atleast_2d(self._load_node_frame(v, ti))[0]
+            else:
+                rows[:, c0] = np.atleast_2d(self._load_node_frame(v, 0))[0]
+        out = self._mesh.device_arrays()
+        out["node_rows"] = jnp.asarray(rows)
+        epoch = self._run_epoch
+        out["times"] = jnp.asarray(
+            [(self.times[ti] - epoch).total_seconds() for ti in tidx],
+            dtype=jnp.float32)
+        if self.depths is not None:
+            out["depths"] = jnp.asarray(self.depths)
+        else:
+            out["depths"] = jnp.zeros((1,), dtype=jnp.float32)
+        return out
+
+    def _mesh_values(self, rows, dev_state, t, want, depth):
+        """Blend packed node rows in time (+vertical for z-resolved vars).
+        ``depth``: positive-down (N,)."""
+        from ..ops.interp import time_weights
+        F, Z = self._mesh_F, self._mesh_Z
+        times = dev_state["times"]
+        ti, tw = time_weights(times, t, F)
+        t1 = jnp.minimum(ti + 1, F - 1)
+        out = {}
+        for v in want:
+            c0, kind = self._mesh_cols[v]
+            if kind == "static":
+                out[v] = rows[:, c0]
+                continue
+            if kind == "t":
+                v0 = jax.lax.dynamic_slice_in_dim(rows, c0 + ti, 1,
+                                                  axis=1)[:, 0]
+                v1 = jax.lax.dynamic_slice_in_dim(rows, c0 + t1, 1,
+                                                  axis=1)[:, 0]
+                out[v] = v0 * (1.0 - tw) + v1 * tw
+                continue
+            blk = rows[:, c0:c0 + Z * F].reshape(-1, Z, F)
+            b0 = jax.lax.dynamic_slice_in_dim(blk, ti, 1, axis=2)[..., 0]
+            b1 = jax.lax.dynamic_slice_in_dim(blk, t1, 1, axis=2)[..., 0]
+            zt = b0 * (1.0 - tw) + b1 * tw            # (N, Z)
+            if Z > 1:
+                depths = dev_state["depths"]
+                z0 = jnp.clip(jnp.searchsorted(depths, depth,
+                                               side="right") - 1, 0, Z - 2)
+                dz = depths[z0 + 1] - depths[z0]
+                fz = jnp.clip(jnp.where(dz != 0,
+                                        (depth - depths[z0]) / dz, 0.0),
+                              0.0, 1.0)
+                v_lo = jnp.take_along_axis(zt, z0[:, None], axis=1)[:, 0]
+                v_hi = jnp.take_along_axis(
+                    zt, jnp.minimum(z0 + 1, Z - 1)[:, None], axis=1)[:, 0]
+                out[v] = v_lo * (1.0 - fz) + fz * v_hi
+            else:
+                out[v] = zt[:, 0]
+        return out
+
+    def sample(self, dev_state, varnames, t, lon, lat, z, member=None):
+        if self._sampling != "native":
+            return super().sample(dev_state, varnames, t, lon, lat, z,
+                                  member)
+        tid, w, nidx, inside, covers = self._mesh.locate_device(
+            dev_state, lon, lat)
+        times = dev_state["times"]
+        if self.time_step is not None:
+            slack = self.time_step.total_seconds()
+            covers = covers & (t >= times[0] - slack) \
+                & (t <= times[-1] + slack)
+        values = {}
+        want_rows = [v for v in varnames if v in self._mesh_cols]
+        if want_rows:
+            rows = self._mesh.combine_rows(dev_state["node_rows"], w, nidx)
+            values.update(self._mesh_values(
+                rows, dev_state, t, want_rows, jnp.maximum(-z, 0.0)))
+        if "land_binary_mask" in varnames:
+            values["land_binary_mask"] = jnp.where(inside, 0.0, 1.0)
+        return values, covers
+
+    def sample_profiles(self, dev_state, varnames, t, lon, lat, zlevels):
+        if self._sampling != "native":
+            return super().sample_profiles(dev_state, varnames, t, lon,
+                                           lat, zlevels)
+        tid, w, nidx, inside, covers = self._mesh.locate_device(
+            dev_state, lon, lat)
+        want_rows = [v for v in varnames if v in self._mesh_cols]
+        out = {}
+        L = zlevels.shape[0]
+        if want_rows:
+            # one row gather serves ALL profile levels — the node rows
+            # already hold the full z column
+            rows = self._mesh.combine_rows(dev_state["node_rows"], w, nidx)
+            res = {v: [] for v in want_rows}
+            for li in range(L):
+                depth = jnp.maximum(-zlevels[li], 0.0) \
+                    + jnp.zeros_like(lon)
+                vals = self._mesh_values(rows, dev_state, t, want_rows,
+                                         depth)
+                for v in want_rows:
+                    res[v].append(vals[v])
+            for v in want_rows:
+                out[v] = jnp.stack(res[v])
+        if "land_binary_mask" in varnames:
+            out["land_binary_mask"] = jnp.broadcast_to(
+                jnp.where(inside, 0.0, 1.0), (L,) + lon.shape)
+        return out, covers
 
 
 class TelemacReader(UnstructuredReader):
@@ -70,9 +279,8 @@ class TelemacReader(UnstructuredReader):
     }
 
     def __init__(self, filename, proj4, start_time=None,
-                 resolution_deg=None, name=None):
+                 resolution_deg=None, name=None, sampling="regrid"):
         from ..utils.selafin import SelafinFile
-        from ..utils import crs as crslib
         self._slf = SelafinFile(filename)
         self.name = name or filename
         nplan = max(self._slf.iparam[6], 1)
@@ -85,6 +293,10 @@ class TelemacReader(UnstructuredReader):
         lon, lat = mesh_crs.inv(np, self._slf.x[surf], self._slf.y[surf])
         self._node_lon = lon
         self._node_lat = lat
+        self._mesh_crs = mesh_crs
+        self._gamma_nodes = None
+        self._uv_cache = {}
+        self._mesh_triangles = self._surface_triangles()
         if start_time is None:
             if self._slf.date is not None:
                 d = self._slf.date
@@ -103,9 +315,58 @@ class TelemacReader(UnstructuredReader):
                 self.variables.append(std)
         self.variables.append("land_binary_mask")
         self._var_has_z = {v: False for v in self.variables}
-        super().__init__(resolution_deg=resolution_deg)
+        super().__init__(resolution_deg=resolution_deg, sampling=sampling)
+
+    def _surface_triangles(self):
+        """2D triangulation from the file's IKLE connectivity; for 3D
+        prism meshes (ndp=6, plane-major node numbering) the bottom faces
+        of the first element layer.  None -> Delaunay fallback."""
+        conn = getattr(self._slf, "connectivity", None)
+        if conn is None or conn.ndim != 2:
+            return None
+        ndp = conn.shape[1]
+        if ndp == 3:
+            tris = np.asarray(conn, dtype=np.int64)
+        elif ndp == 6 and self._nplan > 1:
+            nelem2d = conn.shape[0] // (self._nplan - 1)
+            tris = np.asarray(conn[:nelem2d, :3],
+                              dtype=np.int64) % self._npoin2d
+        else:
+            return None
+        if tris.min() < 0 or tris.max() >= self._npoin2d:
+            return None
+        # sanity: reject if many degenerate (mis-derived) triangles
+        x, y = self._node_lon, self._node_lat
+        a = ((x[tris[:, 1]] - x[tris[:, 0]])
+             * (y[tris[:, 2]] - y[tris[:, 0]])
+             - (x[tris[:, 2]] - x[tris[:, 0]])
+             * (y[tris[:, 1]] - y[tris[:, 0]]))
+        if (np.abs(a) < 1e-14).mean() > 0.01:
+            return None
+        return tris.astype(np.int32)
 
     def _node_values(self, std, ti):
+        uvs = ("x_sea_water_velocity", "y_sea_water_velocity")
+        if std in uvs and all(v in self._name_index for v in uvs):
+            # velocities are along the mesh projection's axes — rotate to
+            # east/north by the grid convergence, as the reference's
+            # rotate_vectors does (reference variables.py:59-109)
+            if ti not in self._uv_cache:
+                u = self._slf.read_variable(
+                    self._name_index[uvs[0]], ti)[self._surf]
+                v = self._slf.read_variable(
+                    self._name_index[uvs[1]], ti)[self._surf]
+                if self._gamma_nodes is None:
+                    self._gamma_nodes = self._mesh_crs.convergence(
+                        np, self._node_lon, self._node_lat)
+                ue, vn = crslib.rotate_to_eastnorth(np, u, v,
+                                                    self._gamma_nodes)
+                if len(self._uv_cache) > 8:
+                    self._uv_cache.clear()
+                self._uv_cache[ti] = (ue.astype(np.float32),
+                                      vn.astype(np.float32))
+            u, v = self._uv_cache[ti]
+            return u if std == uvs[0] else v
         vals = self._slf.read_variable(self._name_index[std], ti)
         return vals[self._surf]
 
@@ -126,8 +387,7 @@ class SCHISMReader(UnstructuredReader):
     }
 
     def __init__(self, filename, proj4, use_3d=False, target_depths=None,
-                 resolution_deg=None, name=None):
-        from ..utils import crs as crslib
+                 resolution_deg=None, name=None, sampling="regrid"):
         self._ds = ncio.open_dataset(filename)
         self.name = name or filename
         ds = self._ds
@@ -138,6 +398,14 @@ class SCHISMReader(UnstructuredReader):
         # coordinate arrays may be tiled (time, node) in some files
         mesh_crs = crslib.from_proj4(proj4)
         self._node_lon, self._node_lat = mesh_crs.inv(np, x, y)
+        # element connectivity (1-based, 4th column filled for triangles)
+        self._mesh_triangles = None
+        if "SCHISM_hgrid_face_nodes" in ds.variables:
+            f = np.asarray(ds.variables["SCHISM_hgrid_face_nodes"][:],
+                           dtype=np.int64)
+            if f.ndim == 2 and f.shape[1] in (3, 4):
+                valid = (f >= 1) & (f <= len(self._node_lon))
+                self._mesh_triangles = np.where(valid, f - 1, -1)
         tv = ds.variables["time"]
         self.times = list(ncio.parse_cf_time(
             tv.attrs.get("units", "seconds since 1970-01-01"), tv[:]))
@@ -164,7 +432,7 @@ class SCHISMReader(UnstructuredReader):
             self.depths = np.asarray(target_depths, dtype=np.float32)
         else:
             self.depths = None
-        super().__init__(resolution_deg=resolution_deg)
+        super().__init__(resolution_deg=resolution_deg, sampling=sampling)
 
     def _velocity_nodes(self, comp, ti):
         """(n_nodes,) for 2D dahv, or (L, n_nodes) from hvel columns."""
@@ -191,23 +459,26 @@ class SCHISMReader(UnstructuredReader):
             out[li] = v_lo * (1.0 - w) + w * v_hi
         return out
 
-    def _read_frame(self, std, ti, zslice, yslice, xslice):
-        if std == "land_binary_mask":
-            return super()._read_frame(std, ti, zslice, yslice, xslice)
+    def _node_frame(self, std, ti):
         comp = {"x_sea_water_velocity": 0, "y_sea_water_velocity": 1}
         if std in comp:
-            vals = self._velocity_nodes(comp[std], ti)
-            out = self._regrid(vals)
-            if out.ndim == 3:
-                return out[zslice, yslice, xslice]
-            return out[yslice, xslice]
+            return self._velocity_nodes(comp[std], ti)
         raw = next(k for k, v in self.SCALAR_VARS.items() if v == std)
         var = self._ds.variables[raw]
         if "time" in var.dimensions:
             vals = ncio.cf_unpack(var, var[ti])
         else:
             vals = ncio.cf_unpack(var, var[:])
-        return self._regrid(vals.ravel())[yslice, xslice]
+        return vals.ravel()
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        if std == "land_binary_mask":
+            return super()._read_frame(std, ti, zslice, yslice, xslice)
+        vals = self._node_frame(std, ti)
+        out = self._regrid(vals)
+        if out.ndim == 3:
+            return out[zslice, yslice, xslice]
+        return out[yslice, xslice]
 
 
 class SHYFEMReader(UnstructuredReader):
@@ -223,7 +494,8 @@ class SHYFEMReader(UnstructuredReader):
         "northward_sea_water_velocity": "y_sea_water_velocity",
     }
 
-    def __init__(self, filename, resolution_deg=None, name=None):
+    def __init__(self, filename, resolution_deg=None, name=None,
+                 sampling="regrid"):
         self._ds = ncio.open_dataset(filename)
         self.name = name or filename
         ds = self._ds
@@ -257,19 +529,23 @@ class SHYFEMReader(UnstructuredReader):
         self._var_has_z["land_binary_mask"] = False
         self.depths = self._levels if any(
             h for _, h in self._sources.values()) else None
-        super().__init__(resolution_deg=resolution_deg)
+        super().__init__(resolution_deg=resolution_deg, sampling=sampling)
 
-    def _read_frame(self, std, ti, zslice, yslice, xslice):
-        if std == "land_binary_mask":
-            return super()._read_frame(std, ti, zslice, yslice, xslice)
+    def _node_frame(self, std, ti):
         vn, has_z = self._sources[std]
         var = self._ds.variables[vn]
         vals = ncio.cf_unpack(
             var, var[ti] if "time" in var.dimensions else var[:])
-        if has_z:  # (level, node)
+        return vals if has_z else vals.ravel()
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        if std == "land_binary_mask":
+            return super()._read_frame(std, ti, zslice, yslice, xslice)
+        vals = self._node_frame(std, ti)
+        if vals.ndim > 1:  # (level, node)
             out = self._regrid(vals)
             return out[zslice, yslice, xslice]
-        return self._regrid(vals.ravel())[yslice, xslice]
+        return self._regrid(vals)[yslice, xslice]
 
 
 class FVCOMReader(UnstructuredReader):
@@ -291,7 +567,8 @@ class FVCOMReader(UnstructuredReader):
         "va": "y_sea_water_velocity",
     }
 
-    def __init__(self, filename, resolution_deg=None, name=None):
+    def __init__(self, filename, resolution_deg=None, name=None,
+                 sampling="regrid"):
         self._ds = ncio.open_dataset(filename)
         self.name = name or filename
         ds = self._ds
@@ -303,17 +580,22 @@ class FVCOMReader(UnstructuredReader):
         if np.all(self._node_lon == 0):  # some files only carry x/y
             self._node_lon = get("x")
             self._node_lat = get("y")
+        self._nv = None
+        self._mesh_triangles = None
+        if "nv" in ds.variables:
+            nv = np.asarray(ds.variables["nv"][:], dtype=int)
+            if nv.shape[0] == 3:
+                nv = nv.T
+            nv = nv - nv.min()
+            self._nv = nv
+            self._mesh_triangles = nv.astype(np.int32)
         # cell centres (from latc/lonc, else centroids via nv)
         if "lonc" in ds.variables:
             self._cell_lon = get("lonc")
             self._cell_lat = get("latc")
         else:
-            nv = np.asarray(ds.variables["nv"][:], dtype=int)
-            if nv.shape[0] == 3:
-                nv = nv.T
-            nv = nv - nv.min()
-            self._cell_lon = self._node_lon[nv].mean(axis=1)
-            self._cell_lat = self._node_lat[nv].mean(axis=1)
+            self._cell_lon = self._node_lon[self._nv].mean(axis=1)
+            self._cell_lat = self._node_lat[self._nv].mean(axis=1)
 
         # time axis
         tname = "time" if "time" in ds.variables else "Times"
@@ -331,7 +613,7 @@ class FVCOMReader(UnstructuredReader):
                 self.variables.append(std)
         self.variables.append("land_binary_mask")
         self._var_has_z = {v: False for v in self.variables}
-        super().__init__(resolution_deg=resolution_deg)
+        super().__init__(resolution_deg=resolution_deg, sampling=sampling)
         # secondary regridder for cell-centre data
         self._cell_regrid = DelaunayRegridder(
             self._cell_lon, self._cell_lat, resolution_deg=resolution_deg)
@@ -344,21 +626,45 @@ class FVCOMReader(UnstructuredReader):
     def _node_values(self, std, ti):
         raise NotImplementedError  # frames read directly below
 
-    def _read_frame(self, std, ti, zslice, yslice, xslice):
-        if std == "land_binary_mask":
-            return super()._read_frame(std, ti, zslice, yslice, xslice)
+    def _raw_values(self, std, ti):
+        """(values, on_cells): surface-layer raw data for one frame."""
         raw, on_cells = self._sources[std]
         var = self._ds.variables[raw]
-        dims = var.dimensions
         idx = []
-        for d in dims:
+        for d in var.dimensions:
             if d in ("time",):
                 idx.append(ti)
             elif d in ("siglay", "siglev"):
                 idx.append(0)  # surface layer
             else:
                 idx.append(slice(None))
-        vals = ncio.cf_unpack(var, var[tuple(idx)]).ravel()
+        return ncio.cf_unpack(var, var[tuple(idx)]).ravel(), on_cells
+
+    def _node_frame(self, std, ti):
+        """Native-path node values: cell-centre variables (u/v) are
+        averaged onto the surrounding nodes through the ``nv``
+        connectivity — the standard FVCOM dual-mesh treatment."""
+        vals, on_cells = self._raw_values(std, ti)
+        if not on_cells:
+            return vals
+        if self._nv is None:
+            raise ValueError(f"{self.name}: native sampling of "
+                             "cell-centre variables needs 'nv'")
+        n = len(self._node_lon)
+        w = np.isfinite(vals)
+        v = np.where(w, vals, 0.0)
+        sums = np.zeros(n, dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.float64)
+        for k in range(3):
+            np.add.at(sums, self._nv[:, k], v)
+            np.add.at(cnt, self._nv[:, k], w.astype(np.float64))
+        out = np.where(cnt > 0, sums / np.maximum(cnt, 1.0), np.nan)
+        return out.astype(np.float32)
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        if std == "land_binary_mask":
+            return super()._read_frame(std, ti, zslice, yslice, xslice)
+        vals, on_cells = self._raw_values(std, ti)
         rg = self._cell_regrid if on_cells else self._regrid
         out = rg(np.nan_to_num(vals, nan=0.0))
         # pad/crop cell grid onto the node grid if they differ slightly

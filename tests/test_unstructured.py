@@ -316,3 +316,178 @@ def test_shyfem_drift_run(shyfem_file):
     dx_m = (lon[:, -1] - lon[:, 0]) * np.cos(np.radians(40.4)) * 111320
     # 3000 s * 0.05 m/s = 150 m
     assert np.all(np.abs(dx_m - 150.0) < 30.0)
+
+
+# ---------------------------------------------------------------- native --
+# Device-side barycentric sampling on the triangle mesh (fields/mesh.py):
+# more accurate than the reference's nearest-node unstructured path
+# (reference basereader/unstructured.py:57-74).
+
+def test_mesh_sampler_linear_exact():
+    """Barycentric device sampling reproduces linear node fields exactly."""
+    import jax.numpy as jnp
+    from opendrift_tpu.fields.mesh import MeshSampler
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 2, 500)
+    y = rng.uniform(50, 51, 500)
+    ms = MeshSampler(x, y)
+    dev = ms.device_arrays()
+    vals = (3.0 * x - 2.0 * y + 7.0).astype(np.float32)
+    rows = jnp.asarray(vals[:, None])
+    qx = rng.uniform(0.3, 1.7, 200)
+    qy = rng.uniform(50.2, 50.8, 200)
+    tid, w, nidx, inside, valid = ms.locate_device(
+        dev, jnp.asarray(qx), jnp.asarray(qy))
+    assert bool(jnp.all(valid))
+    got = ms.combine_rows(rows, w, nidx)[:, 0]
+    expect = 3.0 * qx - 2.0 * qy + 7.0
+    assert float(jnp.max(jnp.abs(got - expect))) < 1e-3
+
+
+def test_mesh_sampler_hole_is_land():
+    """With explicit connectivity, uncovered regions (islands/holes)
+    are outside the mesh — unlike the Delaunay hull."""
+    import jax.numpy as jnp
+    from opendrift_tpu.fields.mesh import MeshSampler
+    from scipy.spatial import Delaunay
+    g = np.linspace(0.0, 1.0, 12)
+    X, Y = np.meshgrid(g, g)
+    pts = np.column_stack([X.ravel(), Y.ravel()])
+    tri = Delaunay(pts)
+    cent = pts[tri.simplices].mean(axis=1)
+    hole = (np.abs(cent[:, 0] - 0.5) < 0.2) & \
+        (np.abs(cent[:, 1] - 0.5) < 0.2)
+    ms = MeshSampler(pts[:, 0], pts[:, 1],
+                     triangles=tri.simplices[~hole])
+    dev = ms.device_arrays()
+    qx = jnp.asarray([0.5, 0.1, 0.9])
+    qy = jnp.asarray([0.5, 0.1, 0.9])
+    _, _, _, inside, _ = ms.locate_device(dev, qx, qy)
+    assert not bool(inside[0])        # hole centre = not covered
+    assert bool(inside[1]) and bool(inside[2])
+
+
+def test_fvcom_native_drift(fvcom_file):
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import FVCOMReader
+    m = OceanDrift(loglevel=50)
+    r = FVCOMReader(fvcom_file, sampling="native")
+    assert r._mesh is not None
+    m.add_reader(r)
+    m.set_config("general:use_auto_landmask", False)
+    m.seed_elements(lon=4.5, lat=60.25, time=r.times[0], number=4)
+    m.run(duration=timedelta(minutes=50), time_step=600)
+    lat = np.asarray(m.result["lat"])
+    dlat = lat[:, -1] - lat[:, 0]
+    # v = 0.2 m/s northward for 3000 s -> ~600 m -> ~0.0054 deg
+    assert np.all(dlat > 0.003)
+    assert np.all(dlat < 0.009)
+
+
+def test_fvcom_native_matches_regrid(fvcom_file):
+    """Native and regrid paths agree on a smooth field."""
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import FVCOMReader
+
+    def run(sampling):
+        m = OceanDrift(loglevel=50)
+        r = FVCOMReader(fvcom_file, sampling=sampling,
+                        resolution_deg=0.02)
+        m.add_reader(r)
+        m.set_config("general:use_auto_landmask", False)
+        m.seed_elements(lon=[4.4, 4.5, 4.6], lat=[60.2, 60.25, 60.3],
+                        time=r.times[0], number=3)
+        m.run(duration=timedelta(minutes=50), time_step=600)
+        return (np.asarray(m.result["lon"])[:, -1],
+                np.asarray(m.result["lat"])[:, -1])
+
+    lon_n, lat_n = run("native")
+    lon_r, lat_r = run("regrid")
+    assert np.max(np.abs(lon_n - lon_r)) < 2e-3
+    assert np.max(np.abs(lat_n - lat_r)) < 2e-3
+
+
+@pytest.mark.skipif(not os.path.exists(SLF), reason="no Telemac test data")
+def test_telemac_native_uses_file_connectivity():
+    from opendrift_tpu.fields.unstructured import TelemacReader
+    r = TelemacReader(SLF, proj4=LAMBERT_NORTH, sampling="native")
+    assert r._mesh_triangles is not None     # IKLE-derived, not Delaunay
+    assert r._mesh is not None
+    assert r._mesh.triangles.shape[1] == 3
+
+
+@pytest.mark.skipif(not os.path.exists(SLF), reason="no Telemac test data")
+def test_telemac_native_vs_regrid_drift():
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import TelemacReader
+
+    def run(sampling):
+        m = OceanDrift(loglevel=50)
+        r = TelemacReader(SLF, proj4=LAMBERT_NORTH, sampling=sampling)
+        m.add_reader(r)
+        m.set_config("general:use_auto_landmask", False)
+        m.seed_elements(lon=-5.55, lat=48.9, time=r.times[0], number=5)
+        m.run(duration=timedelta(minutes=45), time_step=300)
+        return (np.asarray(m.result["lon"])[:, -1],
+                np.asarray(m.result["lat"])[:, -1])
+
+    lon_n, lat_n = run("native")
+    lon_r, lat_r = run("regrid")
+    assert np.isfinite(lon_n).all()
+    # both linear interpolations of the same tidal field: close but not
+    # identical (native keeps the mesh's variable resolution)
+    assert np.max(np.abs(lon_n - lon_r)) < 0.01
+    assert np.max(np.abs(lat_n - lat_r)) < 0.01
+
+
+def test_schism_native_3d_vertical(schism_file):
+    """Native sampling interpolates the z-resolved hvel columns."""
+    import jax.numpy as jnp
+    from opendrift_tpu.fields.unstructured import SCHISMReader
+    path, proj = schism_file
+    r = SCHISMReader(path, proj4=proj, use_3d=True, sampling="native",
+                     target_depths=[0.0, 10.0, 20.0, 30.0, 40.0])
+    r.set_run_epoch(r.times[0])
+    dev = r.device_state()
+    lon = jnp.asarray([173.0, 173.1])
+    lat = jnp.asarray([-40.0, -40.1])
+    for z, expect in [(0.0, 0.1), (-20.0, 0.05), (-40.0, 0.0)]:
+        vals, covers = r.sample(
+            dev, ["x_sea_water_velocity", "y_sea_water_velocity"],
+            jnp.float32(0.0), lon, lat, jnp.full(2, z))
+        assert bool(jnp.all(covers))
+        u = np.asarray(vals["x_sea_water_velocity"])
+        v = np.asarray(vals["y_sea_water_velocity"])
+        assert np.allclose(u, expect, atol=0.02), (z, u)
+        assert np.allclose(v, 0.05, atol=0.01)
+
+
+def test_schism_native_profiles(schism_file):
+    import jax.numpy as jnp
+    from opendrift_tpu.fields.unstructured import SCHISMReader
+    path, proj = schism_file
+    r = SCHISMReader(path, proj4=proj, use_3d=True, sampling="native",
+                     target_depths=[0.0, 10.0, 20.0, 30.0, 40.0])
+    r.set_run_epoch(r.times[0])
+    dev = r.device_state()
+    zlevels = jnp.asarray([0.0, -10.0, -20.0, -30.0])
+    vals, covers = r.sample_profiles(
+        dev, ["x_sea_water_velocity"], jnp.float32(0.0),
+        jnp.asarray([173.0]), jnp.asarray([-40.0]), zlevels)
+    prof = np.asarray(vals["x_sea_water_velocity"])[:, 0]
+    # linear decay 0.1 (surface) -> 0 (40 m): 0.1, 0.075, 0.05, 0.025
+    assert np.allclose(prof, [0.1, 0.075, 0.05, 0.025], atol=0.02)
+
+
+def test_shyfem_native_drift(shyfem_file):
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    from opendrift_tpu.fields.unstructured import SHYFEMReader
+    m = OceanDrift(loglevel=50)
+    r = SHYFEMReader(shyfem_file, sampling="native")
+    m.add_reader(r)
+    m.set_config("general:use_auto_landmask", False)
+    m.seed_elements(lon=13.0, lat=40.4, time=r.times[0], number=4, z=-20.0)
+    m.run(duration=timedelta(minutes=50), time_step=600)
+    lon = np.asarray(m.result["lon"])
+    dx_m = (lon[:, -1] - lon[:, 0]) * np.cos(np.radians(40.4)) * 111320
+    assert np.all(np.abs(dx_m - 150.0) < 30.0)
