@@ -12,6 +12,56 @@ import os
 
 logger = logging.getLogger(__name__)
 
+
+def _parse_query(path):
+    """Split 'body?a=1&b=2' -> (body, {a: 1.0, b: 2.0})."""
+    body, _, query = path.partition("?")
+    kwargs = {}
+    if query:
+        for part in query.split("&"):
+            k, _, v = part.partition("=")
+            try:
+                kwargs[k] = float(v)
+            except ValueError:
+                kwargs[k] = v
+    return body, kwargs
+
+
+def _constant_reader(path):
+    from .analytic import ConstantReader
+    body, kwargs = _parse_query(path)
+    mapping = {}
+    for part in body.split("&"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        mapping[k] = float(v) if v else 0.0
+    mapping.update(kwargs)
+    return ConstantReader(mapping)
+
+
+def _oscillating_reader(path):
+    from .analytic import OscillatingReader
+    body, kwargs = _parse_query(path)
+    amplitude = kwargs.pop("amplitude", 1.0)
+    return OscillatingReader(body, amplitude, **kwargs)
+
+
+def _double_gyre_reader(path):
+    from .analytic import DoubleGyre
+    _, kwargs = _parse_query(path)
+    return DoubleGyre(**kwargs)
+
+
+# `<reader>://spec` URI schemes for the analytic/test readers (the
+# reference's reader_from_urlpath scheme table,
+# opendrift/readers/__init__.py:225-279)
+_ANALYTIC_SCHEMES = {
+    "constant": _constant_reader,
+    "oscillating": _oscillating_reader,
+    "double_gyre": _double_gyre_reader,
+}
+
 _SCHEMES = {}
 
 
@@ -28,6 +78,8 @@ def reader_from_url(url, lazy=False):
 
     if "://" in url and not url.startswith(("http", "https")):
         scheme, path = url.split("://", 1)
+        if scheme in _ANALYTIC_SCHEMES:
+            return _ANALYTIC_SCHEMES[scheme](path)
         ctor = _SCHEMES.get(scheme)
         if ctor is None:
             builtin = {"netcdf": NetCDFReader, "roms": ROMSReader,

@@ -22,24 +22,31 @@ def main():
     import matplotlib.pyplot as plt
     from opendrift_tpu.fields.factory import reader_from_url
 
+    from datetime import datetime
+
     r = reader_from_url(args.source)
-    r.set_run_epoch(r.start_time)
-    r.prepare(interval_seconds=(r.end_time
-                                - r.start_time).total_seconds())
-    dev = r.device_state(r.start_time, r.end_time)
-    total = (r.end_time - r.start_time).total_seconds()
+    # continuous/analytic sources carry no time bounds: use a 24 h window
+    start = r.start_time or getattr(r, "zero_time", None) \
+        or datetime(2000, 1, 1)
+    end = r.end_time or start + timedelta(hours=24)
+    r.set_run_epoch(start)
+    r.prepare(interval_seconds=(end - start).total_seconds())
+    dev = r.device_state(start, end)
+    total = (end - start).total_seconds()
     times = np.linspace(0, total, 50)
+    want = [v for v in ("x_sea_water_velocity", "y_sea_water_velocity")
+            if v in r.variables]
     us, vs = [], []
     for t in times:
-        vals, cov = r.sample(dev,
-                             ["x_sea_water_velocity",
-                              "y_sea_water_velocity"],
+        vals, cov = r.sample(dev, want,
                              jnp.float32(t),
                              jnp.asarray([args.lon], dtype=jnp.float32),
                              jnp.asarray([args.lat], dtype=jnp.float32),
                              jnp.asarray([args.z], dtype=jnp.float32))
-        us.append(float(vals["x_sea_water_velocity"][0]))
-        vs.append(float(vals["y_sea_water_velocity"][0]))
+        us.append(float(vals.get("x_sea_water_velocity",
+                                 jnp.zeros(1))[0]))
+        vs.append(float(vals.get("y_sea_water_velocity",
+                                 jnp.zeros(1))[0]))
     dt = times[1] - times[0]
     x = np.cumsum(np.asarray(us)) * dt / 1000.0
     y = np.cumsum(np.asarray(vs)) * dt / 1000.0

@@ -1,0 +1,81 @@
+"""Small product-surface parity tests: config fuzzy suggestions and
+validation errors (reference: opendrift/config.py:90-117,
+tests/models/test_basemodel.py test_config_suggestion /
+test_invalid_config), the hierarchical timer report (reference
+opendrift/timer.py:4-34, performance() basemodel/__init__.py:809-839),
+and the hodograph CLI script (reference opendrift/scripts/hodograph.py).
+"""
+
+import sys
+from datetime import timedelta
+
+import numpy as np
+import pytest
+
+
+def _sim():
+    from opendrift_tpu.models.oceandrift import OceanDrift
+    return OceanDrift(loglevel=50)
+
+
+def test_config_suggestion_on_typo():
+    o = _sim()
+    with pytest.raises(ValueError) as ei:
+        o.set_config("drift:advection_sceme", "euler")
+    # difflib near-miss hint names the real key
+    assert "drift:advection_scheme" in str(ei.value)
+
+
+def test_config_enum_suggestion():
+    o = _sim()
+    with pytest.raises(ValueError) as ei:
+        o.set_config("drift:advection_scheme", "runge-kutta5")
+    msg = str(ei.value)
+    assert "runge-kutta4" in msg or "runge-kutta" in msg
+
+
+def test_config_type_and_range_validation():
+    o = _sim()
+    with pytest.raises(ValueError):
+        o.set_config("drift:vertical_mixing", "not-a-bool")
+    with pytest.raises(ValueError):
+        o.set_config("drift:horizontal_diffusivity", -5.0)  # min 0
+    with pytest.raises(ValueError):
+        o.set_config("no:such:key", 1)
+
+
+def test_performance_report_after_run():
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = _sim()
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.1,
+                                 "y_sea_water_velocity": 0.0,
+                                 "land_binary_mask": 0.0}))
+    from datetime import datetime
+    o.seed_elements(lon=4.0, lat=60.0, time=datetime(2021, 1, 1),
+                    number=10)
+    o.run(duration=timedelta(hours=1), time_step=600)
+    report = o.performance()
+    assert isinstance(report, str) and len(report.splitlines()) >= 2
+    # hierarchical categories render indented
+    assert any(line.startswith(" ") for line in report.splitlines())
+
+
+def test_hodograph_script(tmp_path, monkeypatch):
+    from opendrift_tpu.scripts import hodograph
+    out = str(tmp_path / "hodo.png")
+    monkeypatch.setattr(sys, "argv", [
+        "hodograph", "oscillating://x_sea_water_velocity?amplitude=0.5"
+        "&period_seconds=3600", "--lon", "3.0", "--lat", "60.0",
+        "-o", out])
+    hodograph.main()
+    import os
+    assert os.path.getsize(out) > 1000
+
+
+def test_readerinfo_script(tmp_path, monkeypatch, capsys):
+    from opendrift_tpu.scripts import readerinfo
+    monkeypatch.setattr(sys, "argv", [
+        "readerinfo", "constant://x_sea_water_velocity=0.3"])
+    readerinfo.main()
+    txt = capsys.readouterr().out
+    assert "x_sea_water_velocity" in txt
