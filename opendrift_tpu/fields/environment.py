@@ -185,7 +185,7 @@ class Environment:
         return False
 
     def get_environment(self, dev_states, varnames, t, lon, lat, z,
-                        key=None, member=None):
+                        key=None, member=None, block_ctx=None):
         """The fused on-device equivalent of reference
         ``Environment.get_environment`` (environment.py:499-923).
 
@@ -193,20 +193,30 @@ class Environment:
         uncertainty injection (reference environment.py:865-891) — each
         fetch (including RK stage refetches) draws fresh noise, like the
         reference.  Returns (env dict var->f32[N], missing var->bool[N]).
+
+        ``block_ctx``: optional (plan_idx, corner_block, covers0) — that
+        reader's variables are evaluated from the pre-gathered corner
+        block instead of fresh row gathers (single-fetch RK shares the
+        same 4 gathers between the env fetch and every stage).
         """
         varnames = list(varnames)
         nanval = jnp.full_like(lon, jnp.nan)
         env = {v: nanval for v in varnames}
         missing = {v: jnp.ones_like(lon, dtype=bool) for v in varnames}
 
-        for (reader, served), dev_state in zip(self._plan, dev_states):
+        for i, ((reader, served), dev_state) in enumerate(
+                zip(self._plan, dev_states)):
             if reader.name in self.discarded_readers:
                 continue
             want = [v for v in served if v in varnames
                     and reader.name in self.priority_list.get(v, [])]
             if not want:
                 continue
-            if member is not None and (
+            if block_ctx is not None and i == block_ctx[0]:
+                vals, covers = reader.sample_from_block(
+                    dev_state, block_ctx[1], t, lon, lat, want)
+                covers = covers & block_ctx[2]
+            elif member is not None and (
                     getattr(reader, "ensemble_size", 1) > 1
                     or getattr(reader, "needs_ids", False)):
                 vals, covers = reader.sample(dev_state, want, t, lon,

@@ -414,9 +414,16 @@ class StructuredGridReader(BaseReader):
                 and "y_sea_water_velocity" in self._group3
                 + self._group2)
 
-    def uv_corner_block(self, dev_state, lon, lat, z, member=None):
-        """Gather the stage-reusable corner block at the start positions;
-        also returns the start-position coverage mask."""
+    def corner_block(self, dev_state, lon, lat, z, member=None,
+                     keep_vars=None):
+        """Gather the stage-reusable corner block at the given positions;
+        also returns the position coverage mask.  ``keep_vars`` defaults
+        to the current components; passing every variable this reader
+        serves lets the whole start-position environment ride these same
+        4 gathers (block-backed env fetch — see
+        Environment.get_environment)."""
+        if keep_vars is None:
+            keep_vars = ["x_sea_water_velocity", "y_sea_water_velocity"]
         xi, yi = self._grid_indices(lon, lat)
         covers = self._covers_idx(xi, yi)
         M = getattr(self, "ensemble_size", 1)
@@ -428,9 +435,33 @@ class StructuredGridReader(BaseReader):
         depth = jnp.maximum(-z, 0.0)
         block = self._sampler.gather_corner_block(
             dev_state["packed"], xi, yi, depth, dev_state["depths"],
-            row_offset=row_offset,
-            keep_vars=["x_sea_water_velocity", "y_sea_water_velocity"])
+            row_offset=row_offset, keep_vars=keep_vars)
         return block, covers
+
+    def uv_corner_block(self, dev_state, lon, lat, z, member=None):
+        """Corner block holding only u/v (single-fetch RK stages)."""
+        return self.corner_block(dev_state, lon, lat, z, member=member)
+
+    def sample_from_block(self, dev_state, block, t, lon, lat,
+                          varnames):
+        """Evaluate any kept variables from a gathered corner block at
+        (possibly displaced) positions — no gathers.  Matches ``sample``
+        bit-for-bit up to linear-blend ordering when the position equals
+        the block's gather position."""
+        xi, yi = self._grid_indices(lon, lat)
+        vals = self._sampler.eval_corner_block(
+            block, xi, yi, dev_state["times"], t, varnames)
+        if not self.crs.is_latlon:
+            gamma = self.crs.convergence(jnp, lon, lat)
+            vals = self.rotate_vectors_sampled(vals, varnames, gamma)
+        # temporal coverage with one reader-step slack, like sample()
+        times = dev_state["times"]
+        covers_t = jnp.ones_like(lon, dtype=bool)
+        if self.time_step is not None:
+            slack = self.time_step.total_seconds()
+            covers_t = (t >= times[0] - slack) & (t <= times[-1] + slack) \
+                & covers_t
+        return vals, covers_t
 
     def uv_from_block(self, dev_state, block, t, lon, lat):
         """Evaluate u/v from a gathered block at (possibly displaced)

@@ -1061,6 +1061,50 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                            or getattr(r, "needs_ids", False)
                            for r in env.readers.values())
 
+        # block-backed env fetch: with single-fetch RK, one corner-block
+        # gather serves the start-position environment AND every RK stage
+        # (halves the per-step row gathers of the flagship configuration).
+        # Resolved lazily at trace time — the plan needs the readers'
+        # samplers, which exist only after device_state().
+        want_block = False
+        try:
+            want_block = (
+                self.get_config("drift:advection_single_fetch")
+                and self.get_config("drift:advection_scheme") != "euler")
+        except ValueError:
+            pass
+        block_plan_cache = []
+
+        def _block_plan():
+            if not block_plan_cache:
+                plan = None
+                idx = env.uv_block_plan_index() if want_block else None
+                if idx is not None:
+                    b_reader, b_served = env._plan[idx]
+                    keep = [v for v in b_served if v in env_vars
+                            and b_reader.name in
+                            env.priority_list.get(v, [])]
+                    for v in ("x_sea_water_velocity",
+                              "y_sea_water_velocity"):
+                        if v not in keep:
+                            keep.append(v)
+                    plan = (idx, keep)
+                block_plan_cache.append(plan)
+            return block_plan_cache[0]
+
+        def fetch_block(d, dev_states):
+            plan = _block_plan()
+            if plan is None:
+                return None
+            block_idx, block_keep = plan
+            b_reader = env._plan[block_idx][0]
+            member_arg = d["ID"] if (
+                getattr(b_reader, "ensemble_size", 1) > 1) else None
+            block, covers0 = b_reader.corner_block(
+                dev_states[block_idx], d["lon"], d["lat"], d["z"],
+                member=member_arg, keep_vars=block_keep)
+            return (block_idx, block, covers0)
+
         def pre_update(state, dev_states, t_rel, tau, key):
             """Release, env fetch, deactivations, coastline/seafloor —
             the phase before motion (reference loop :2193-2265)."""
@@ -1070,10 +1114,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             d["status"] = jnp.where(release, ACTIVE, d["status"])
             active = d["status"] == ACTIVE
 
+            block_ctx = fetch_block(d, dev_states)
             envs, missing = env.get_environment(
                 dev_states, env_vars, t_rel, d["lon"], d["lat"], d["z"],
                 key=key if env.uncertainty else None,
-                member=d["ID"] if has_ensemble else None)
+                member=d["ID"] if has_ensemble else None,
+                block_ctx=block_ctx)
 
             # deactivate elements missing mandatory data (reference :2501)
             if no_fallback_vars:
@@ -1178,7 +1224,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 elif seafloor_action == "previous":
                     d["z"] = jnp.where(active & below, d["prev_z"], d["z"])
 
-            return ElementState(d), envs, missing
+            return ElementState(d), envs, missing, block_ctx
 
         def snapshot(state, envs):
             snap = {}
@@ -1192,7 +1238,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                     snap[name] = v
             return snap
 
-        def post_update(state, envs, dev_states, t_rel, tau, key):
+        def post_update(state, envs, dev_states, t_rel, tau, key,
+                        block_ctx=None):
             """Aging/retirement, model physics, horizontal diffusion —
             the phase after the output snapshot (reference :2266-2304)."""
             d = dict(state.data)
@@ -1217,6 +1264,10 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
 
             ctx = StepContext(self, state, envs, profiles, dev_states,
                               t_rel, params, key, zlevels)
+            if block_ctx is not None:
+                b_reader = env._plan[block_ctx[0]][0]
+                ctx.uv_block_ctx = (b_reader, dev_states[block_ctx[0]],
+                                    block_ctx[1], block_ctx[2])
             self.update(ctx)
             ctx.horizontal_diffusion()
             ctx.flush_positions()
@@ -1229,11 +1280,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             return ctx.state
 
         def step(state, dev_states, t_rel, tau, key, want_snap):
-            state, envs, missing = pre_update(state, dev_states, t_rel, tau,
-                                              jax.random.fold_in(key,
-                                                                 987654))
+            state, envs, missing, block_ctx = pre_update(
+                state, dev_states, t_rel, tau,
+                jax.random.fold_in(key, 987654))
             snap = snapshot(state, envs) if want_snap else None
-            state = post_update(state, envs, dev_states, t_rel, tau, key)
+            state = post_update(state, envs, dev_states, t_rel, tau, key,
+                                block_ctx)
             return state, snap
 
         def advance(state, dev_states, t0_rel, key):
@@ -1251,9 +1303,9 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             return state, snap
 
         def final_snapshot(state, dev_states, t_rel):
-            state, envs, missing = pre_update(state, dev_states, t_rel,
-                                              t_rel * sign,
-                                              jax.random.PRNGKey(0))
+            state, envs, missing, _ = pre_update(state, dev_states, t_rel,
+                                                 t_rel * sign,
+                                                 jax.random.PRNGKey(0))
             return snapshot(state, envs)
 
         if not jit:
@@ -1526,6 +1578,10 @@ class StepContext(PhysicsContext):
         self.zlevels = zlevels
         self._key = key
         self._key_counter = 0
+        # pre-gathered u/v corner block (block-backed env fetch): set by
+        # post_update when single-fetch RK is active, so advect stages
+        # reuse the env fetch's gathers instead of re-gathering
+        self.uv_block_ctx = None
         # fused position mode: accumulate process velocities, commit one
         # geodesic solve per step (see update_positions)
         try:

@@ -52,6 +52,12 @@ class PhysicsContext:
             pass
         block_ctx = None
         if single:
+            # prefer the block already gathered for the env fetch
+            # (block-backed env, models/base.py pre_update) — it was
+            # gathered at the pre-coastline positions; for the few
+            # relocated particles the stage eval clamps to that cell
+            block_ctx = getattr(self, "uv_block_ctx", None)
+        if single and block_ctx is None:
             idx = self.sim.env.uv_block_plan_index()
             if idx is not None:
                 reader = self.sim.env._plan[idx][0]

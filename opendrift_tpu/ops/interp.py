@@ -251,7 +251,7 @@ class PackedSampler:
             for v in keep_vars:
                 c0, kind = self.col_of[v]
                 block_col_of[v] = (len(sub_cols), kind)
-                n = 1 if kind == "static" else F
+                n = 1 if kind in ("static", "near") else F
                 sub_cols.extend(range(c0, c0 + n))
             sub = _np.asarray(sub_cols, dtype=_np.int32)
             cols = _np.concatenate([sub, sub + q])  # base + x+1 halves
@@ -273,20 +273,34 @@ class PackedSampler:
         """Evaluate a gathered corner block at (xi, yi) — pure VPU ops,
         no gathers.  Positions outside the gathered cell are clamped to
         its edge (bounded extrapolation; acceptable for RK stages whose
-        displacement is well under one cell)."""
+        displacement is well under one cell).
+
+        Variables of kind 'near' (masks) are corner-selected from the
+        raw halves, matching the nearest sampling of gather_rows."""
         g_y0, g_y1, x0, y0, block_col_of = block
         q = g_y0.shape[1] // 2
         fx = jnp.clip(xi - x0, 0.0, 1.0)[:, None]
         fy = jnp.clip(yi - y0, 0.0, 1.0)[:, None]
-        row0 = g_y0[:, :q] * (1.0 - fx) + g_y0[:, q:] * fx
-        row1 = g_y1[:, :q] * (1.0 - fx) + g_y1[:, q:] * fx
-        rows = row0 * (1.0 - fy) + row1 * fy
-        saved = self.col_of
-        try:
-            self.col_of = block_col_of
-            return self.values(rows, times, t, varnames)
-        finally:
-            self.col_of = saved
+        near = [v for v in varnames if block_col_of[v][1] == "near"]
+        rest = [v for v in varnames if block_col_of[v][1] != "near"]
+        out = {}
+        if rest:
+            row0 = g_y0[:, :q] * (1.0 - fx) + g_y0[:, q:] * fx
+            row1 = g_y1[:, :q] * (1.0 - fx) + g_y1[:, q:] * fx
+            rows = row0 * (1.0 - fy) + row1 * fy
+            saved = self.col_of
+            try:
+                self.col_of = block_col_of
+                out.update(self.values(rows, times, t, rest))
+            finally:
+                self.col_of = saved
+        for v in near:
+            c = block_col_of[v][0]
+            gy0 = jnp.where(fx[:, 0] > 0.5, g_y0[:, q + c], g_y0[:, c])
+            gy1 = jnp.where(fx[:, 0] > 0.5, g_y1[:, q + c], g_y1[:, c])
+            out[v] = jnp.where(fy[:, 0] > 0.5, gy1, gy0).astype(
+                jnp.float32)
+        return out
 
     def values(self, rows, times, t, varnames):
         """Blend the bracketing frame columns per variable."""
