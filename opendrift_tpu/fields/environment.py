@@ -106,12 +106,18 @@ class Environment:
         self.required_profiles = list(required_profiles)
 
     def prepare_readers(self, extent=None, start_time=None, end_time=None,
-                        max_speed=None, interval_seconds=None):
+                        max_speed=None, interval_seconds=None,
+                        truncate_depth=None):
         """Give every reader its run context: simulation extent (for halo
         subsetting), time range and per-interval window length (reference:
         ``reader.prepare`` at basemodel/__init__.py:2064 ->
-        structured.py:149)."""
+        structured.py:149).  ``truncate_depth``: read forcing only down to
+        this depth and extrapolate below (reference
+        environment.py:554-562, config
+        drift:truncate_ocean_model_below_m)."""
         for reader in self.readers.values():
+            if truncate_depth is not None:
+                reader.truncate_depth = float(truncate_depth)
             try:
                 reader.prepare(extent=extent, start_time=start_time,
                                end_time=end_time, max_speed=max_speed,

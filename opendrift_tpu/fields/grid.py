@@ -234,6 +234,17 @@ class StructuredGridReader(BaseReader):
         Z = len(self.depths) if (self._group3 and
                                  getattr(self, "depths", None) is not None) \
             else 1
+        # depth truncation (reference environment.py:554-562): pack only
+        # the levels covering [0, truncate_depth] plus one bracketing
+        # level; sampling below the deepest kept level clamps fz -> 1,
+        # i.e. extrapolates, exactly the reference's clamped-z semantics.
+        # At truncate=0 with a surface level this makes Z == 1, and the
+        # duplicate z1 gathers CSE away — half the sampling gathers.
+        trunc = getattr(self, "truncate_depth", None)
+        if Z > 1 and trunc is not None:
+            d = np.asarray(self.depths, dtype=np.float32)
+            Z = max(1, min(int(np.searchsorted(d, float(trunc),
+                                               side="left")) + 1, Z))
         # column layout (static across windows)
         col_of = {}
         col = 0
@@ -287,7 +298,7 @@ class StructuredGridReader(BaseReader):
                     c0 = col_of[v][0]
                     for fi, ti in enumerate(tidx):
                         packed[:, :, :, c0 + fi] = \
-                            self._load_frame(v, ti, m)
+                            self._load_frame(v, ti, m)[:Z]
                 for v in self._group2:
                     c0 = col_of[v][0]
                     for fi, ti in enumerate(tidx):
@@ -328,7 +339,9 @@ class StructuredGridReader(BaseReader):
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],
             dtype=jnp.float32)
         if getattr(self, "depths", None) is not None:
-            out["depths"] = jnp.asarray(self.depths)
+            out["depths"] = jnp.asarray(
+                np.asarray(self.depths, dtype=np.float32)[:Z]
+                if self._group3 else self.depths)
         else:
             out["depths"] = jnp.zeros((1,), dtype=jnp.float32)
         return out

@@ -882,10 +882,15 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.simulation_extent = extent
         end_time = self.start_time + timedelta(seconds=dt * (
             total_steps if total_steps is not None else K))
+        try:
+            truncate_depth = self.get_config(
+                "drift:truncate_ocean_model_below_m")
+        except ValueError:
+            truncate_depth = None
         self.env.prepare_readers(
             extent=extent, start_time=min(self.start_time, end_time),
             end_time=max(self.start_time, end_time), max_speed=max_speed,
-            interval_seconds=abs(dt) * K)
+            interval_seconds=abs(dt) * K, truncate_depth=truncate_depth)
 
         # seafloor seeding: resolve z = -depth at the seed positions
         # (reference basemodel/__init__.py:1168-1210)

@@ -77,6 +77,14 @@ class OceanDrift(OpenDriftSimulation):
                 "type": "bool", "default": True, "level": CONFIG_LEVEL_BASIC,
                 "description": "Advect elements with vertical component of "
                 "ocean current"},
+            "drift:truncate_ocean_model_below_m": {
+                "type": "float", "default": None, "min": 0, "max": 10000,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Ocean model data are only read down to at "
+                "most this depth, and extrapolated below. May be specified "
+                "to read less data to improve performance. (reference "
+                "oceandrift.py:170; here it also shrinks the packed device "
+                "rows' z-extent, halving sampling gathers at 0 m)"},
             "drift:vertical_advection_at_surface": {
                 "type": "bool", "default": False,
                 "level": CONFIG_LEVEL_ADVANCED,

@@ -123,3 +123,57 @@ def test_multifile():
     r = ROMSReader(NORDIC_DAYS)
     assert len(r.times) >= 3
     assert r.times == sorted(r.times)
+
+
+def test_truncate_ocean_model_below_m():
+    """drift:truncate_ocean_model_below_m (reference oceandrift.py:170,
+    environment.py:554-562): forcing is packed only down to the given
+    depth — exact within the kept range, extrapolated (clamped) below,
+    and Z collapses to 1 at truncate=0 (surface-only runs sample with
+    half the gathers)."""
+    rng = np.random.default_rng(3)
+    lon = jnp.asarray(rng.uniform(13.0, 14.5, 200), jnp.float32)
+    lat = jnp.asarray(rng.uniform(66.9, 67.8, 200), jnp.float32)
+
+    def mk(trunc):
+        r = ROMSReader(NORDIC)
+        if trunc is not None:
+            r.truncate_depth = trunc
+        r.set_run_epoch(r.times[0])
+        r.prepare()
+        return r, r.device_state()
+
+    rf, dsf = mk(None)
+    rt, dst = mk(0.0)
+    r10, ds10 = mk(10.0)
+    assert rf._sampler.Z > 1
+    assert rt._sampler.Z == 1
+    assert 1 < r10._sampler.Z < rf._sampler.Z
+
+    def du(ra, da, rb, db, z):
+        zv = jnp.full(lon.shape, z, jnp.float32)
+        va, _ = ra.sample(da, ["x_sea_water_velocity"], jnp.float32(1800.0),
+                          lon, lat, zv)
+        vb, _ = rb.sample(db, ["x_sea_water_velocity"], jnp.float32(1800.0),
+                          lon, lat, zv)
+        return np.nanmax(np.abs(np.asarray(va["x_sea_water_velocity"])
+                                - np.asarray(vb["x_sea_water_velocity"])))
+
+    assert du(rf, dsf, rt, dst, 0.0) == 0.0       # exact at surface
+    assert du(rf, dsf, r10, ds10, -8.0) == 0.0    # exact within range
+    assert du(rf, dsf, rt, dst, -5.0) > 0.0       # extrapolated below
+
+
+def test_truncate_config_wiring():
+    """The config reaches the readers through prepare_run."""
+    o = OceanDrift(loglevel=40)
+    r = ROMSReader(NORDIC)
+    o.add_reader(r)
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:truncate_ocean_model_below_m", 0.0)
+    o.seed_elements(lon=13.5, lat=67.2, number=5, time=r.times[0])
+    o.prepare_run(dt=900.0, K=2, export_variables=["lon", "lat"],
+                  total_steps=4)
+    o.env.build_device_states()
+    assert r.truncate_depth == 0.0
+    assert r._sampler.Z == 1

@@ -51,6 +51,10 @@ def main():
     o.set_config("drift:advection_scheme", "runge-kutta4")
     o.set_config("drift:vertical_advection", False)
     o.set_config("drift:horizontal_diffusivity", 10.0)
+    # surface-only run: truncating the forcing at 0 m is EXACT (all
+    # elements stay at z=0) and collapses the packed z-extent to one
+    # level — the duplicate z1 gathers CSE away, halving sampling cost
+    o.set_config("drift:truncate_ocean_model_below_m", 0.0)
     if single_fetch:
         o.set_config("drift:advection_single_fetch", True)
         print("single-fetch RK enabled", flush=True)
