@@ -265,8 +265,15 @@ class PackedSampler:
             if cols is not None:
                 return g[:, cols]
             return g[:, :2 * q]
-        g_y0 = corner(z0, y0) * (1.0 - fz) + corner(z1, y0) * fz
-        g_y1 = corner(z0, y1) * (1.0 - fz) + corner(z1, y1) * fz
+        if Z == 1:
+            # no vertical bracketing: skip the fz blend so the held
+            # block keeps the packed dtype (f16 rows stay f16 — halves
+            # the HBM traffic of every stage re-evaluation)
+            g_y0 = corner(z0, y0)
+            g_y1 = corner(z0, y1)
+        else:
+            g_y0 = corner(z0, y0) * (1.0 - fz) + corner(z1, y0) * fz
+            g_y1 = corner(z0, y1) * (1.0 - fz) + corner(z1, y1) * fz
         return g_y0, g_y1, x0, y0, block_col_of
 
     def eval_corner_block(self, block, xi, yi, times, t, varnames):
@@ -285,12 +292,31 @@ class PackedSampler:
         rest = [v for v in varnames if block_col_of[v][1] != "near"]
         out = {}
         if rest:
-            row0 = g_y0[:, :q] * (1.0 - fx) + g_y0[:, q:] * fx
-            row1 = g_y1[:, :q] * (1.0 - fx) + g_y1[:, q:] * fx
+            # blend only the requested columns — RK stages ask for u/v
+            # out of a block that also carries the rest of the start-of-
+            # step environment (block-backed env fetch); blending the
+            # full row here would cost ~4x the VPU work and HBM traffic
+            import numpy as _np
+            sel = []
+            sub_col_of = {}
+            for v in rest:
+                c0, kind = block_col_of[v]
+                n = 1 if kind in ("static", "near") else self.F
+                sub_col_of[v] = (len(sel), kind)
+                sel.extend(range(c0, c0 + n))
+            if sel == list(range(q)):
+                a0, b0 = g_y0[:, :q], g_y0[:, q:]
+                a1, b1 = g_y1[:, :q], g_y1[:, q:]
+            else:
+                cols = _np.asarray(sel, dtype=_np.int32)
+                a0, b0 = g_y0[:, cols], g_y0[:, cols + q]
+                a1, b1 = g_y1[:, cols], g_y1[:, cols + q]
+            row0 = a0 * (1.0 - fx) + b0 * fx
+            row1 = a1 * (1.0 - fx) + b1 * fx
             rows = row0 * (1.0 - fy) + row1 * fy
             saved = self.col_of
             try:
-                self.col_of = block_col_of
+                self.col_of = sub_col_of
                 out.update(self.values(rows, times, t, rest))
             finally:
                 self.col_of = saved
