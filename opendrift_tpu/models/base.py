@@ -126,6 +126,15 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             "general:use_auto_landmask": {
                 "type": "bool", "default": True, "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Add a coastline landmask automatically"},
+            "general:rng": {
+                "type": "enum", "enum": ["threefry", "rbg"],
+                "default": "threefry", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Counter-based PRNG for the stochastic "
+                "kernels. 'threefry' is bit-reproducible across backends "
+                "(like the reference's seeded numpy, basemodel "
+                "__init__.py:270-326); 'rbg' uses the TPU hardware "
+                "generator — same statistics, faster, reproducible only "
+                "per backend"},
             "general:time_step_minutes": {
                 "type": "float", "default": 60.0, "min": 1e-6, "max": 1e5,
                 "units": "minutes", "level": CONFIG_LEVEL_BASIC,
@@ -910,7 +919,10 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         advance, final_snap = self._make_advance(K, dt, jit=jit)
 
         state = ElementState({k: jnp.asarray(v) for k, v in state_np.items()})
-        base_key = jax.random.PRNGKey(self.rng_seed)
+        if self.get_config("general:rng", default="threefry") == "rbg":
+            base_key = jax.random.key(self.rng_seed, impl="rbg")
+        else:
+            base_key = jax.random.PRNGKey(self.rng_seed)
 
         # ---- multi-device particle sharding (DP over a 1D mesh)
         self._mesh = None

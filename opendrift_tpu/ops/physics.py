@@ -8,6 +8,7 @@ have data-dependent shapes or host control flow.
 
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -177,23 +178,37 @@ _HS_TABLE = {
 }
 
 
+_STOKES_POLY_ORDER = {"5000": 3, "25000": 6, "50000": 6}
+_HS_POLY_ORDER = {"5000": 1, "25000": 1, "50000": 1}
+_poly_cache = {}
+
+
+def _table_poly(table, order, tag):
+    """Polynomial fit of a wind-indexed table — the reference evaluates
+    these tables through np.polyfit/polyval, not interpolation
+    (physics_methods.py:514-520,560-566); fit once in f64 on the host."""
+    if tag not in _poly_cache:
+        _poly_cache[tag] = np.polyfit(np.arange(len(table)), table, order)
+    return _poly_cache[tag]
+
+
 def wave_stokes_drift_parameterised(x_wind, y_wind, fetch="25000"):
     """Surface Stokes drift parameterised from wind and fetch
     (reference physics_methods.py:488-528)."""
-    speeds = jnp.arange(30.0)
-    table = jnp.asarray(_STOKES_WF[str(fetch)])
+    coef = _table_poly(_STOKES_WF[str(fetch)],
+                       _STOKES_POLY_ORDER[str(fetch)], ("wf", str(fetch)))
     windspeed = jnp.minimum(jnp.sqrt(x_wind ** 2 + y_wind ** 2), 30.0)
-    wf = jnp.interp(windspeed, speeds, table)
+    wf = jnp.polyval(jnp.asarray(coef), windspeed)
     return x_wind * wf, y_wind * wf
 
 
 def wave_significant_height_parameterised(x_wind, y_wind, fetch="25000"):
     """Hs parameterised from wind and fetch
     (reference physics_methods.py:530-568)."""
-    speeds = jnp.arange(30.0)
-    table = jnp.asarray(_HS_TABLE[str(fetch)])
+    coef = _table_poly(_HS_TABLE[str(fetch)],
+                       _HS_POLY_ORDER[str(fetch)], ("hs", str(fetch)))
     windspeed = jnp.minimum(jnp.sqrt(x_wind ** 2 + y_wind ** 2), 30.0)
-    return jnp.interp(windspeed, speeds, table)
+    return jnp.polyval(jnp.asarray(coef), windspeed)
 
 
 # ------------------------------------------------- vertical diffusivity ---
@@ -262,10 +277,8 @@ def sea_water_kinematic_viscosity(T=10.0, S=35.0):
 
 def seawater_dynamic_viscosity_ladim(T=10.0, S=35.0):
     """LADiM variant (reference physics_methods.py:147-156):
-    mu = 1.79e-3 exp(-(T0.6-0.98)) with salinity correction."""
-    mu = 1.7915e-3 - 5.3152e-5 * T + 6.946e-7 * T ** 2 \
-        + 2.23e-6 * S
-    return mu
+    mu = 0.001 (1.7915 - 0.0538 T + 0.0007 T^2 + 0.0023 S)."""
+    return 0.001 * (1.7915 - 0.0538 * T + 0.0007 * T ** 2 + 0.0023 * S)
 
 
 # --------------------------------------------------- wind stress / solar ----

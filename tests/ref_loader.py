@@ -32,6 +32,27 @@ def _pkg(dotted):
     return mod
 
 
+def load_reference_physics():
+    """Returns the reference's physics_methods module (the formula
+    library, reference physics_methods.py), or None when unavailable.
+    pyproj/cmocean are stubbed — referenced only inside functions the
+    parity tests never call."""
+    if not os.path.isdir(REF_ROOT):
+        return None
+    if "ref_physics_methods" in sys.modules:
+        return sys.modules["ref_physics_methods"]
+    for stub in ("pyproj", "cmocean"):
+        if stub not in sys.modules:
+            sys.modules[stub] = types.ModuleType(stub)
+    spec = importlib.util.spec_from_file_location(
+        "ref_physics_methods",
+        os.path.join(REF_ROOT, "models/physics_methods.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_physics_methods"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_readerblock():
     """Returns the reference's structured-interpolation module (holding
     ``ReaderBlock``), or None when the reference tree is unavailable."""

@@ -246,3 +246,31 @@ def test_corrupt_time_frames_trimmed(tmp_path):
     hours = [(tt - r.times[0]).total_seconds() / 3600
              for tt in r.times]
     assert hours == [0.0, 1.0, 3.0]
+
+
+def test_rng_implementation_config():
+    """general:rng = 'rbg' opts into the TPU hardware generator; runs
+    keep the same diffusion statistics as the default threefry."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+
+    res = {}
+    for impl in ("threefry", "rbg"):
+        o = OceanDrift(loglevel=40)
+        o.add_reader(ConstantReader({"x_sea_water_velocity": 0.0,
+                                     "y_sea_water_velocity": 0.0,
+                                     "land_binary_mask": 0.0}))
+        o.set_config("general:rng", impl)
+        o.set_config("drift:horizontal_diffusivity", 20.0)
+        o.seed_elements(lon=4.0, lat=60.0, number=4000,
+                        time=datetime(2020, 1, 1))
+        o.run(duration=timedelta(hours=6), time_step=600)
+        res[impl] = np.asarray(o.result["lon"])[:, -1]
+    for impl in res:
+        assert np.isfinite(res[impl]).all()
+    # same diffusion scale (within sampling error), different streams
+    s_t, s_r = res["threefry"].std(), res["rbg"].std()
+    assert abs(s_t - s_r) / s_t < 0.15
+    assert not np.allclose(res["threefry"], res["rbg"])
