@@ -126,6 +126,18 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             "general:use_auto_landmask": {
                 "type": "bool", "default": True, "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Add a coastline landmask automatically"},
+            "general:coastline_bisection": {
+                "type": "enum", "enum": ["refetch", "block"],
+                "default": "refetch", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "How stranding bisection probes sample the "
+                "landmask. 'refetch': fresh mask fetch per probe (exact, "
+                "reference semantics — coastline_crossing, basemodel "
+                "__init__.py:81-134). 'block': probes re-read the held "
+                "corner block with edge clamping — zero gathers; exact "
+                "when the step stays within one grid cell, else the "
+                "crossing point degrades toward the cell edge. Requires "
+                "drift:advection_single_fetch and the landmask served by "
+                "the same reader as the currents"},
             "general:rng": {
                 "type": "enum", "enum": ["threefry", "rbg"],
                 "default": "threefry", "level": CONFIG_LEVEL_ADVANCED,
@@ -1054,6 +1066,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         env = self.env
         sign = 1.0 if dt > 0 else -1.0
         coastline_action = self.get_config("general:coastline_action")
+        coastline_bisection = self.get_config("general:coastline_bisection",
+                                              default="refetch")
         seafloor_action = self.get_config("general:seafloor_action")
         env_vars = self.active_required_variables()
         profile_vars = self.env.required_profiles
@@ -1191,6 +1205,26 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                     plon, plat = d["prev_lon"], d["prev_lat"]
                     zz = d["z"]
 
+                    # 'block' bisection: probes re-read the held corner
+                    # block (general:coastline_bisection) — zero gathers
+                    # per round instead of one full-fleet mask fetch
+                    use_block_mask = (
+                        coastline_bisection == "block"
+                        and block_ctx is not None
+                        and "land_binary_mask" in block_ctx[1][4])
+
+                    def mask_at(slon, slat, zz):
+                        if use_block_mask:
+                            b_reader = env._plan[block_ctx[0]][0]
+                            vals, _ = b_reader.sample_from_block(
+                                dev_states[block_ctx[0]], block_ctx[1],
+                                t_rel, slon, slat, ["land_binary_mask"])
+                            return vals["land_binary_mask"]
+                        menv, _ = env.get_environment(
+                            dev_states, ["land_binary_mask"], t_rel,
+                            slon, slat, zz)
+                        return menv["land_binary_mask"]
+
                     def bisect(ops):
                         # true bisection of [prev(sea), current(land)]:
                         # each round is ONE mask fetch and halves the
@@ -1203,10 +1237,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                             mid = 0.5 * (lo + hi)
                             slon = plon + mid * (lon_a - plon)
                             slat = plat + mid * (lat_a - plat)
-                            menv, _ = env.get_environment(
-                                dev_states, ["land_binary_mask"], t_rel,
-                                slon, slat, zz)
-                            land = menv["land_binary_mask"] > 0.5
+                            land = mask_at(slon, slat, zz) > 0.5
                             hi = jnp.where(land, mid, hi)
                             lo = jnp.where(land, lo, mid)
                         return hi   # first-land point along the transect

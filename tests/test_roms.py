@@ -177,3 +177,44 @@ def test_truncate_config_wiring():
     o.env.build_device_states()
     assert r.truncate_depth == 0.0
     assert r._sampler.Z == 1
+
+
+def test_block_bisection_matches_refetch():
+    """general:coastline_bisection='block' (zero-gather stranding
+    bisection from the held corner block) strands the same elements as
+    the exact refetch mode, with crossing points within one grid cell."""
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    def run(mode):
+        o = OceanDrift(loglevel=40)
+        r = ROMSReader(NORDIC)
+        o.add_reader(r)
+        o.set_config("general:use_auto_landmask", False)
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("drift:advection_scheme", "runge-kutta4")
+        o.set_config("drift:advection_single_fetch", True)
+        o.set_config("general:coastline_bisection", mode)
+        o.set_config("drift:horizontal_diffusivity", 20.0)
+        o.seed_elements(lon=14.56, lat=67.29, radius=8000, number=500,
+                        time=r.times[0])
+        o.run(duration=timedelta(hours=24), time_step=900)
+        status = np.asarray(o.result["status"])[:, -1]
+        lon = np.asarray(o.result["lon"])
+        lat = np.asarray(o.result["lat"])
+        last_lon = np.array([row[np.isfinite(row)][-1] for row in lon])
+        last_lat = np.array([row[np.isfinite(row)][-1] for row in lat])
+        code = o.status_categories.index("stranded")
+        return status == code, last_lon, last_lat
+
+    s_ref, lon_ref, lat_ref = run("refetch")
+    s_blk, lon_blk, lat_blk = run("block")
+    assert s_ref.sum() > 50          # the run actually strands
+    # same stochastic stream -> same trajectories until stranding; the
+    # stranded sets must agree except at most a few boundary cases
+    assert (s_ref != s_blk).mean() < 0.05
+    both = s_ref & s_blk
+    # crossing points agree within one native grid cell (~800 m)
+    dm = np.hypot((lon_ref - lon_blk)[both] * 40000,   # ~km/deg at 67N
+                  (lat_ref - lat_blk)[both] * 111000)
+    assert np.median(dm) < 800
+    assert np.percentile(dm, 95) < 1600
