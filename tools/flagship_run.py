@@ -65,22 +65,6 @@ def main():
     rng = np.random.default_rng(0)
     lon = rng.uniform(13.0, 14.5, N)
     lat = rng.uniform(66.9, 67.8, N)
-    if os.environ.get("FLAGSHIP_MORTON") == "1":
-        # spatially coherent seeding: neighbours in the fleet share grid
-        # cells, so the per-step row gathers hit the same HBM sectors.
-        # Pure host-side reorder of the seed list (trajectory IDs follow
-        # seeding order, as in the reference).
-        xi = ((lon - lon.min()) / (lon.ptp() + 1e-12) * 1023).astype(np.uint32)
-        yi = ((lat - lat.min()) / (lat.ptp() + 1e-12) * 1023).astype(np.uint32)
-        def _spread(v):
-            v = (v | (v << 8)) & 0x00FF00FF
-            v = (v | (v << 4)) & 0x0F0F0F0F
-            v = (v | (v << 2)) & 0x33333333
-            v = (v | (v << 1)) & 0x55555555
-            return v
-        order = np.argsort(_spread(xi) | (_spread(yi) << 1))
-        lon, lat = lon[order], lat[order]
-        print("morton-ordered seeding", flush=True)
     o.seed_elements(lon=lon, lat=lat, time=reader.times[0])
 
     dt = 900
