@@ -31,6 +31,9 @@ class Chemical(Lagrangian3DArray):
 
     variables = Lagrangian3DArray.add_variables([
         ("diameter", {"dtype": np.float32, "units": "m", "default": 0.0}),
+        ("density", {"dtype": np.float32, "units": "kg/m^3",
+                     "default": 2650.0,
+                     "description": "Particle density (SPM-bound phase)"}),
         ("specie", {"dtype": np.int32, "units": "1", "default": 0}),
         ("mass", {"dtype": np.float32, "units": "ug", "default": 1e3}),
         ("mass_degraded", {"dtype": np.float32, "units": "ug",
@@ -317,9 +320,9 @@ class ChemicalDrift(OceanDrift):
         S0 = ctx.environment["sea_water_salinity"]
         rho_w = ph.sea_water_density(T0, S0)
         mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
-        dens = self.get_config("chemical:sediment:density")
+        # per-element particle density (reference chemicaldrift.py:1187)
         dia = self.get_config("chemical:particle_diameter")
-        w = -(dens - rho_w) * G * dia ** 2 / (18.0 * mu_w)
+        w = -(d["density"] - rho_w) * G * dia ** 2 / (18.0 * mu_w)
         on_spm = d["specie"] == self.specie_name2num("Particle reversible")
         ctx.set_var("terminal_velocity", jnp.where(on_spm, w, 0.0))
 

@@ -27,6 +27,11 @@ class Radionuclide(Lagrangian3DArray):
 
     variables = Lagrangian3DArray.add_variables([
         ("diameter", {"dtype": np.float32, "units": "m", "default": 0.0}),
+        ("neutral_buoyancy_salinity", {"dtype": np.float32, "units": "1",
+                                       "default": 31.25}),
+        ("density", {"dtype": np.float32, "units": "kg/m^3",
+                     "default": 2650.0,
+                     "description": "Mineral-particle density"}),
         ("specie", {"dtype": np.int32, "units": "1", "default": 0}),
         ("LMM_fraction", {"dtype": np.float32, "units": "1",
                           "default": 0.1}),
@@ -240,8 +245,8 @@ class RadionuclideDrift(OceanDrift):
         S0 = ctx.environment["sea_water_salinity"]
         rho_w = ph.sea_water_density(T0, S0)
         mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
-        dens = self.get_config("radionuclide:sediment:sediment_density")
-        w = -(dens - rho_w) * G * d["diameter"] ** 2 / (18.0 * mu_w)
+        # per-element particle density (reference radionuclides.py:712)
+        w = -(d["density"] - rho_w) * G * d["diameter"] ** 2 / (18.0 * mu_w)
         is_particle = self._is_particle_specie(d["specie"])
         ctx.set_var("terminal_velocity", jnp.where(is_particle, w, 0.0))
 

@@ -33,6 +33,14 @@ class SeaLiceElement(Lagrangian3DArray):
                          "default": 0.0}),
         ("light", {"dtype": np.float32,
                    "units": "umol photon s-1 m-2", "default": 0.0}),
+        ("eliminated", {"dtype": np.int32, "units": "1", "seed": False,
+                        "default": 0}),
+        ("safe_salinity_above", {"dtype": np.int32, "units": "1",
+                                 "seed": False, "default": 0}),
+        ("temperature_above", {"dtype": np.float32, "units": "degC",
+                               "seed": False, "default": 0.0}),
+        ("temperature_below", {"dtype": np.float32, "units": "degC",
+                               "seed": False, "default": 0.0}),
     ])
 
 
@@ -141,9 +149,13 @@ class SeaLice(OceanDrift):
         ctx.set_var("nauplii", jnp.maximum(naup, 0.0))
         ctx.set_var("copepodid", jnp.maximum(cope, 0.0))
         ctx.set_var("dead", died)
-        # super-individual exhausted -> deactivate
-        ctx.deactivate_elements(
-            (naup + cope) < 1e-3 * jnp.maximum(died, 1.0), "died")
+        # super-individual exhausted -> deactivate (reference
+        # sealice.py:272-273 marks 'eliminated' then deactivates)
+        exhausted = (naup + cope) < 1e-3 * jnp.maximum(died, 1.0)
+        ctx.set_var("eliminated",
+                    jnp.where(exhausted, 1,
+                              ctx.state.data["eliminated"]))
+        ctx.deactivate_elements(exhausted, "died")
 
     def irradiance(self, ctx):
         """Light at element depth from surface radiative flux with
@@ -157,38 +169,67 @@ class SeaLice(OceanDrift):
         ctx.set_var("light", light)
         return light
 
+    def sensing(self, ctx):
+        """Sense T/S a small distance above/below the element (reference
+        sealice.py:277-291 displaces z but reads the already-fetched
+        environment; here the displaced samples are real env fetches)."""
+        d = ctx.state.data
+        sense = 2.0 * self.get_config("lice:vertical_migration_speed")
+        varnames = ["sea_water_temperature", "sea_water_salinity"]
+        up, _ = self.env.get_environment(
+            ctx.dev_states, varnames, ctx.t_rel, d["lon"], d["lat"],
+            jnp.minimum(d["z"] + sense, 0.0))
+        dn, _ = self.env.get_environment(
+            ctx.dev_states, varnames, ctx.t_rel, d["lon"], d["lat"],
+            d["z"] - sense)
+        s_avoid = self.get_config("lice:avoided_salinity")
+        ctx.set_var("safe_salinity_above",
+                    (up["sea_water_salinity"] > s_avoid)
+                    .astype(jnp.int32))
+        ctx.set_var("temperature_above", up["sea_water_temperature"])
+        ctx.set_var("temperature_below", dn["sea_water_temperature"])
+
     def lice_vertical_migration(self, ctx, light):
-        """Salinity/light-triggered swimming vs passive sinking
-        (reference sealice.py:342-380)."""
+        """Salinity/light/temperature-triggered swimming vs passive
+        sinking (reference sealice.py:342-384): all lice sink; those in
+        acceptable salinity swim up towards light, or follow the warmer
+        of the sensed layers; lice in the fresh-water avoidance band
+        dive."""
         d = ctx.state.data
         dt = abs(ctx.params["dt"])
         S = ctx.environment["sea_water_salinity"]
+        T = ctx.environment["sea_water_temperature"]
         s_freeze = self.get_config("lice:freezing_salinity")
         s_avoid = self.get_config("lice:avoided_salinity")
         swim = self.get_config("lice:vertical_migration_speed") * dt
         sink = self.get_config("lice:sinking_velocity") * dt
 
-        frozen = S < s_freeze
         avoiding = (S >= s_freeze) & (S < s_avoid)
         normal = S >= s_avoid
+        safe_up = normal & (d["safe_salinity_above"] > 0)
         is_cope = d["copepodid"] > d["nauplii"]
         trigger = jnp.where(
             is_cope, self.get_config("lice:Copepodid_light_trigger"),
             self.get_config("lice:Nauplii_light_trigger"))
-        see_light = light > trigger
+        light_mig = safe_up & (light > trigger)
+        up_temp = safe_up & ~light_mig & (d["temperature_above"] > T)
+        down_temp = normal & ~up_temp & ~light_mig \
+            & (d["temperature_below"] > T)
 
-        dz = jnp.zeros_like(d["z"])
-        dz = jnp.where(avoiding, -sink, dz)           # dive from fresh water
-        dz = jnp.where(normal & see_light, swim, dz)  # swim towards light
-        dz = jnp.where(normal & ~see_light, -sink, dz)
-        dz = jnp.where(frozen, 0.0, dz)
+        going_up = light_mig | up_temp
+        going_down = avoiding | down_temp
+        # base sinking for everyone, then active migration on top
+        # (reference :346-384)
+        dz = -sink + jnp.where(going_up, swim, 0.0) \
+            - jnp.where(going_down, swim, 0.0)
         depth = ctx.environment["sea_floor_depth_below_sea_level"]
         new_z = jnp.clip(d["z"] + dz, -depth, 0.0)
         ctx.set_var("z", new_z)
 
     def update(self, ctx):
-        """(reference sealice.py:381-393)."""
+        """(reference sealice.py:386-393)."""
         self.population(ctx)
+        self.sensing(ctx)
         light = self.irradiance(ctx)
         ctx.advect_ocean_current()
         if self.get_config("drift:vertical_mixing"):

@@ -76,6 +76,8 @@ class ShipObject(LagrangianArray):
                              "seed": False, "default": 1.0}),
         ("water_drag_coeff", {"dtype": np.float32, "units": "1",
                               "seed": False, "default": 1.0}),
+        ("jibeProbability", {"dtype": np.float32, "units": "1/h",
+                             "default": 0.04}),
     ])
 
 
