@@ -1018,20 +1018,21 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                         "ocean", e)
             self.env.fallback_values["land_binary_mask"] = 0.0
 
-    def _skip_if_holds(self, spec):
-        """Evaluate a ``skip_if`` condition like
-        ``['drift:vertical_mixing', 'is', False]`` (reference
-        basemodel/__init__.py:4966 ``evaluate_conditional``)."""
-        cond = spec.get("skip_if")
-        if cond is None:
-            return False
+    def _cond_holds(self, cond):
+        """Evaluate a conditional like ``['drift:vertical_mixing', 'is',
+        False]`` (reference basemodel/__init__.py:4966
+        ``evaluate_conditional``)."""
         key, op, value = cond
         current = self.get_config(key, default=None)
         if op == "is":
             return current is value or current == value
         if op == "is_not":
             return not (current is value or current == value)
-        raise ValueError(f"Unknown skip_if operator: {op}")
+        raise ValueError(f"Unknown conditional operator: {op}")
+
+    def _skip_if_holds(self, spec):
+        cond = spec.get("skip_if")
+        return cond is not None and self._cond_holds(cond)
 
     def active_required_variables(self):
         """Required variables minus those skipped by config conditions."""
@@ -1039,10 +1040,22 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 if not self._skip_if_holds(spec)]
 
     def required_profiles(self):
-        """Variables needing vertical profiles (model hook)."""
-        return [v for v, spec in self.required_variables.items()
-                if spec.get("profiles", False)
-                and not self._skip_if_holds(spec)]
+        """Variables needing vertical profiles.  A variable's profile
+        fetch (one gather set per z-level per step) can be gated by a
+        ``profiles_if`` conditional — the reference only interpolates
+        T/S profiles inside the mixing loop when
+        vertical_mixing:TSprofiles is on (oceandrift.py:459-477), and
+        only needs a diffusivity profile when the diffusivity comes from
+        readers ('environment')."""
+        out = []
+        for v, spec in self.required_variables.items():
+            if not spec.get("profiles", False) or self._skip_if_holds(spec):
+                continue
+            cond = spec.get("profiles_if")
+            if cond is not None and not self._cond_holds(cond):
+                continue
+            out.append(v)
+        return out
 
     # --------------------------------------------------- the fused step ---
     def _dynamic_params(self):

@@ -58,6 +58,8 @@ class OceanDrift(OpenDriftSimulation):
             "fallback": 0, "skip_if": ["drift:vertical_advection", "is", False]},
         "ocean_vertical_diffusivity": {
             "fallback": 0, "profiles": True,
+            "profiles_if": ["vertical_mixing:diffusivitymodel", "is",
+                            "environment"],
             "skip_if": ["drift:vertical_mixing", "is", False]},
         "horizontal_diffusivity": {"fallback": 0},
         "sea_surface_wave_significant_height": {"fallback": 0},
@@ -404,6 +406,14 @@ class OceanDrift(OpenDriftSimulation):
                  ) / (2.0 * delta)
         return Kz, dKdz
 
+    def _mixing_fast_path(self, ctx, model, ntimes, dt_mix, zmin, moving,
+                          extra, store_depths, has_TS_profiles):
+        """Subclass hook: run the mixing inner loop through a fused
+        kernel and return True, or return False to take the generic jnp
+        ``fori_loop`` path (e.g. OpenOil's wave-entrainment kernel,
+        ops/pallas_mixing.visser_mixing_oil)."""
+        return False
+
     def _pallas_mixing_applicable(self, model):
         """True when the mixing inner loop can run as the fused Pallas
         VMEM kernel: windspeed-parameterised diffusivity and every
@@ -498,6 +508,10 @@ class OceanDrift(OpenDriftSimulation):
             return mix
 
         extra = self.mixing_carry_extra(ctx)
+        if self._mixing_fast_path(ctx, model, ntimes, dt_mix, zmin,
+                                  moving, extra, store_depths,
+                                  Tprof is not None):
+            return
         if not extra and not store_depths \
                 and self._pallas_mixing_applicable(model):
             from ..ops import pallas_mixing

@@ -93,11 +93,15 @@ class OpenOil(OceanDrift):
         "sea_ice_area_fraction": {"fallback": 0},
         "sea_ice_x_velocity": {"fallback": 0},
         "sea_ice_y_velocity": {"fallback": 0},
-        "sea_water_temperature": {"fallback": 10, "profiles": True},
-        "sea_water_salinity": {"fallback": 34.0, "profiles": True},
+        "sea_water_temperature": {"fallback": 10, "profiles": True,
+            "profiles_if": ["vertical_mixing:TSprofiles", "is", True]},
+        "sea_water_salinity": {"fallback": 34.0, "profiles": True,
+            "profiles_if": ["vertical_mixing:TSprofiles", "is", True]},
         "sea_floor_depth_below_sea_level": {"fallback": 10000},
         "ocean_vertical_diffusivity": {
             "fallback": 0.02, "profiles": True,
+            "profiles_if": ["vertical_mixing:diffusivitymodel", "is",
+                            "environment"],
             "skip_if": ["drift:vertical_mixing", "is", False]},
         "ocean_mixed_layer_thickness": {"fallback": 50},
         "land_binary_mask": {"fallback": None},
@@ -400,6 +404,68 @@ class OpenOil(OceanDrift):
 
     def mixing_carry_extra(self, ctx):
         return {"diameter": ctx.state.data["diameter"]}
+
+    def _mixing_fast_path(self, ctx, model, ntimes, dt_mix, zmin, moving,
+                          extra, store_depths, has_TS_profiles):
+        """Fused Pallas inner loop for the oil mixing cycle: Visser walk
+        + Tkalich rise + wave entrainment entirely in VMEM
+        (ops/pallas_mixing.visser_mixing_oil).  Falls back to the jnp
+        loop when profiles/hook overrides make the lowering invalid."""
+        from ...ops import pallas_mixing
+        cls = type(self)
+        if (store_depths or has_TS_profiles
+                or set(extra) != {"diameter"}
+                or model not in pallas_mixing._WINDSPEED_MODELS
+                or cls.surface_stick is not OceanDrift.surface_stick
+                or cls.bottom_interaction
+                is not OceanDrift.bottom_interaction
+                or cls.surface_wave_mixing
+                is not OpenOil.surface_wave_mixing
+                or cls.terminal_velocity_inner
+                is not OpenOil.terminal_velocity_inner):
+            return False
+        try:
+            if not self.get_config("vertical_mixing:use_pallas"):
+                return False
+        except ValueError:
+            pass
+        if not (pallas_mixing.available() or pallas_mixing.FORCE_INTERPRET):
+            return False
+
+        d = ctx.state.data
+        # z-independent Tkalich factors at the held T/S
+        T0 = ctx.environment["sea_water_temperature"]
+        S0 = ctx.environment["sea_water_salinity"]
+        rho_w = ph.sea_water_density(T0, S0)
+        mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
+        nu_w = mu_w / rho_w
+        rhopr = d["density"] / rho_w
+        g = 9.81
+        kw = 2.0 * g * (1.0 - rhopr) / (9.0 * nu_w)
+        kw2 = jnp.sqrt(jnp.abs(16.0 * g * (1.0 - rhopr) / 3.0)) \
+            * jnp.sign(1.0 - rhopr)
+        zb = 1.5 * ctx.significant_wave_height()
+
+        seed = jax.random.bits(ctx.next_key(), dtype=jnp.uint32)
+        seed = jax.lax.bitcast_convert_type(seed, jnp.int32)
+        z_out, diam_out = pallas_mixing.visser_mixing_oil(
+            d["z"], d["diameter"], moving, ctx.wind_speed(),
+            ctx.environment.get("ocean_mixed_layer_thickness",
+                                jnp.full_like(d["z"], 50.0)),
+            zmin, ctx._oil_entrainment_probability,
+            ctx._droplet_diameter_if_entrained, zb, kw, kw2, nu_w, seed,
+            ntimes=ntimes, dt_mix=dt_mix, model=model,
+            bg=float(self.get_config(
+                "vertical_mixing:background_diffusivity")),
+            mixing_at_surface=bool(self.get_config(
+                "drift:vertical_mixing_at_surface")),
+            keep_diam=bool(self.keep_droplet_diameter),
+            interpret=pallas_mixing.FORCE_INTERPRET)
+        active = ctx.active
+        ctx.set_var("z", jnp.where(active, z_out, d["z"]))
+        ctx.set_var("diameter", jnp.where(active, diam_out,
+                                          d["diameter"]))
+        return True
 
     def surface_wave_mixing(self, ctx, mix, dt_mix, key):
         """Whitecapping entrainment of surface oil

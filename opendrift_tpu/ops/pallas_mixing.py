@@ -116,6 +116,65 @@ def _mix_loop(z, mv, w, wind, mld, zmin, elem, seed, *, ntimes, dt_mix,
     return jax.lax.fori_loop(0, ntimes, body, z)
 
 
+def _mix_loop_oil(z, diam, mv, wind, mld, zmin, p_ent, d_cand, zb,
+                  kw, kw2, nu_w, elem, seed, *, ntimes, dt_mix, model, bg,
+                  mixing_at_surface, keep_diam):
+    """OpenOil variant of the inner loop: Tkalich droplet rise velocity
+    recomputed from the carried diameter each substep (reference
+    openoil.py:922-998) and whitecapping wave entrainment of surface oil
+    (draws entrainment + intrusion depth, swaps in the candidate droplet
+    diameter; reference openoil.py:1017-1060).  ``kw``/``kw2``/``nu_w``
+    are the z-independent Tkalich factors precomputed per element (T/S
+    held over the inner loop, like the jnp path without TSprofiles)."""
+    adt = abs(dt_mix)
+    base = _splitmix32(elem + seed * jnp.uint32(0x9e3779b9))
+
+    def K_of(depth):
+        return _diffusivity(model, wind, mld, bg, depth)
+
+    def body(i, carry):
+        z, diam = carry
+        surface = z == 0.0
+        bits = _splitmix32(base + i.astype(jnp.uint32)
+                           * jnp.uint32(0x85ebca6b))
+        bits1 = _splitmix32(bits + jnp.uint32(0xc2b2ae35))
+        bits2 = _splitmix32(bits1 + jnp.uint32(0x27d4eb2f))
+
+        def unit(b):  # top 24 bits -> [0, 1)
+            return jax.lax.bitcast_convert_type(
+                jax.lax.shift_right_logical(b, jnp.uint32(8)), jnp.int32
+            ).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+        R = unit(bits) * 2.0 - 1.0
+        # Tkalich rise velocity from the carried diameter
+        r2 = diam * 0.5
+        W = kw * r2 * r2
+        Re = diam * jnp.abs(W) / nu_w
+        W2 = kw2 * jnp.sqrt(r2)
+        w = jnp.where(Re > 50.0, W2, W)
+
+        depth = jnp.abs(z)
+        Kz = K_of(depth)
+        dKdz = -(K_of(depth + 0.5)
+                 - K_of(jnp.maximum(depth - 0.5, 0.0)))
+        z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
+        z = jnp.where(z >= 0.0, -z, z)
+        z = jnp.where((z < zmin) & (mv == 1.0), 2.0 * zmin - z, z)
+        z = z + w * dt_mix * mv
+        if not mixing_at_surface:
+            z = jnp.where(surface, 0.0, z)
+        z = jnp.minimum(z, 0.0)                             # surface stick
+        # wave entrainment of surface oil
+        entrained = (z >= 0.0) & (unit(bits1) < p_ent)
+        z = jnp.where(entrained, -unit(bits2) * zb, z)
+        if not keep_diam:
+            diam = jnp.where(entrained, d_cand, diam)
+        z = jnp.maximum(z, zmin)                            # bottom stick
+        return (z, diam)
+
+    return jax.lax.fori_loop(0, ntimes, body, (z, diam))
+
+
 def _kernel(seed_ref, z_ref, mv_ref, w_ref, wind_ref, mld_ref, zmin_ref,
             out_ref, **opts):
     from jax.experimental import pallas as pl
@@ -187,3 +246,81 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
         out_shape=jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32),
     )(jnp.atleast_1d(seed_u32.astype(jnp.int32)), *args)
     return out.reshape(-1)[:N]
+
+
+def _kernel_oil(seed_ref, z_ref, diam_ref, mv_ref, wind_ref, mld_ref,
+                zmin_ref, pent_ref, dcand_ref, zb_ref, kw_ref, kw2_ref,
+                nuw_ref, z_out_ref, d_out_ref, **opts):
+    from jax.experimental import pallas as pl
+
+    rows, lanes = z_ref.shape
+    elem = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0) * lanes
+            + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1)
+            + jnp.uint32(pl.program_id(0) * rows * lanes))
+    z, diam = _mix_loop_oil(
+        z_ref[:], diam_ref[:], mv_ref[:], wind_ref[:], mld_ref[:],
+        zmin_ref[:], pent_ref[:], dcand_ref[:], zb_ref[:], kw_ref[:],
+        kw2_ref[:], nuw_ref[:], elem, seed_ref[0].astype(jnp.uint32),
+        **opts)
+    z_out_ref[:] = z
+    d_out_ref[:] = diam
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntimes", "dt_mix", "model", "bg",
+                     "mixing_at_surface", "keep_diam", "interpret"))
+def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
+                      kw, kw2, nu_w, seed, *, ntimes, dt_mix, model, bg,
+                      mixing_at_surface, keep_diam, interpret=False):
+    """OpenOil mixing inner loop: ``ntimes`` Visser substeps with Tkalich
+    rise velocity and wave entrainment, entirely in VMEM.
+
+    All array args f32 (N,); seed scalar.  Returns (z, diameter)."""
+    N = z.shape[0]
+    n_tiles = max(1, -(-N // _TILE))
+    Np = n_tiles * _TILE
+    pad = Np - N
+
+    opts = dict(ntimes=int(ntimes), dt_mix=float(dt_mix), model=model,
+                bg=float(bg), mixing_at_surface=bool(mixing_at_surface),
+                keep_diam=bool(keep_diam))
+
+    def prep(a, fill=0.0):
+        a = jnp.asarray(a, jnp.float32)
+        if a.ndim == 0:
+            a = jnp.full((N,), a)
+        if pad:
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+        return a.reshape(-1, _LANES)
+
+    args = (prep(z), prep(diam, 1e-6), prep(moving), prep(wind),
+            prep(mld, 50.0), prep(zmin, -1.0), prep(p_ent), prep(d_cand,
+            1e-6), prep(zb, 1.0), prep(kw), prep(kw2), prep(nu_w, 1e-6))
+    seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
+
+    if interpret or not available():
+        R = Np // _LANES
+        elem = (jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 1))
+        zf, df = _mix_loop_oil(*args, elem, seed_u32, **opts)
+        return zf.reshape(-1)[:N], df.reshape(-1)[:N]
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[spec] * 12,
+        out_specs=[spec] * 2,
+    )
+    shape = jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32)
+    zf, df = pl.pallas_call(
+        functools.partial(_kernel_oil, **opts),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape],
+    )(jnp.atleast_1d(seed_u32.astype(jnp.int32)), *args)
+    return zf.reshape(-1)[:N], df.reshape(-1)[:N]

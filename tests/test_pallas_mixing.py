@@ -117,3 +117,52 @@ def test_model_integration_interpret(monkeypatch):
     z = np.asarray(o.result["z"])[:, -1]
     assert np.all(z <= 0.0) and np.all(z > -100.0)
     assert z.std() > 0.1          # actually mixed
+
+
+def test_oil_mixing_kernel_matches_jnp_path_statistically():
+    """visser_mixing_oil (interpreted) vs the OpenOil jnp fori_loop path:
+    same depth distribution and entrained fraction after the inner loop
+    (streams differ: SplitMix32 vs threefry)."""
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.openoil import OpenOil
+    from opendrift_tpu.fields.analytic import ConstantReader
+
+    def run(force_fast):
+        pallas_mixing.FORCE_INTERPRET = force_fast
+        try:
+            o = OpenOil(loglevel=40)
+            o.add_reader(ConstantReader({
+                "x_sea_water_velocity": 0.0, "y_sea_water_velocity": 0.0,
+                "land_binary_mask": 0.0, "x_wind": 10.0, "y_wind": 0.0,
+                "sea_water_temperature": 12.0, "sea_water_salinity": 34.0,
+                "sea_floor_depth_below_sea_level": 60.0}))
+            o.set_config("drift:vertical_mixing", True)
+            o.set_config("vertical_mixing:timestep", 60.0)
+            o.set_config("vertical_mixing:diffusivitymodel",
+                         "windspeed_Sundby1983")
+            o.set_config("processes:evaporation", False)
+            o.set_config("processes:emulsification", False)
+            o.set_config("processes:dispersion", False)
+            o.seed_elements(lon=4.0, lat=60.0, number=4000, z=0.0,
+                            time=datetime(2020, 1, 1), mass_oil=1.0,
+                            oil_type="GENERIC MEDIUM CRUDE")
+            o.run(duration=timedelta(hours=3), time_step=600)
+            z = np.asarray(o.result["z"])[:, -1]
+            dia = np.asarray(o.result["diameter"])[:, -1] \
+                if "diameter" in o.result else None
+            return z, dia
+        finally:
+            pallas_mixing.FORCE_INTERPRET = False
+
+    z_fast, _ = run(True)
+    z_jnp, _ = run(False)
+    assert np.isfinite(z_fast).all() and np.isfinite(z_jnp).all()
+    # entrainment pushes a similar fraction of oil below the surface
+    f_fast = (z_fast < -0.01).mean()
+    f_jnp = (z_jnp < -0.01).mean()
+    assert abs(f_fast - f_jnp) < 0.1, (f_fast, f_jnp)
+    sub_fast = z_fast[z_fast < -0.01]
+    sub_jnp = z_jnp[z_jnp < -0.01]
+    if len(sub_fast) > 100 and len(sub_jnp) > 100:
+        assert abs(np.median(sub_fast) - np.median(sub_jnp)) \
+            < 0.5 * abs(np.median(sub_jnp)) + 0.5

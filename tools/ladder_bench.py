@@ -131,6 +131,8 @@ def rung_openoil(N):
     o.set_config("processes:dispersion", True)
     o.set_config("drift:vertical_mixing", True)
     o.set_config("vertical_mixing:timestep", 90.0)
+    o.set_config("vertical_mixing:diffusivitymodel",
+                 "windspeed_Sundby1983")
     return _measure(o, None, N, dt=900)
 
 
