@@ -49,6 +49,19 @@ class Chemical(Lagrangian3DArray):
 
 SPECIES = ["LMM", "Humic colloid", "Particle reversible",
            "Sediment reversible", "Sediment slowly reversible"]
+# metals partition without the humic phase but with a slowly-reversible
+# particle pool (reference chemicaldrift.py:404-412 'metals' setup)
+METAL_SPECIES = ["LMM", "Particle reversible", "Particle slowly reversible",
+                 "Sediment reversible", "Sediment slowly reversible"]
+
+
+def _compound_table():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__),
+                        "chemical_compounds.json")
+    with open(path) as f:
+        return json.load(f)
 
 
 class ChemicalDrift(OceanDrift):
@@ -97,7 +110,7 @@ class ChemicalDrift(OceanDrift):
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Sorption enthalpy, DOM"},
             "chemical:transformations:Setchenow": {
-                "type": "float", "default": 0.2503, "min": 0, "max": 1,
+                "type": "float", "default": 0.2503, "min": -10, "max": 10,
                 "units": "L/mol", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Setchenow (salting-out) constant"},
             "chemical:transformations:KOC_DOM": {
@@ -120,6 +133,75 @@ class ChemicalDrift(OceanDrift):
                 "type": "float", "default": 0.0, "min": 0, "max": 1,
                 "units": "1/s", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Slow-pool transfer coefficient"},
+            "chemical:compound": {
+                "type": "enum",
+                "enum": [None] + sorted(_compound_table()),
+                "default": None, "level": CONFIG_LEVEL_ESSENTIAL,
+                "description": "Compound preset: applies the bundled "
+                "partitioning/degradation/volatilization parameters "
+                "(reference chemicaldrift.py:337-348, 3053+) via "
+                "init_chemical_compound()"},
+            "chemical:transfer_setup": {
+                "type": "enum", "enum": ["organics", "metals"],
+                "default": "organics", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Speciation scheme: KOW-based organics "
+                "(Karickhoff kinetics) or Kd-based metals (Simonsen "
+                "2019; reference chemicaldrift.py:404-433)"},
+            "chemical:transformations:dissociation": {
+                "type": "enum",
+                "enum": ["nondiss", "acid", "base", "amphoter"],
+                "default": "nondiss", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Dissociation state of the compound"},
+            "chemical:transformations:pKa_acid": {
+                "type": "float", "default": -1.0, "min": -1, "max": 14,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Acid dissociation constant"},
+            "chemical:transformations:pKa_base": {
+                "type": "float", "default": -1.0, "min": -1, "max": 14,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Base dissociation constant"},
+            "chemical:transformations:Kd": {
+                "type": "float", "default": 2.0, "min": 0, "max": 1e6,
+                "units": "m3/kg", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Partition coefficient (metals setup)"},
+            "chemical:transformations:Dc": {
+                "type": "float", "default": 1.16e-5, "min": 0, "max": 1,
+                "units": "1/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Desorption rate (metals setup)"},
+            "chemical:transformations:S0": {
+                "type": "float", "default": 0.0, "min": 0, "max": 100,
+                "units": "PSU", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Salinity dependency of Kd (metals)"},
+            "chemical:sediment:effective_fraction": {
+                "type": "float", "default": 0.9, "min": 0, "max": 1,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Fraction of effective sediment sorbents"},
+            "chemical:transformations:Vpress": {
+                "type": "float", "default": 11.2, "min": 0, "max": 1e6,
+                "units": "Pa", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Vapour pressure"},
+            "chemical:transformations:Tref_Vpress": {
+                "type": "float", "default": 25.0, "min": -100, "max": 100,
+                "units": "C", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Vapour-pressure reference temperature"},
+            "chemical:transformations:DeltaH_Vpress": {
+                "type": "float", "default": 55925.0, "min": -1e6,
+                "max": 1e6, "units": "J/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Vapour-pressure enthalpy"},
+            "chemical:transformations:Solub": {
+                "type": "float", "default": 31.4, "min": 0, "max": 1e6,
+                "units": "g/m3", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Solubility"},
+            "chemical:transformations:Tref_Solub": {
+                "type": "float", "default": 25.0, "min": -100, "max": 100,
+                "units": "C", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Solubility reference temperature"},
+            "chemical:transformations:DeltaH_Solub": {
+                "type": "float", "default": 25300.0, "min": -1e6,
+                "max": 1e6, "units": "J/mol",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Solubility enthalpy"},
             "chemical:transformations:degradation": {
                 "type": "bool", "default": True,
                 "level": CONFIG_LEVEL_BASIC,
@@ -210,11 +292,35 @@ class ChemicalDrift(OceanDrift):
         self._set_config_default("drift:vertical_mixing", True)
         self.register_status("sedimented")
 
-    name_species = SPECIES
-    nspecies = len(SPECIES)
+    @property
+    def name_species(self):
+        setup = self.get_config("chemical:transfer_setup",
+                                default="organics")
+        return METAL_SPECIES if setup == "metals" else SPECIES
+
+    @property
+    def nspecies(self):
+        return len(self.name_species)
 
     def specie_name2num(self, name):
-        return SPECIES.index(name)
+        return self.name_species.index(name)
+
+    def init_chemical_compound(self, chemical_compound=None):
+        """Apply the bundled per-compound parameter presets (PAH
+        partitioning/degradation/volatilization constants and metal Kd
+        values; reference chemicaldrift.py:3053+, data collected by
+        Hanstein/Boscherini/Calgaro/Aghito)."""
+        if chemical_compound is not None:
+            self.set_config("chemical:compound", chemical_compound)
+        compound = self.get_config("chemical:compound")
+        if compound is None:
+            raise ValueError("Chemical compound not defined")
+        table = _compound_table()
+        if compound not in table:
+            raise ValueError(f"No parameters for compound {compound!r}; "
+                             f"known: {sorted(table)}")
+        for key, value in table[compound].items():
+            self.set_config(key, value)
 
     # --------------------------------------------------- rate derivation --
     @staticmethod
@@ -233,8 +339,11 @@ class ChemicalDrift(OceanDrift):
         return 10.0 ** (setchenow * molal)
 
     def transfer_rates_matrix(self):
-        """'organics' background rates (reference chemicaldrift.py:
-        init_transfer_rates, Karickhoff & Morris 1985 kinetics)."""
+        """Background speciation rates: 'organics' (Karickhoff & Morris
+        1985 KOW kinetics) or 'metals' (Kd/Dc, Simonsen et al. 2019) —
+        reference chemicaldrift.py init_transfer_rates :404-433."""
+        if self.get_config("chemical:transfer_setup") == "metals":
+            return self._metal_transfer_rates()
         S = self.nspecies
         rates = np.zeros((S, S), dtype=np.float32)
         lmm = self.specie_name2num("LMM")
@@ -292,6 +401,40 @@ class ChemicalDrift(OceanDrift):
             * sed_phi / sed_H * 1e-3
         rates[srev, lmm] = k_des_sed * sed_phi / Tcorr_sed / Scorr
         rates[srev, ssrev] = burial / sed_L / 31556926.0
+        return rates
+
+    def _metal_transfer_rates(self):
+        """Kd-based metal speciation rates (Simonsen et al. 2019a;
+        reference chemicaldrift.py 'metals' branch :404-412 and rate
+        assignments in init_transfer_rates)."""
+        S = self.nspecies
+        rates = np.zeros((S, S), dtype=np.float32)
+        lmm = self.specie_name2num("LMM")
+        prev = self.specie_name2num("Particle reversible")
+        psrev = self.specie_name2num("Particle slowly reversible")
+        srev = self.specie_name2num("Sediment reversible")
+        ssrev = self.specie_name2num("Sediment slowly reversible")
+
+        Kd = self.get_config("chemical:transformations:Kd")       # m3/kg
+        Dc = self.get_config("chemical:transformations:Dc")       # 1/s
+        slow = self.get_config("chemical:transformations:slow_coeff")
+        concSPM = 1.0e-3                                          # kg/m3
+        sed_L = self.get_config("chemical:sediment:mixing_depth")
+        sed_dens = self.get_config("chemical:sediment:density")
+        sed_f = self.get_config("chemical:sediment:effective_fraction")
+        sed_phi = self.get_config("chemical:sediment:corr_factor")
+        sed_poro = self.get_config("chemical:sediment:porosity")
+        sed_H = self.get_config("chemical:sediment:layer_thickness")
+
+        rates[lmm, prev] = Dc * Kd * concSPM
+        rates[prev, lmm] = Dc
+        rates[lmm, srev] = Dc * Kd * sed_L * sed_dens \
+            * (1.0 - sed_poro) * sed_f * sed_phi / sed_H
+        rates[srev, lmm] = Dc * sed_phi
+        rates[srev, ssrev] = slow
+        rates[prev, psrev] = slow
+        rates[ssrev, srev] = slow * 0.1
+        rates[psrev, prev] = slow * 0.1
         return rates
 
     # --------------------------------------------------------- seeding ----
@@ -404,14 +547,33 @@ class ChemicalDrift(OceanDrift):
         T = ctx.environment["sea_water_temperature"]
         mld = ctx.environment["ocean_mixed_layer_thickness"]
         wind = ctx.wind_speed()
-        henry = self.get_config("chemical:transformations:Henry")
+        S = ctx.environment["sea_water_salinity"]
         molwt = self.get_config("chemical:transformations:MolWt")
-        Hnd = henry / (R_GAS * (T + 273.15))  # dimensionless Henry
-        # two-film mass-transfer velocities (MacKay & Yeun 1983 style)
-        k_air = (1e-3 + 46.2e-5 * wind) * (18.0 / molwt) ** 0.5
-        k_wat = (1e-6 + 34.1e-6 * jnp.maximum(wind - 2.0, 0.0) ** 1.0) \
-            * (44.0 / molwt) ** 0.5 + 1e-7
-        k_vol = 1.0 / (1.0 / k_wat + 1.0 / (k_air * Hnd))
+        # Henry's constant from vapour pressure / solubility with
+        # Arrhenius temperature corrections (reference
+        # chemicaldrift.py:1789-1792)
+        Vp = self.get_config("chemical:transformations:Vpress")
+        Slb = self.get_config("chemical:transformations:Solub")
+        henry = (Vp * self.tempcorr(
+            self.get_config("chemical:transformations:DeltaH_Vpress"),
+            T, self.get_config("chemical:transformations:Tref_Vpress"))) \
+            / (Slb * self.tempcorr(
+                self.get_config("chemical:transformations:DeltaH_Solub"),
+                T, self.get_config("chemical:transformations:Tref_Solub"))) \
+            * molwt / 101325.0                        # atm m3/mol
+        # salting-out + dimensionless Henry (reference :1815)
+        R_atm = 8.206e-5                              # atm m3/(mol K)
+        Hnd = henry * (1.0 + 0.01143 * S) / (R_atm * (T + 273.15))
+        # two-film mass-transfer coefficients, Schwarzenbach et al. 2016
+        # Eq. 19-17..19-20 (reference :1797-1812), cm/s
+        MTCw = (9e-4 + 7.2e-6 * wind ** 3) * (44.0 / molwt) ** 0.25
+        Sca = 0.62
+        MTCaH2O = 0.1 + wind * (6.1 + 0.63 * wind) ** 0.5 \
+            / (13.3 * Sca ** 0.5 + (6.1e-4 + 6.3e-5 * wind) ** -0.5
+               - 5.0 + 1.25 * np.log(Sca))
+        MTCa = MTCaH2O * (18.0 / molwt) ** (1.0 / 3.0)
+        MTCvol = 1.0 / (1.0 / MTCw + 1.0 / (MTCa * Hnd))   # cm/s
+        k_vol = 0.01 * MTCvol                              # m/s
         lmm = self.specie_name2num("LMM")
         applies = ctx.active & (d["specie"] == lmm) & (-d["z"] <= mld)
         frac = jnp.where(applies,

@@ -192,3 +192,49 @@ def test_chemical_volatilization():
     assert np.nansum(vol) > 0.0
     total = np.nansum(o.result["mass"].values[:, -1]) + np.nansum(vol)
     assert abs(total - 50 * 1000.0) / (50 * 1000.0) < 0.02
+
+
+def test_chemical_compound_presets():
+    """chemical:compound presets (reference chemicaldrift.py:3053+) set
+    the partitioning/degradation/volatilization constants."""
+    import jax
+    from opendrift_tpu.models.chemicaldrift import ChemicalDrift
+    o = ChemicalDrift(loglevel=40)
+    o.init_chemical_compound("Phenanthrene")
+    assert o.get_config("chemical:transformations:LogKOW") == 4.505
+    assert o.get_config("chemical:transformations:MolWt") == 178.226
+    assert o.get_config("chemical:transfer_setup") == "organics"
+    o2 = ChemicalDrift(loglevel=40)
+    o2.init_chemical_compound("Copper")
+    assert o2.get_config("chemical:transfer_setup") == "metals"
+    assert o2.get_config("chemical:transformations:Kd") == 50
+    assert o2.name_species[1] == "Particle reversible"
+    assert "Humic colloid" not in o2.name_species
+    import pytest
+    with pytest.raises(ValueError):
+        ChemicalDrift(loglevel=40).init_chemical_compound("Unobtainium")
+
+
+def test_chemical_metals_run():
+    """Kd-based metal speciation runs end-to-end and partitions mass
+    onto particles/sediment."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.chemicaldrift import ChemicalDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = ChemicalDrift(loglevel=40)
+    o.add_reader(ConstantReader({
+        "x_sea_water_velocity": 0.05, "y_sea_water_velocity": 0.0,
+        "land_binary_mask": 0.0, "sea_water_temperature": 10.0,
+        "sea_water_salinity": 34.0,
+        "sea_floor_depth_below_sea_level": 30.0, "spm": 50.0}))
+    o.init_chemical_compound("Cadmium")
+    o.seed_elements(lon=4.0, lat=60.0, z=-2.0, number=1000,
+                    time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=48), time_step=1800)
+    specie = np.asarray(o.result["specie"])[:, -1]
+    ok = np.isfinite(specie)
+    n_converted = (specie[ok] != 0).sum()
+    assert ok.sum() > 900
+    # Cadmium Kd=6.6, Dc=1.16e-5/s: expected ~1.3% adsorb to SPM in 48 h
+    assert n_converted >= 2
