@@ -176,6 +176,20 @@ class ChemicalDrift(OceanDrift):
                 "type": "float", "default": 0.9, "min": 0, "max": 1,
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Fraction of effective sediment sorbents"},
+            "chemical:sediment:resuspension_critvel": {
+                "type": "float", "default": 0.01, "min": 0, "max": 1,
+                "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Critical near-bottom speed for "
+                "resuspension of sedimented chemical"},
+            "chemical:sediment:resuspension_depth": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Height above seabed of resuspended "
+                "elements"},
+            "chemical:sediment:resuspension_depth_uncert": {
+                "type": "float", "default": 0.5, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Gaussian spread of resuspension height"},
             "chemical:transformations:Vpress": {
                 "type": "float", "default": 11.2, "min": 0, "max": 1e6,
                 "units": "Pa", "level": CONFIG_LEVEL_ADVANCED,
@@ -590,9 +604,37 @@ class ChemicalDrift(OceanDrift):
         mix["moving"] = jnp.where(at_bottom, 0.0, mix["moving"])
         return mix
 
+    def resuspension(self, ctx):
+        """Resuspend sedimented chemical where the near-bottom current
+        exceeds the critical speed: Sediment reversible -> Particle
+        reversible, lifted resuspension_depth above the seabed
+        (reference chemicaldrift.py:1633-1680)."""
+        d = ctx.state.data
+        critvel = self.get_config(
+            "chemical:sediment:resuspension_critvel")
+        lift = self.get_config("chemical:sediment:resuspension_depth")
+        std = self.get_config(
+            "chemical:sediment:resuspension_depth_uncert")
+        zmin = -ctx.environment["sea_floor_depth_below_sea_level"]
+        speed = jnp.hypot(ctx.environment["x_sea_water_velocity"],
+                          ctx.environment["y_sea_water_velocity"])
+        srev = self.specie_name2num("Sediment reversible")
+        prev = self.specie_name2num("Particle reversible")
+        resusp = ctx.active & (d["specie"] == srev) & (d["z"] <= zmin) \
+            & (speed >= critvel)
+        dz = lift
+        if std > 0:
+            dz = lift + std * jax.random.normal(ctx.next_key(),
+                                                d["z"].shape)
+        new_z = jnp.minimum(zmin + jnp.maximum(dz, 0.0), 0.0)
+        ctx.set_var("z", jnp.where(resusp, new_z, d["z"]))
+        ctx.set_var("moving", jnp.where(resusp, 1.0, d["moving"]))
+        ctx.set_var("specie", jnp.where(resusp, prev, d["specie"]))
+
     def update(self, ctx):
         """(reference chemicaldrift.py:1862-1910)."""
         self.update_speciation(ctx)
+        self.resuspension(ctx)
         self.degradation(ctx)
         self.volatilization(ctx)
         ctx.advect_ocean_current()
@@ -603,7 +645,164 @@ class ChemicalDrift(OceanDrift):
             self.vertical_buoyancy(ctx)
         self.vertical_advection(ctx)
 
+    def specie_num2name(self, num):
+        return self.name_species[num]
+
     # -------------------------------------------------------- diagnostics -
+    def get_chemical_density_array(self, pixelsize_m, zlevels,
+                                   weight="mass", origin_marker=None):
+        """Per-specie, per-depth-layer mass histogram on a lon/lat grid
+        (reference chemicaldrift.py:2530-2670 ``get_chemical_density_
+        array``).  ``zlevels``: negative depths ascending towards zero,
+        e.g. [-50, -10, -5]; layer k spans [zlevels[k], next boundary),
+        the top layer ends at 0 and the deepest layer also collects
+        anything below it.  Returns (H, lon_bins, lat_bins, boundaries)
+        with H dims (time, specie, layer, lon, lat) holding summed
+        ``weight``."""
+        ds = self.result
+        lon = ds["lon"].values
+        lat = ds["lat"].values
+        z = ds["z"].values
+        specie = ds["specie"].values
+        w = ds[weight].values if weight else np.ones_like(lon)
+        if origin_marker is not None and "origin_marker" in ds:
+            om = ds["origin_marker"].values
+            w = np.where(om == origin_marker, w, 0.0)
+        lonbin, latbin = self.get_lonlat_bins(pixelsize_m)
+        bounds = sorted([float(v) for v in zlevels]) + [0.0]
+        L = len(bounds) - 1
+        n_time = lon.shape[1]
+        S = self.nspecies
+        H = np.zeros((n_time, S, L, len(lonbin) - 1, len(latbin) - 1),
+                     dtype=np.float32)
+        for ti in range(n_time):
+            ok = np.isfinite(lon[:, ti]) & np.isfinite(w[:, ti])
+            zi = np.clip(np.searchsorted(bounds, z[:, ti],
+                                         side="right") - 1, 0, L - 1)
+            for si in range(S):
+                sel0 = ok & (specie[:, ti] == si)
+                for li in range(L):
+                    sel = sel0 & (zi == li)
+                    if not sel.any():
+                        continue
+                    h, _, _ = np.histogram2d(
+                        lon[sel, ti], lat[sel, ti],
+                        bins=[lonbin, latbin], weights=w[sel, ti])
+                    H[ti, si, li] = h
+        return H, lonbin, latbin, np.asarray(bounds)
+
+    @staticmethod
+    def horizontal_smooth(H, cells=1):
+        """Box smoothing over the two trailing (lon, lat) axes
+        (reference chemicaldrift.py ``horizontal_smooth``)."""
+        from scipy.ndimage import uniform_filter
+        size = [1] * (H.ndim - 2) + [2 * cells + 1, 2 * cells + 1]
+        return uniform_filter(H, size=size, mode="constant")
+
+    def write_netcdf_chemical_density_map(
+            self, filename, pixelsize_m=1000.0, zlevels=(-5.0,),
+            mass_unit="ug", horizontal_smoothing=False,
+            smoothing_cells=1, time_avg_conc=False, origin_marker=None):
+        """Gridded chemical concentration map, per specie and depth
+        layer (reference chemicaldrift.py:1944 / :1957-2520
+        ``write_netcdf_chemical_density_map``): mass histograms divided
+        by the cell volume (pixel area x layer thickness) -> mass_unit/L,
+        written as CF NetCDF."""
+        from scipy.io import netcdf_file
+        H, lonbin, latbin, bounds = self.get_chemical_density_array(
+            pixelsize_m, zlevels, weight="mass",
+            origin_marker=origin_marker)
+        if horizontal_smoothing:
+            H = self.horizontal_smooth(H, smoothing_cells)
+        lat_c = 0.5 * (latbin[:-1] + latbin[1:])
+        lon_c = 0.5 * (lonbin[:-1] + lonbin[1:])
+        # cell volume in litres: pixel area x layer thickness
+        thick = np.diff(bounds)                       # m, per layer
+        area = float(pixelsize_m) ** 2                # m2
+        vol_L = thick * area * 1000.0                 # L
+        scale = {"ug": 1.0, "mg": 1e-3, "g": 1e-6, "kg": 1e-9}[mass_unit]
+        conc = H * scale / vol_L[None, None, :, None, None]
+        times = self.result.coords["time"].astype("datetime64[s]")
+        secs = (times - np.datetime64("1970-01-01T00:00:00", "s")
+                ).astype("float64")
+        f = netcdf_file(filename, "w", version=2)
+        try:
+            f.createDimension("time", conc.shape[0])
+            f.createDimension("specie", conc.shape[1])
+            f.createDimension("depth", conc.shape[2])
+            f.createDimension("lon", len(lon_c))
+            f.createDimension("lat", len(lat_c))
+            v = f.createVariable("time", "d", ("time",))
+            v[:] = secs
+            v.units = "seconds since 1970-01-01 00:00:00"
+            v = f.createVariable("depth", "f", ("depth",))
+            v[:] = -np.asarray(bounds[:-1], np.float32)  # layer start
+            v.units = "m"
+            v = f.createVariable("lon", "d", ("lon",))
+            v[:] = lon_c
+            v.units = "degrees_east"
+            v = f.createVariable("lat", "d", ("lat",))
+            v[:] = lat_c
+            v.units = "degrees_north"
+            v = f.createVariable("concentration", "f",
+                                 ("time", "specie", "depth", "lon",
+                                  "lat"))
+            v[:] = conc.astype(np.float32)
+            v.units = f"{mass_unit}/L"
+            v.long_name = (str(self.get_config("chemical:compound"))
+                           + " concentration; species "
+                           + ", ".join(self.name_species))
+            if time_avg_conc:
+                v = f.createVariable("concentration_avg", "f",
+                                     ("specie", "depth", "lon", "lat"))
+                v[:] = conc.mean(axis=0).astype(np.float32)
+                v.units = f"{mass_unit}/L"
+            f.flush()
+        finally:
+            f.close()
+
+    def simulation_summary(self, chemical_compound=None):
+        """Print final speciation and mass balance
+        (reference chemicaldrift.py:1913-1950)."""
+        ds = self.result
+        specie = ds["specie"].values[:, -1]
+        print(chemical_compound
+              or self.get_config("chemical:compound"))
+        print("Final speciation:")
+        for i, name in enumerate(self.name_species):
+            print(f"{name:32}: {int((specie == i).sum()):>6}")
+        m_pre = np.nansum(ds["mass"].values[:, -1])
+        m_deg = np.nansum(ds["mass_degraded"].values[:, -1])
+        m_vol = np.nansum(ds["mass_volatilized"].values[:, -1])
+        m_tot = m_pre + m_deg + m_vol
+        if m_tot > 0:
+            print("Mass balance:")
+            print(f"mass preserved   : {m_pre * 1e-6:.3g} g "
+                  f"{100 * m_pre / m_tot:.1f}%")
+            print(f"mass degraded    : {m_deg * 1e-6:.3g} g "
+                  f"{100 * m_deg / m_tot:.1f}%")
+            print(f"mass volatilized : {m_vol * 1e-6:.3g} g "
+                  f"{100 * m_vol / m_tot:.1f}%")
+
+    def plot_mass(self, filename=None):
+        """Stacked time series of the chemical mass budget
+        (reference chemicaldrift.py ``plot_mass``)."""
+        import matplotlib.pyplot as plt
+        budget = self.get_chemical_budget()
+        times = self.result.coords["time"].values
+        fig, ax = plt.subplots()
+        ax.stackplot(times, budget["mass_total_active"],
+                     budget["mass_degraded"],
+                     budget["mass_volatilized"],
+                     labels=["active", "degraded", "volatilized"])
+        ax.set_ylabel("mass [ug]")
+        ax.legend(loc="upper left")
+        if filename:
+            fig.savefig(filename, dpi=100)
+            plt.close(fig)
+        else:
+            return fig
+
     def get_chemical_budget(self):
         ds = self.result
         mass = np.nan_to_num(ds["mass"].values, nan=0.0)

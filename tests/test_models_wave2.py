@@ -238,3 +238,39 @@ def test_chemical_metals_run():
     assert ok.sum() > 900
     # Cadmium Kd=6.6, Dc=1.16e-5/s: expected ~1.3% adsorb to SPM in 48 h
     assert n_converted >= 2
+
+
+def test_chemical_density_map_and_summary(tmp_path):
+    """write_netcdf_chemical_density_map + resuspension + summary
+    (reference chemicaldrift.py:1633-1680, 1913-1950, 1957-2520)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.chemicaldrift import ChemicalDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = ChemicalDrift(loglevel=40)
+    o.add_reader(ConstantReader({
+        "x_sea_water_velocity": 0.2, "y_sea_water_velocity": 0.0,
+        "land_binary_mask": 0.0, "sea_water_temperature": 12.0,
+        "sea_water_salinity": 34.0,
+        "sea_floor_depth_below_sea_level": 40.0, "spm": 10.0}))
+    o.init_chemical_compound("Phenanthrene")
+    o.seed_elements(lon=4.0, lat=60.0, z=-1.0, number=500,
+                    time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=12), time_step=1800)
+
+    out = tmp_path / "chem_map.nc"
+    o.write_netcdf_chemical_density_map(
+        str(out), pixelsize_m=2000.0, zlevels=[-40.0, -10.0, -5.0],
+        horizontal_smoothing=True, time_avg_conc=True)
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(out), "r")
+    conc = f.variables["concentration"][:]
+    assert conc.shape[1] == o.nspecies
+    assert conc.shape[2] == 3
+    assert np.isfinite(conc).all() and conc.sum() > 0
+    avg = f.variables["concentration_avg"][:]
+    assert avg.shape == conc.shape[1:]
+    f.close()
+
+    o.simulation_summary()
+    assert o.specie_num2name(0) == "LMM"
