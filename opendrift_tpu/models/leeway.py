@@ -191,6 +191,25 @@ class Leeway(OpenDriftSimulation):
             **kwargs)
 
     # ---------------------------------------------------------- physics ---
+    def plot_capsize_probability(self, filename=None):
+        """Capsize probability vs wind speed (reference leeway.py:415)."""
+        import matplotlib.pyplot as plt
+        import numpy as _np
+        U = _np.linspace(0, 35, 100)
+        thr = self.get_config("capsizing:wind_threshold")
+        sigma = self.get_config("capsizing:wind_threshold_sigma")
+        p = _np.asarray(self.capsize_probability(U, thr, sigma))
+        fig, ax = plt.subplots()
+        ax.plot(U, p)
+        ax.set_title(f"p(u) = 0.5 + 0.5*tanh((u - {thr}) / {sigma})")
+        ax.set_xlabel("Wind speed [m/s]")
+        ax.set_ylabel("Probability of capsizing per hour")
+        if filename:
+            fig.savefig(filename, dpi=100)
+            plt.close(fig)
+        else:
+            return fig
+
     @staticmethod
     def capsize_probability(wind, threshold, sigma):
         return 0.5 + 0.5 * jnp.tanh((wind - threshold) / sigma)

@@ -537,3 +537,86 @@ class OceanDrift(OpenDriftSimulation):
         ctx.set_var("moving", jnp.where(active, mix["moving"], moving))
         for k in extra:
             ctx.set_var(k, jnp.where(active, mix[k], d[k]))
+
+    # ---------------------------------------------------- vertical plots --
+    @staticmethod
+    def get_diffusivity_profile(model, depths, wind_speed,
+                                mixed_layer_depth=50.0,
+                                background_diffusivity=0.0):
+        """K(depth, wind) matrix for the windspeed parameterisations
+        (reference oceandrift.py:385-396)."""
+        from ..ops import physics as ph
+        wind, depth = np.meshgrid(np.atleast_1d(wind_speed),
+                                  np.atleast_1d(depths))
+        if model == "windspeed_Large1994":
+            return np.asarray(ph.verticaldiffusivity_Large1994(
+                wind, depth, mixed_layer_depth, background_diffusivity))
+        if model == "windspeed_Sundby1983":
+            return np.asarray(ph.verticaldiffusivity_Sundby1983(
+                wind, depth, mixed_layer_depth, background_diffusivity))
+        raise ValueError(f"unknown diffusivity model {model}")
+
+    def plot_vertical_distribution(self, maxdepth=None, bins=50,
+                                   time_index=-1, filename=None):
+        """Histogram of element depths at one output time
+        (reference oceandrift.py:650-712; the reference's interactive
+        slider is replaced by the ``time_index`` argument)."""
+        import matplotlib.pyplot as plt
+        z = np.asarray(self.result["z"])[:, time_index]
+        z = z[np.isfinite(z)]
+        if maxdepth is None:
+            maxdepth = float(np.floor(z.min())) if z.size else -10.0
+        fig, ax = plt.subplots(figsize=(5, 7))
+        ax.hist(z, bins=bins, range=(maxdepth, 0),
+                orientation="horizontal", color="steelblue")
+        ax.set_ylim(maxdepth, 0)
+        ax.set_xlabel("Number of elements")
+        ax.set_ylabel("Depth [m]")
+        if filename:
+            fig.savefig(filename, dpi=100)
+            plt.close(fig)
+        else:
+            return fig
+
+    def animate_vertical_distribution(self, maxdepth=None, bins=50,
+                                      subsamplingstep=1, filename=None):
+        """Animated depth histogram over output steps
+        (reference oceandrift.py:573-648)."""
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+        zs = np.asarray(self.result["z"])
+        n_time = zs.shape[1]
+        if maxdepth is None:
+            finite = zs[np.isfinite(zs)]
+            maxdepth = float(np.floor(finite.min())) if finite.size \
+                else -10.0
+        fig, ax = plt.subplots(figsize=(5, 7))
+        frames = range(0, n_time, max(1, int(subsamplingstep)))
+
+        def draw(ti):
+            ax.clear()
+            z = zs[:, ti]
+            z = z[np.isfinite(z)]
+            ax.hist(z, bins=bins, range=(maxdepth, 0),
+                    orientation="horizontal", color="steelblue")
+            ax.set_ylim(maxdepth, 0)
+            ax.set_xlabel("Number of elements")
+            ax.set_ylabel("Depth [m]")
+            ax.set_title(str(np.asarray(self.result.coords["time"])[ti]))
+
+        anim = animation.FuncAnimation(fig, draw, frames=frames,
+                                       interval=150)
+        if filename:
+            from matplotlib import animation as manim
+            if str(filename).endswith(".gif"):
+                anim.save(filename, writer=manim.PillowWriter(fps=6))
+            else:
+                try:
+                    anim.save(filename,
+                              writer=manim.FFMpegWriter(fps=6))
+                except Exception:
+                    gif = str(filename).rsplit(".", 1)[0] + ".gif"
+                    anim.save(gif, writer=manim.PillowWriter(fps=6))
+            plt.close(fig)
+        else:
+            return anim

@@ -168,10 +168,25 @@ class OpenOil(OceanDrift):
         self.keep_droplet_diameter = False
 
     # --------------------------------------------------------- seeding ----
+    def set_oiltype(self, oiltype):
+        """Select the oil by name or pre-built OilType (reference
+        openoil.py set_oiltype/set_oiltype_by_id)."""
+        if isinstance(oiltype, OilType):
+            self.oiltype = oiltype
+            self.oil_name = oiltype.name
+        else:
+            self.set_config("seed:oil_type", oiltype)
+            self.oiltype = OilType(oiltype)
+            self.oil_name = self.oiltype.name
+
+    def get_oil_name(self):
+        return getattr(self, "oil_name", None) \
+            or self.get_config("seed:oil_type")
+
     def seed_elements(self, *args, oil_type=None, **kwargs):
         if oil_type is not None:
             self.set_config("seed:oil_type", oil_type)
-        if self.oiltype is None:
+        if self.oiltype is None or oil_type is not None:
             self.oiltype = OilType(self.get_config("seed:oil_type"))
         self.oil_name = self.oiltype.name
         # initial density/viscosity at 15 C from the oil database
@@ -179,6 +194,22 @@ class OpenOil(OceanDrift):
                           float(self.oiltype.density_at_temp(288.15)))
         kwargs.setdefault("viscosity",
                           float(self.oiltype.kvis_at_temp(288.15)))
+        # oil mass per element from the discharge rate when not given
+        # explicitly (reference openoil.py:1737-1754): volume rate x
+        # release duration x density / number
+        m3_per_hour = kwargs.pop("m3_per_hour", None)
+        if "mass_oil" not in kwargs:
+            if m3_per_hour is None:
+                m3_per_hour = self.get_config("seed:m3_per_hour")
+            number = int(kwargs.get("number", 1) or 1)
+            time = kwargs.get("time")
+            if isinstance(time, (list, tuple)) and len(time) == 2:
+                duration_hours = max(
+                    (time[1] - time[0]).total_seconds() / 3600.0, 1.0)
+            else:
+                duration_hours = 1.0   # instantaneous spill
+            kwargs["mass_oil"] = (m3_per_hour * duration_hours / number
+                                  * kwargs["density"])
         return super().seed_elements(*args, **kwargs)
 
     def _build_initial_state(self, dt):
@@ -735,3 +766,70 @@ class OpenOil(OceanDrift):
                 oil_film_thickness=float(thickness_microns[i]) / 1e6,
                 mass_oil=float(mass_oil[i] / numbers[i]), **kwargs)
         return self
+
+
+def _append_oil_diagnostics():
+    """Attach diagnostic plot/analysis helpers to OpenOil (kept separate
+    so the hot model code above stays free of matplotlib imports)."""
+
+    def plot_droplet_spectrum(self, filename=None):
+        """Histogram of current droplet radii (reference openoil.py:817)."""
+        import matplotlib.pyplot as plt
+        dia = np.asarray(self.result["diameter"])[:, -1] \
+            if hasattr(self, "result") and "diameter" in self.result \
+            else None
+        fig, ax = plt.subplots()
+        if dia is not None:
+            ax.hist(dia[np.isfinite(dia)] / 2.0, bins=50)
+        ax.set_xlabel("Droplet radius [m]")
+        ax.set_ylabel("Number")
+        if filename:
+            fig.savefig(filename, dpi=100)
+            plt.close(fig)
+        else:
+            return fig
+
+    def cumulative_oil_entrainment_fraction(self):
+        """Fraction of elements that have (ever) been entrained vs time
+        (reference openoil.py:1455-1467)."""
+        z = np.asarray(self.result["z"])  # (trajectory, time)
+        entrained = np.isfinite(z) & (z < 0)
+        ever = np.logical_or.accumulate(entrained, axis=1)
+        return ever.sum(axis=0) / z.shape[0]
+
+    def plot_oil_watercontent_and_viscosity(self, filename=None):
+        """Time series of emulsion viscosity, density and water content
+        (reference openoil.py:1469-1520)."""
+        import matplotlib.pyplot as plt
+        ds = self.result
+        times = np.asarray(ds.coords["time"], dtype="datetime64[s]")
+        hours = (times - times[0]) / np.timedelta64(1, "h")
+        kin = np.asarray(ds["viscosity"])
+        rho = np.asarray(ds["density"])
+        dyn = kin * rho * 1000.0                       # mPa s
+        wc = np.asarray(ds["water_fraction"]) * 100.0
+        fig, axs = plt.subplots(3, 1, sharex=True, figsize=(7, 8))
+        for ax, (label, arr) in zip(axs, [
+                ("Dynamic viscosity [mPa s]", dyn),
+                ("Density [kg/m3]", rho),
+                ("Water content [%]", wc)]):
+            mean = np.nanmean(arr, axis=0)
+            std = np.nanstd(arr, axis=0)
+            ax.plot(hours, mean)
+            ax.fill_between(hours, mean - std, mean + std, alpha=0.3)
+            ax.set_ylabel(label)
+        axs[-1].set_xlabel("Hours since start")
+        if filename:
+            fig.savefig(filename, dpi=100)
+            plt.close(fig)
+        else:
+            return fig
+
+    OpenOil.plot_droplet_spectrum = plot_droplet_spectrum
+    OpenOil.cumulative_oil_entrainment_fraction = \
+        cumulative_oil_entrainment_fraction
+    OpenOil.plot_oil_watercontent_and_viscosity = \
+        plot_oil_watercontent_and_viscosity
+
+
+_append_oil_diagnostics()

@@ -131,6 +131,16 @@ class RadionuclideDrift(OceanDrift):
                 "type": "float", "default": 0.5, "min": 0, "max": 100,
                 "units": "m", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Desorption depth spread"},
+            "radionuclide:sediment:resuspension_critvel": {
+                "type": "float", "default": 0.15, "min": 0, "max": 10,
+                "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Critical near-bottom speed for "
+                "resuspension"},
+            "radionuclide:sediment:resuspension_depth": {
+                "type": "float", "default": 1.0, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Height above seabed of resuspended "
+                "elements"},
             "seed:LMM_fraction": {
                 "type": "float", "default": 0.1, "min": 0, "max": 1,
                 "level": CONFIG_LEVEL_ESSENTIAL,
@@ -339,6 +349,7 @@ class RadionuclideDrift(OceanDrift):
     def update(self, ctx):
         """(reference radionuclides.py:1035-1060)."""
         self.update_speciation(ctx)
+        self.resuspension(ctx)
         ctx.advect_ocean_current()
         self.update_terminal_velocity(ctx)
         if self.get_config("drift:vertical_mixing"):
@@ -346,3 +357,80 @@ class RadionuclideDrift(OceanDrift):
         else:
             self.vertical_buoyancy(ctx)
         self.vertical_advection(ctx)
+
+    # ------------------------------------------------------- diagnostics --
+    def resuspension(self, ctx):
+        """Resuspension of sedimented radionuclides above a critical
+        near-bottom speed (reference radionuclides.py resuspension)."""
+        d = ctx.state.data
+        critvel = self.get_config(
+            "radionuclide:sediment:resuspension_critvel")
+        lift = self.get_config(
+            "radionuclide:sediment:resuspension_depth")
+        zmin = -ctx.environment["sea_floor_depth_below_sea_level"]
+        speed = jnp.hypot(ctx.environment["x_sea_water_velocity"],
+                          ctx.environment["y_sea_water_velocity"])
+        srev = self.specie_name2num("Sediment reversible")
+        prev = self.specie_name2num("Particle reversible")
+        resusp = ctx.active & (d["specie"] == srev) & (d["z"] <= zmin) \
+            & (speed >= critvel)
+        new_z = jnp.minimum(zmin + lift, 0.0)
+        ctx.set_var("z", jnp.where(resusp, new_z, d["z"]))
+        ctx.set_var("moving", jnp.where(resusp, 1.0, d["moving"]))
+        ctx.set_var("specie", jnp.where(resusp, prev, d["specie"]))
+
+    def specie_num2name(self, num):
+        return self.name_species[num]
+
+    def get_radionuclide_density_array(self, pixelsize_m, zlevels):
+        """Per-specie per-depth-layer element counts on a lon/lat grid
+        (reference radionuclides.py get_radionuclide_density_array)."""
+        from .chemicaldrift import ChemicalDrift
+        return ChemicalDrift.get_chemical_density_array(
+            self, pixelsize_m, zlevels, weight=None)
+
+    def write_netcdf_radionuclide_density_map(
+            self, filename, pixelsize_m=1000.0, zlevels=(-5.0,),
+            horizontal_smoothing=False, smoothing_cells=1):
+        """Gridded radionuclide density map per specie and depth layer
+        (reference radionuclides.py:1300-1400)."""
+        from scipy.io import netcdf_file
+        from .chemicaldrift import ChemicalDrift
+        H, lonbin, latbin, bounds = self.get_radionuclide_density_array(
+            pixelsize_m, zlevels)
+        if horizontal_smoothing:
+            H = ChemicalDrift.horizontal_smooth(H, smoothing_cells)
+        lon_c = 0.5 * (lonbin[:-1] + lonbin[1:])
+        lat_c = 0.5 * (latbin[:-1] + latbin[1:])
+        times = self.result.coords["time"].astype("datetime64[s]")
+        secs = (times - np.datetime64("1970-01-01T00:00:00", "s")
+                ).astype("float64")
+        f = netcdf_file(filename, "w", version=2)
+        try:
+            f.createDimension("time", H.shape[0])
+            f.createDimension("specie", H.shape[1])
+            f.createDimension("depth", H.shape[2])
+            f.createDimension("lon", len(lon_c))
+            f.createDimension("lat", len(lat_c))
+            v = f.createVariable("time", "d", ("time",))
+            v[:] = secs
+            v.units = "seconds since 1970-01-01 00:00:00"
+            v = f.createVariable("depth", "f", ("depth",))
+            v[:] = -np.asarray(bounds[:-1], np.float32)
+            v.units = "m"
+            v = f.createVariable("lon", "d", ("lon",))
+            v[:] = lon_c
+            v.units = "degrees_east"
+            v = f.createVariable("lat", "d", ("lat",))
+            v[:] = lat_c
+            v.units = "degrees_north"
+            v = f.createVariable("density", "f",
+                                 ("time", "specie", "depth", "lon",
+                                  "lat"))
+            v[:] = H.astype(np.float32)
+            v.units = "1"
+            v.long_name = "Number of elements; species " \
+                + ", ".join(self.name_species)
+            f.flush()
+        finally:
+            f.close()

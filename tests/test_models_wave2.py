@@ -274,3 +274,32 @@ def test_chemical_density_map_and_summary(tmp_path):
 
     o.simulation_summary()
     assert o.specie_num2name(0) == "LMM"
+
+
+def test_radionuclide_density_map_and_resuspension(tmp_path):
+    """Radionuclide density map writer + resuspension config
+    (reference radionuclides.py resuspension + density map)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.radionuclides import RadionuclideDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = RadionuclideDrift(loglevel=40)
+    o.add_reader(ConstantReader({
+        "x_sea_water_velocity": 0.3, "y_sea_water_velocity": 0.0,
+        "land_binary_mask": 0.0, "sea_water_temperature": 10.0,
+        "sea_water_salinity": 34.0,
+        "sea_floor_depth_below_sea_level": 20.0}))
+    o.set_config("radionuclide:isotope", "137Cs")
+    o.seed_elements(lon=4.0, lat=60.0, z=-2.0, number=300,
+                    time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=12), time_step=1800)
+    out = tmp_path / "rn_map.nc"
+    o.write_netcdf_radionuclide_density_map(
+        str(out), pixelsize_m=2000.0, zlevels=[-20.0, -5.0])
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(out), "r")
+    dens = f.variables["density"][:]
+    assert dens.shape[1] == o.nspecies and dens.shape[2] == 2
+    assert dens.sum() > 0
+    f.close()
+    assert o.specie_num2name(0) == "LMM"

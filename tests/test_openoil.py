@@ -144,3 +144,37 @@ def test_droplet_terminal_velocity_rises():
     w = np.asarray(w)
     assert 0 < w[0] < w[1]
     assert w[1] < 0.5
+
+
+def test_oil_seed_mass_from_discharge_rate(tmp_path):
+    """mass_oil computed from m3_per_hour x duration x density when not
+    given (reference openoil.py:1737-1754); diagnostics helpers run."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.openoil import OpenOil
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = OpenOil(loglevel=40)
+    o.add_reader(ConstantReader({
+        "x_sea_water_velocity": 0.0, "y_sea_water_velocity": 0.0,
+        "land_binary_mask": 0.0, "x_wind": 8.0, "y_wind": 0.0}))
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("processes:dispersion", False)
+    t0 = datetime(2020, 1, 1)
+    o.seed_elements(4.0, 60.0, number=100, m3_per_hour=50.0,
+                    time=[t0, t0 + timedelta(hours=2)],
+                    oil_type="GENERIC LIGHT CRUDE")
+    rho = float(o.oiltype.density_at_temp(288.15))
+    expected = 50.0 * 2.0 / 100 * rho
+    o.run(duration=timedelta(hours=3), time_step=1800)
+    m0 = np.asarray(o.result["mass_oil"])[:, 0]
+    m0 = m0[np.isfinite(m0)]
+    assert np.allclose(m0, expected, rtol=0.15)
+    assert o.get_oil_name() == "GENERIC LIGHT CRUDE"
+
+    frac = o.cumulative_oil_entrainment_fraction()
+    assert frac.shape[0] == o.result.sizes["time"]
+    o.plot_droplet_spectrum(filename=str(tmp_path / "spec.png"))
+    o.plot_oil_watercontent_and_viscosity(
+        filename=str(tmp_path / "visc.png"))
+    o.set_oiltype("GENERIC DIESEL")
+    assert o.get_oil_name() == "GENERIC DIESEL"

@@ -93,3 +93,35 @@ def test_plot_property(gyre_run, tmp_path):
     png = tmp_path / "prop.png"
     gyre_run.plot_property("lat", filename=str(png), mean=True)
     assert png.exists()
+
+
+def test_vertical_distribution_plots(tmp_path):
+    """plot/animate_vertical_distribution + get_diffusivity_profile
+    (reference oceandrift.py:385-712)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = OceanDrift(loglevel=40)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.0,
+                                 "y_sea_water_velocity": 0.0,
+                                 "land_binary_mask": 0.0,
+                                 "sea_floor_depth_below_sea_level": 50.0}))
+    o.set_config("drift:vertical_mixing", True)
+    o.set_config("vertical_mixing:diffusivitymodel",
+                 "windspeed_Sundby1983")
+    o.set_config("environment:constant:x_wind", 10.0)
+    o.set_config("environment:constant:y_wind", 0.0)
+    o.seed_elements(lon=4, lat=60, z=-5.0, number=300,
+                    time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=2), time_step=600)
+    o.plot_vertical_distribution(filename=str(tmp_path / "vd.png"))
+    o.animate_vertical_distribution(filename=str(tmp_path / "vd.gif"),
+                                    subsamplingstep=4)
+    K = o.get_diffusivity_profile("windspeed_Sundby1983",
+                                  np.linspace(0, 30, 10), [5.0, 10.0])
+    assert K.shape == (10, 2) and np.isfinite(K).all()
+
+    from opendrift_tpu.models import Leeway
+    lw = Leeway(loglevel=40)
+    lw.plot_capsize_probability(filename=str(tmp_path / "cap.png"))
