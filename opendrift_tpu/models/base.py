@@ -823,7 +823,54 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.timer_end("postprocessing")
         self.timer_end("total time")
         self.mode = Mode.Result
+        self.post_run()
         return self
+
+    def post_run(self):
+        """Model hook called after the run completes
+        (reference basemodel/__init__.py post_run)."""
+
+    def simulation_direction(self):
+        """+1 forward, -1 backward (reference basemodel
+        ``simulation_direction``)."""
+        return -1 if getattr(self, "_dt", 1) < 0 \
+            or getattr(self, "time_step_seconds", 1) < 0 else 1
+
+    def SRS(self):
+        """The simulation coordinate reference system — always geographic
+        WGS84 here (positions are lon/lat; reference basemodel ``SRS``)."""
+        from ..utils.crs import LatLonCRS
+        return LatLonCRS("+proj=latlong +datum=WGS84")
+
+    def add_metadata(self, key, value):
+        """Attach a metadata attribute stamped into the output file
+        (reference basemodel ``add_metadata``)."""
+        if not hasattr(self, "_extra_metadata"):
+            self._extra_metadata = {}
+        self._extra_metadata[key] = value
+
+    @staticmethod
+    def index_of_first_and_last(array):
+        """Index of first and last finite value per row (reference
+        basemodel ``index_of_last``/firstlast utilities)."""
+        ok = np.isfinite(array)
+        any_ok = ok.any(axis=1)
+        first = np.where(any_ok, ok.argmax(axis=1), -1)
+        last = np.where(any_ok,
+                        array.shape[1] - 1 - ok[:, ::-1].argmax(axis=1),
+                        -1)
+        return first, last
+
+    @staticmethod
+    def points_within_polygon(lons, lats, polygon_lons, polygon_lats):
+        """Boolean mask of points inside the polygon (the reference
+        delegates to shapely, basemodel ``seed_within_polygon``
+        internals)."""
+        from matplotlib.path import Path
+        poly = Path(np.column_stack([np.asarray(polygon_lons),
+                                     np.asarray(polygon_lats)]))
+        pts = np.column_stack([np.asarray(lons), np.asarray(lats)])
+        return poly.contains_points(pts)
 
     def prepare_run(self, dt, K, export_variables=None, jit=True,
                     total_steps=None):
@@ -1431,6 +1478,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             "status_categories": " ".join(self.status_categories),
         }
         attrs.update(self._config_to_attributes())
+        attrs.update(getattr(self, "_extra_metadata", {}))
         return TrajectoryDataset(variables, coords, attrs)
 
     # ------------------------------------------------------ diagnostics ---

@@ -191,3 +191,38 @@ def test_memory_usage_and_plots(tmp_path):
     o.plot_vertical_distribution(filename=str(tmp_path / "vdist.png"))
     assert (tmp_path / "mem.png").exists()
     assert (tmp_path / "vdist.png").exists()
+
+
+def test_misc_base_api():
+    """post_run hook, add_metadata, SRS, index_of_first_and_last,
+    points_within_polygon (reference basemodel long tail)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+
+    ran = []
+
+    class MyModel(OceanDrift):
+        def post_run(self):
+            ran.append(True)
+
+    o = MyModel(loglevel=40)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.1,
+                                 "y_sea_water_velocity": 0.0,
+                                 "land_binary_mask": 0.0}))
+    o.add_metadata("experiment", "unit-test")
+    o.seed_elements(lon=4, lat=60, number=10, time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=1), time_step=600)
+    assert ran == [True]
+    assert o.result.attrs["experiment"] == "unit-test"
+    assert o.SRS().is_latlon
+
+    arr = np.array([[np.nan, 1.0, 2.0, np.nan],
+                    [np.nan, np.nan, np.nan, np.nan]])
+    first, last = o.index_of_first_and_last(arr)
+    assert list(first) == [1, -1] and list(last) == [2, -1]
+
+    inside = o.points_within_polygon(
+        [0.5, 2.0], [0.5, 0.5], [0, 1, 1, 0], [0, 0, 1, 1])
+    assert list(inside) == [True, False]
