@@ -280,6 +280,61 @@ class BaseReader:
             lon0=measurement_reader.lon, lat0=measurement_reader.lat,
             radius_m=std)
 
+    def plot(self, variable=None, time=None, vmin=None, vmax=None,
+             filename=None, buffer=1.0):
+        """Plot the reader's coverage outline, optionally with one
+        variable's field sampled on its grid (reference
+        basereader/__init__.py:240-330; cartopy land context is used by
+        the simulation plots, this standalone view is plain
+        matplotlib)."""
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        if self.xmin is not None and self.ymin is not None:
+            xs = np.array([self.xmin, self.xmax, self.xmax, self.xmin,
+                           self.xmin])
+            ys = np.array([self.ymin, self.ymin, self.ymax, self.ymax,
+                           self.ymin])
+            blon, blat = self.xy2lonlat(xs, ys)
+            ax.plot(blon, blat, "r-", lw=1.5, label="coverage")
+        if variable is not None:
+            import jax.numpy as jnp
+            nx = ny = 80
+            if self.xmin is not None:
+                gx = np.linspace(self.xmin, self.xmax, nx)
+                gy = np.linspace(self.ymin, self.ymax, ny)
+                GX, GY = np.meshgrid(gx, gy)
+                glon, glat = self.xy2lonlat(GX.ravel(), GY.ravel())
+            else:
+                raise ValueError("reader has no spatial extent to plot")
+            t = time or getattr(self, "start_time", None)
+            if getattr(self, "_run_epoch", None) is None:
+                self.set_run_epoch(t or __import__("datetime")
+                                   .datetime(2000, 1, 1))
+            self.prepare()
+            dev = self.device_state()
+            trel = 0.0 if t is None else (
+                t - self._run_epoch).total_seconds()
+            vals, covers = self.sample(
+                dev, [variable], jnp.float32(trel),
+                jnp.asarray(glon, jnp.float32),
+                jnp.asarray(glat, jnp.float32),
+                jnp.zeros(len(glon), jnp.float32))
+            field = np.asarray(vals[variable]).reshape(ny, nx)
+            field = np.where(np.asarray(covers).reshape(ny, nx),
+                             field, np.nan)
+            m = ax.pcolormesh(np.asarray(glon).reshape(ny, nx),
+                              np.asarray(glat).reshape(ny, nx), field,
+                              vmin=vmin, vmax=vmax, shading="auto")
+            fig.colorbar(m, ax=ax, label=variable)
+        ax.set_xlabel("Longitude")
+        ax.set_ylabel("Latitude")
+        ax.set_title(self.name)
+        if filename:
+            fig.savefig(filename, dpi=100)
+            plt.close(fig)
+        else:
+            return fig
+
     def __repr__(self):
         s = f"Reader: {self.name}\n  variables: {self.variables}\n"
         s += f"  proj4: {self.proj4}\n"

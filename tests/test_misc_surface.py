@@ -79,3 +79,18 @@ def test_readerinfo_script(tmp_path, monkeypatch, capsys):
     readerinfo.main()
     txt = capsys.readouterr().out
     assert "x_sea_water_velocity" in txt
+
+
+def test_reader_plot(tmp_path):
+    """Standalone reader.plot (reference basereader/__init__.py:240)."""
+    import os
+    from opendrift_tpu.fields.roms import ROMSReader
+    path = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
+            "Nordic_subset.nc")
+    import pytest
+    if not os.path.exists(path):
+        pytest.skip("reference test data unavailable")
+    r = ROMSReader(path)
+    out = tmp_path / "reader.png"
+    r.plot(variable="x_sea_water_velocity", filename=str(out))
+    assert out.stat().st_size > 1000
