@@ -131,3 +131,33 @@ def test_determinism_across_runs():
         outs.append(gather_particles(jax.device_get(p)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_full_run_sharded_bit_identical():
+    """Public run() with parallel:particle_sharding over the virtual
+    8-device mesh gives bit-identical trajectories to the unsharded run
+    (the zero-collective DP axis; README claim)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields import DoubleGyre
+
+    def run(sharded):
+        o = OceanDrift(loglevel=40)
+        o.set_config("environment:fallback:land_binary_mask", 0)
+        o.set_config("drift:advection_scheme", "runge-kutta4")
+        o.set_config("drift:horizontal_diffusivity", 5.0)
+        o.set_config("parallel:particle_sharding", sharded)
+        dg = DoubleGyre(epsilon=0.25, omega=0.628, A=0.1)
+        o.add_reader(dg)
+        lon, lat = dg.xy2lonlat([0.9], [0.5])
+        o.seed_elements(lon, lat, radius=0.1, number=2048,
+                        time=dg.initial_time)
+        o.run(duration=timedelta(seconds=5), time_step=0.5)
+        return (np.asarray(o.result["lon"]),
+                np.asarray(o.result["lat"]))
+
+    lon_s, lat_s = run(True)
+    lon_u, lat_u = run(False)
+    assert np.array_equal(lon_s, lon_u, equal_nan=True)
+    assert np.array_equal(lat_s, lat_u, equal_nan=True)
