@@ -814,3 +814,82 @@ class ChemicalDrift(OceanDrift):
                 ds["mass_volatilized"].values, nan=0.0).sum(axis=0),
         }
         return out
+
+
+def _emission_factor_table():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__),
+                        "chemical_emission_factors.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _append_emission_seeding():
+    """Scrubber-water / ship-emission seeding helpers (reference
+    chemicaldrift.py:2754-3050, data from Hermansson et al. 2021 /
+    EMERGE D2.1/D3.2)."""
+
+    def emission_factors(self, scrubber_type, chemical_compound):
+        """Emission factor [ug per unit of the discharge variable] for a
+        compound in a given discharge stream (reference :2754-2986)."""
+        t = _emission_factor_table()
+        direct = {"open_loop", "closed_loop", "bilge_water",
+                  "grey_water", "sewage_water"}
+        if scrubber_type in direct:
+            return t[scrubber_type][chemical_compound][0]
+        if scrubber_type == "AFP":
+            return 1e6 * t["AFP"][chemical_compound][0]     # g -> ug
+        if scrubber_type == "AFP_metals_total":
+            return 1e6
+        if scrubber_type in ("N_sewage", "N_foodwaste",
+                             "SILAM_metals"):
+            return 1e9                                       # kg -> ug
+        if scrubber_type == "SILAM_metals_from_ash":
+            return 1e9 * t["SILAM_ash"][chemical_compound][0]
+        raise ValueError(f"unknown scrubber_type {scrubber_type!r}")
+
+    def seed_from_DataArray(self, data, longitude=None, latitude=None,
+                            time=None, lowerbound=0, higherbound=np.inf,
+                            radius=0, scrubber_type="open_loop",
+                            chemical_compound="Copper",
+                            mass_element_ug=100e3,
+                            number_of_elements=None, **kwargs):
+        """Seed chemical mass from a gridded discharge/deposition field
+        (reference chemicaldrift.py:2988-3049 ``seed_from_STEAM``).
+
+        ``data``: 3D array (time, latitude, longitude) of discharge
+        volume per cell — or an xarray-like object with
+        ``.data``/``.time``/``.latitude``/``.longitude`` attributes, in
+        which case the coordinate arguments may be omitted."""
+        if longitude is None and hasattr(data, "longitude"):
+            longitude = np.asarray(data.longitude)
+            latitude = np.asarray(data.latitude)
+            time = np.asarray(data.time)
+            data = np.asarray(data.data)
+        data = np.asarray(data)
+        if chemical_compound is None:
+            chemical_compound = self.get_config("chemical:compound")
+        factor = self.emission_factors(scrubber_type, chemical_compound)
+        sel = np.where((data > lowerbound) & (data < higherbound))
+        if number_of_elements is not None:
+            total_mass = data[sel].sum() * factor
+            mass_element_ug = total_mass / number_of_elements
+        import pandas as pd
+        for ti, yi, xi in zip(*sel):
+            mass_ug = data[ti, yi, xi] * factor
+            number = max(int(mass_ug / mass_element_ug), 1)
+            t = time[ti]
+            if not hasattr(t, "year"):      # numpy datetime64
+                t = pd.Timestamp(t).to_pydatetime()
+            self.seed_elements(
+                lon=float(longitude[xi]), lat=float(latitude[yi]),
+                time=t, number=number, radius=radius,
+                mass=mass_ug / number, **kwargs)
+
+    ChemicalDrift.emission_factors = emission_factors
+    ChemicalDrift.seed_from_DataArray = seed_from_DataArray
+    ChemicalDrift.seed_from_STEAM = seed_from_DataArray
+
+
+_append_emission_seeding()

@@ -303,3 +303,33 @@ def test_radionuclide_density_map_and_resuspension(tmp_path):
     assert dens.sum() > 0
     f.close()
     assert o.specie_num2name(0) == "LMM"
+
+
+def test_chemical_emission_seeding():
+    """seed_from_DataArray / emission_factors (reference
+    chemicaldrift.py:2754-3050: scrubber-water discharge seeding)."""
+    import numpy as np
+    from datetime import datetime
+    from opendrift_tpu.models.chemicaldrift import ChemicalDrift
+
+    o = ChemicalDrift(loglevel=40)
+    assert o.emission_factors("open_loop", "Copper") > 0
+    assert o.emission_factors("AFP_metals_total", "x") == 1e6
+    # 2x2x2 discharge field: one wet cell per time
+    data = np.zeros((2, 2, 2))
+    data[0, 0, 1] = 1000.0     # L of scrubber water
+    data[1, 1, 0] = 2000.0
+    lons = np.array([4.0, 4.5])
+    lats = np.array([60.0, 60.2])
+    times = np.array([np.datetime64("2020-01-01T00"),
+                      np.datetime64("2020-01-01T06")])
+    o.seed_from_DataArray(data, longitude=lons, latitude=lats,
+                          time=times, scrubber_type="open_loop",
+                          chemical_compound="Copper",
+                          mass_element_ug=10e3)
+    lon0 = np.concatenate([s["lon"] for s in o._seedings])
+    assert len(lon0) > 2
+    factor = o.emission_factors("open_loop", "Copper")
+    total = sum(np.sum(s["mass"]) for s in o._seedings
+                if "mass" in s)
+    assert np.isclose(total, 3000.0 * factor, rtol=1e-5)
