@@ -347,10 +347,13 @@ class ChemicalDrift(OceanDrift):
                                     - 1.0 / (Tref + 273.15)))
 
     @staticmethod
-    def salinitycorr(setchenow, S):
-        """Setchenow salting-out correction."""
-        molal = S * 0.5 / 35.0 * 35.0 / 58.44  # rough mol/L of seawater
-        return 10.0 ** (setchenow * molal)
+    def salinitycorr(setchenow, T, S):
+        """Setchenow salting-out correction: Kd_fin = 10^(Ks * [salt])
+        with [salt] = (S / MWsalt) * rho_sw(T,S) mol/L (reference
+        chemicaldrift.py:567-590, Schwarzenbach et al.)."""
+        MWsalt = 68.35
+        dens = ph.sea_water_density(T, S) * 1e-3       # kg/L
+        return 10.0 ** (setchenow * (S / MWsalt) * dens)
 
     def transfer_rates_matrix(self):
         """Background speciation rates: 'organics' (Karickhoff & Morris
@@ -387,17 +390,6 @@ class ChemicalDrift(OceanDrift):
         k_des_SPM = k_ads / self.Kd_SPM
         k_des_DOM = k_ads / self.Kd_DOM
 
-        Tref = self.get_config("chemical:transformations:TrefKOW")
-        DH_sed = self.get_config("chemical:transformations:DeltaH_KOC_Sed")
-        DH_dom = self.get_config("chemical:transformations:DeltaH_KOC_DOM")
-        setch = self.get_config("chemical:transformations:Setchenow")
-        # host-side scalar corrections (numpy, not traced)
-        Tcorr_sed = float(np.exp(-(DH_sed / 8.314)
-                                 * (1 / 298.15 - 1 / (Tref + 273.15))))
-        Tcorr_dom = float(np.exp(-(DH_dom / 8.314)
-                                 * (1 / 298.15 - 1 / (Tref + 273.15))))
-        Scorr = float(self.salinitycorr(setch, 35.0))
-
         concDOM = 1.0e-3 / Org2C * 1e-3       # kg/L
         concSPM = 50.0e-3 * 1e-3              # kg/L
         sed_L = self.get_config("chemical:sediment:mixing_depth")
@@ -407,13 +399,16 @@ class ChemicalDrift(OceanDrift):
         sed_H = self.get_config("chemical:sediment:layer_thickness")
         burial = self.get_config("chemical:sediment:burial_rate")
 
+        # desorption entries at reference conditions; per-element T/S
+        # corrections are applied in update_speciation (reference
+        # update_transfer_rates, chemicaldrift.py:1204-1260)
         rates[lmm, hum] = k_ads * concDOM
-        rates[hum, lmm] = k_des_DOM / Tcorr_dom / Scorr
+        rates[hum, lmm] = k_des_DOM
         rates[lmm, prev] = k_ads * concSPM
-        rates[prev, lmm] = k_des_SPM / Tcorr_sed / Scorr
+        rates[prev, lmm] = k_des_SPM
         rates[lmm, srev] = k_ads * sed_L * sed_dens * (1 - sed_poro) \
             * sed_phi / sed_H * 1e-3
-        rates[srev, lmm] = k_des_sed * sed_phi / Tcorr_sed / Scorr
+        rates[srev, lmm] = k_des_sed * sed_phi
         rates[srev, ssrev] = burial / sed_L / 31556926.0
         return rates
 
@@ -503,6 +498,30 @@ class ChemicalDrift(OceanDrift):
         is_lmm = d["specie"] == lmm
         row = row.at[:, prev].set(
             jnp.where(is_lmm, row[:, prev] * spm / 50.0, row[:, prev]))
+
+        # per-element T/S correction of the organics desorption rates
+        # (inversely proportional to Kd; reference update_transfer_rates
+        # chemicaldrift.py:1204-1260)
+        if self.get_config("chemical:transfer_setup") == "organics" \
+                and self.get_config(
+                    "chemical:transformations:dissociation") == "nondiss":
+            T = ctx.environment["sea_water_temperature"]
+            Sal = ctx.environment["sea_water_salinity"]
+            Tref = self.get_config("chemical:transformations:TrefKOW")
+            DH_sed = self.get_config(
+                "chemical:transformations:DeltaH_KOC_Sed")
+            DH_dom = self.get_config(
+                "chemical:transformations:DeltaH_KOC_DOM")
+            setch = self.get_config("chemical:transformations:Setchenow")
+            sc = self.salinitycorr(setch, T, Sal)
+            hum = self.specie_name2num("Humic colloid")
+            corr = jnp.where(
+                d["specie"] == hum,
+                self.tempcorr(DH_dom, T, Tref) * sc,
+                jnp.where((d["specie"] == prev) | (d["specie"] == srev),
+                          self.tempcorr(DH_sed, T, Tref) * sc, 1.0))
+            row = row.at[:, lmm].set(row[:, lmm] / jnp.maximum(corr,
+                                                               1e-12))
 
         new_specie, transformed = speciation_step(
             d["specie"], row, ctx.params["dt"], ctx.next_key(), ctx.active)
