@@ -116,8 +116,11 @@ class Environment:
         environment.py:554-562, config
         drift:truncate_ocean_model_below_m)."""
         for reader in self.readers.values():
-            if truncate_depth is not None:
-                reader.truncate_depth = float(truncate_depth)
+            # always (re)assign so a reader reused by a later run without
+            # the config does not keep a stale truncation
+            reader.truncate_depth = (float(truncate_depth)
+                                     if truncate_depth is not None
+                                     else None)
             try:
                 reader.prepare(extent=extent, start_time=start_time,
                                end_time=end_time, max_speed=max_speed,

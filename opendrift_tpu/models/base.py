@@ -833,8 +833,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
     def simulation_direction(self):
         """+1 forward, -1 backward (reference basemodel
         ``simulation_direction``)."""
-        return -1 if getattr(self, "_dt", 1) < 0 \
-            or getattr(self, "time_step_seconds", 1) < 0 else 1
+        ts = getattr(self, "time_step", None)
+        if ts is None:
+            return 1
+        secs = ts.total_seconds() if hasattr(ts, "total_seconds") \
+            else float(ts)
+        return -1 if secs < 0 else 1
 
     def SRS(self):
         """The simulation coordinate reference system — always geographic

@@ -478,7 +478,8 @@ class ChemicalDrift(OceanDrift):
         on_spm = d["specie"] == self.specie_name2num("Particle reversible")
         ctx.set_var("terminal_velocity", jnp.where(on_spm, w, 0.0))
 
-    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
+                                mix=None):
         return ctx.state.data["terminal_velocity"]
 
     def update_speciation(self, ctx):
@@ -493,11 +494,26 @@ class ChemicalDrift(OceanDrift):
         dist = d["z"] + ctx.environment["sea_floor_depth_below_sea_level"]
         far = (d["specie"] == lmm) & (dist > thick)
         row = row.at[:, srev].set(jnp.where(far, 0.0, row[:, srev]))
-        # adsorption to SPM scaled by local concentration (g/m3 -> rel.)
+        # adsorption to SPM scaled by local concentration: the organics
+        # base rate is built at 50 g/m3, the metals base rate at 1 g/m3
+        # (reference: concSPM = spm*1e-3 kg/m3, update_transfer_rates
+        # :1368 and metals branch :1397)
+        is_metals = self.get_config("chemical:transfer_setup") == "metals"
         spm = ctx.environment["spm"]
         is_lmm = d["specie"] == lmm
+        spm_scale = spm / (1.0 if is_metals else 50.0)
         row = row.at[:, prev].set(
-            jnp.where(is_lmm, row[:, prev] * spm / 50.0, row[:, prev]))
+            jnp.where(is_lmm, row[:, prev] * spm_scale, row[:, prev]))
+        if is_metals:
+            # Kd salinity adjustment, Perianez 2018 (reference :1393-1396)
+            S0 = self.get_config("chemical:transformations:S0")
+            if S0 > 0:
+                Sal = ctx.environment["sea_water_salinity"]
+                kd_corr = (S0 + Sal) / S0
+                for col in (prev, srev):
+                    row = row.at[:, col].set(
+                        jnp.where(is_lmm, row[:, col] * kd_corr,
+                                  row[:, col]))
 
         # per-element T/S correction of the organics desorption rates
         # (inversely proportional to Kd; reference update_transfer_rates

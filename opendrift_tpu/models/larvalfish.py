@@ -73,7 +73,8 @@ class LarvalFish(OceanDrift):
         ctx.set_var("terminal_velocity",
                     jnp.where(d["hatched"] == 0.0, w, 0.0))
 
-    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
+                                mix=None):
         d = ctx.state.data
         if Tprof is not None and Sprof is not None:
             T0 = self.profile_interp(ctx, Tprof, z)

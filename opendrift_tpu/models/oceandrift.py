@@ -294,7 +294,8 @@ class OceanDrift(OpenDriftSimulation):
         (e.g. droplet diameter for oil); written back afterwards."""
         return {}
 
-    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
+                                mix=None):
         """Terminal velocity evaluated inside the mixing inner loop at
         depth ``z``; default is the element property (subclasses may depend
         on T/S profiles, reference oceandrift.py:509-512)."""
@@ -483,7 +484,8 @@ class OceanDrift(OpenDriftSimulation):
             surface = z == 0.0
             # terminal velocity may depend on depth/T/S (subclass hook,
             # reference oceandrift.py:509-512)
-            w = self.terminal_velocity_inner(ctx, z, Tprof, Sprof)
+            w = self.terminal_velocity_inner(ctx, z, Tprof, Sprof,
+                                             mix=mix)
             Kz, dKdz = self._diffusivity_at(ctx, z, Kprof, gradK)
             R = 2.0 * jax.random.uniform(key, z.shape, dtype=z.dtype) - 1.0
             # Visser random walk: z -= moving*(dK/dz*dt - R*sqrt(6 K dt))

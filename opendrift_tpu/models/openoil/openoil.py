@@ -201,15 +201,23 @@ class OpenOil(OceanDrift):
         if "mass_oil" not in kwargs:
             if m3_per_hour is None:
                 m3_per_hour = self.get_config("seed:m3_per_hour")
-            number = int(kwargs.get("number", 1) or 1)
+            number = kwargs.get("number")
+            if number is None:
+                try:
+                    number = self.get_config("seed:number")
+                except ValueError:
+                    number = 1
+            number = int(np.sum(number))   # arrays seed per-point counts
             time = kwargs.get("time")
             if isinstance(time, (list, tuple)) and len(time) == 2:
-                duration_hours = max(
-                    (time[1] - time[0]).total_seconds() / 3600.0, 1.0)
+                duration_hours = (time[1] - time[0]).total_seconds() \
+                    / 3600.0
+                if duration_hours == 0:
+                    duration_hours = 1.0
             else:
                 duration_hours = 1.0   # instantaneous spill
-            kwargs["mass_oil"] = (m3_per_hour * duration_hours / number
-                                  * kwargs["density"])
+            kwargs["mass_oil"] = (m3_per_hour * duration_hours
+                                  / max(number, 1) * kwargs["density"])
         return super().seed_elements(*args, **kwargs)
 
     def _build_initial_state(self, dt):
@@ -515,7 +523,8 @@ class OpenOil(OceanDrift):
                                         mix["diameter"])
         return mix
 
-    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
+                                mix=None):
         """Tkalich (2002) oil droplet rise velocity with high-Reynolds
         switch (reference openoil.py:922-998)."""
         d = ctx.state.data
@@ -525,7 +534,11 @@ class OpenOil(OceanDrift):
         else:
             T0 = ctx.environment["sea_water_temperature"]
             S0 = ctx.environment["sea_water_salinity"]
-        r = d["diameter"]
+        # inside the mixing loop the diameter is carried and updated on
+        # entrainment — use it, not the stale start-of-step value
+        # (the fused Pallas kernel does the same, pallas_mixing.py)
+        r = mix["diameter"] if mix is not None and "diameter" in mix \
+            else d["diameter"]
         rho_oil = d["density"]
         rho_w = ph.sea_water_density(T0, S0)
         mu_w = ph.sea_water_dynamic_viscosity(T0, S0)

@@ -87,7 +87,8 @@ class PelagicEggDrift(OceanDrift):
                                   d["neutral_buoyancy_salinity"])
         ctx.set_var("terminal_velocity", w)
 
-    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
+                                mix=None):
         d = ctx.state.data
         if Tprof is not None and Sprof is not None:
             T0 = self.profile_interp(ctx, Tprof, z)

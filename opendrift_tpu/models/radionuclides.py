@@ -132,15 +132,19 @@ class RadionuclideDrift(OceanDrift):
                 "units": "m", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Desorption depth spread"},
             "radionuclide:sediment:resuspension_critvel": {
-                "type": "float", "default": 0.15, "min": 0, "max": 10,
+                "type": "float", "default": 0.01, "min": 0, "max": 10,
                 "units": "m/s", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Critical near-bottom speed for "
-                "resuspension"},
+                "resuspension (reference radionuclides.py:196)"},
             "radionuclide:sediment:resuspension_depth": {
                 "type": "float", "default": 1.0, "min": 0, "max": 100,
                 "units": "m", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Height above seabed of resuspended "
                 "elements"},
+            "radionuclide:sediment:resuspension_depth_uncert": {
+                "type": "float", "default": 0.5, "min": 0, "max": 100,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Gaussian spread of resuspension height"},
             "seed:LMM_fraction": {
                 "type": "float", "default": 0.1, "min": 0, "max": 1,
                 "level": CONFIG_LEVEL_ESSENTIAL,
@@ -260,7 +264,8 @@ class RadionuclideDrift(OceanDrift):
         is_particle = self._is_particle_specie(d["specie"])
         ctx.set_var("terminal_velocity", jnp.where(is_particle, w, 0.0))
 
-    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof):
+    def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
+                                mix=None):
         return ctx.state.data["terminal_velocity"]
 
     def _is_particle_specie(self, specie):
@@ -374,7 +379,13 @@ class RadionuclideDrift(OceanDrift):
         prev = self.specie_name2num("Particle reversible")
         resusp = ctx.active & (d["specie"] == srev) & (d["z"] <= zmin) \
             & (speed >= critvel)
-        new_z = jnp.minimum(zmin + lift, 0.0)
+        std = self.get_config(
+            "radionuclide:sediment:resuspension_depth_uncert")
+        dz = lift
+        if std > 0:
+            dz = lift + std * jax.random.normal(ctx.next_key(),
+                                                d["z"].shape)
+        new_z = jnp.minimum(zmin + jnp.maximum(dz, 0.0), 0.0)
         ctx.set_var("z", jnp.where(resusp, new_z, d["z"]))
         ctx.set_var("moving", jnp.where(resusp, 1.0, d["moving"]))
         ctx.set_var("specie", jnp.where(resusp, prev, d["specie"]))

@@ -174,7 +174,10 @@ class SeaLice(OceanDrift):
         sealice.py:277-291 displaces z but reads the already-fetched
         environment; here the displaced samples are real env fetches)."""
         d = ctx.state.data
-        sense = 2.0 * self.get_config("lice:vertical_migration_speed")
+        # sensing distance = 2 x migration distance per step (reference
+        # sealice.py:169-172: speeds are pre-multiplied by the step)
+        sense = 2.0 * self.get_config("lice:vertical_migration_speed") \
+            * abs(ctx.params["dt"])
         varnames = ["sea_water_temperature", "sea_water_salinity"]
         up, _ = self.env.get_environment(
             ctx.dev_states, varnames, ctx.t_rel, d["lon"], d["lat"],
@@ -222,8 +225,10 @@ class SeaLice(OceanDrift):
         # (reference :346-384)
         dz = -sink + jnp.where(going_up, swim, 0.0) \
             - jnp.where(going_down, swim, 0.0)
+        # natural larval range is 0-50 m (reference depth_test,
+        # sealice.py:334-339), further bounded by the seafloor
         depth = ctx.environment["sea_floor_depth_below_sea_level"]
-        new_z = jnp.clip(d["z"] + dz, -depth, 0.0)
+        new_z = jnp.clip(d["z"] + dz, -jnp.minimum(depth, 50.0), 0.0)
         ctx.set_var("z", new_z)
 
     def update(self, ctx):
