@@ -178,3 +178,24 @@ def test_oil_seed_mass_from_discharge_rate(tmp_path):
         filename=str(tmp_path / "visc.png"))
     o.set_oiltype("GENERIC DIESEL")
     assert o.get_oil_name() == "GENERIC DIESEL"
+
+
+def test_oil_seed_mass_uses_config_number():
+    """Without an explicit number, the discharge-mass split uses
+    seed:number (review fix; reference openoil.py:1743-1748)."""
+    import numpy as np
+    from datetime import datetime
+    from opendrift_tpu.models.openoil import OpenOil
+    from opendrift_tpu.fields.analytic import ConstantReader
+    o = OpenOil(loglevel=40)
+    o.add_reader(ConstantReader({"x_sea_water_velocity": 0.0,
+                                 "y_sea_water_velocity": 0.0,
+                                 "land_binary_mask": 0.0}))
+    o.set_config("seed:number", 200)
+    o.seed_elements(4.0, 60.0, m3_per_hour=10.0,
+                    time=datetime(2020, 1, 1),
+                    oil_type="GENERIC LIGHT CRUDE")
+    rho = float(o.oiltype.density_at_temp(288.15))
+    m = np.asarray(o._seedings[-1]["mass_oil"])
+    assert len(np.atleast_1d(o._seedings[-1]["lon"])) == 200
+    assert np.allclose(np.mean(m), 10.0 / 200 * rho, rtol=1e-5)
