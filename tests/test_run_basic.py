@@ -234,3 +234,40 @@ def test_horizontal_diffusion_spreads():
     assert abs(dx.std() / expected - 1) < 0.15
     assert abs(dy.std() / expected - 1) < 0.15
     assert abs(dx.mean()) < expected / 3
+
+
+def test_back_and_forth_reversibility():
+    """Forward then backward integration in a steady field returns the
+    elements near their origin (reference example_backandforth.py);
+    deterministic RK4, no diffusion."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+
+    t0 = datetime(2020, 1, 1)
+    common = {"x_sea_water_velocity": 0.4, "y_sea_water_velocity": -0.2,
+              "land_binary_mask": 0.0}
+
+    o = OceanDrift(loglevel=40)
+    o.add_reader(ConstantReader(common))
+    o.set_config("drift:advection_scheme", "runge-kutta4")
+    o.set_config("drift:horizontal_diffusivity", 0.0)
+    o.seed_elements(lon=4.0, lat=60.0, number=5, time=t0)
+    o.run(duration=timedelta(hours=12), time_step=900)
+    lon_end = np.asarray(o.result["lon"])[:, -1]
+    lat_end = np.asarray(o.result["lat"])[:, -1]
+
+    b = OceanDrift(loglevel=40)
+    b.add_reader(ConstantReader(common))
+    b.set_config("drift:advection_scheme", "runge-kutta4")
+    b.set_config("drift:horizontal_diffusivity", 0.0)
+    b.seed_elements(lon=lon_end, lat=lat_end, number=5,
+                    time=t0 + timedelta(hours=12))
+    b.run(duration=timedelta(hours=12), time_step=-900)
+    lon_back = np.asarray(b.result["lon"])[:, -1]
+    lat_back = np.asarray(b.result["lat"])[:, -1]
+    # back within tens of metres of the origin (f32 position
+    # precision is ~1e-5 relative, i.e. ~60 m in latitude degrees)
+    assert np.abs(lon_back - 4.0).max() < 5e-4
+    assert np.abs(lat_back - 60.0).max() < 5e-4
