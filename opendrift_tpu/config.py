@@ -74,6 +74,24 @@ class Configurable:
             out[key] = item.spec_dict()
         return out
 
+    def list_configspec(self, prefix=""):
+        """Readable listing of the config schema (reference
+        config.py:34-53)."""
+        for key, item in self._config.items():
+            if not key.startswith(prefix):
+                continue
+            spec = item.spec_dict()
+            t = spec.get("type")
+            if t in ("float", "int"):
+                rng = (f"min: {spec.get('min')}, max: {spec.get('max')} "
+                       f"[{spec.get('units', '')}]")
+            elif t == "enum":
+                rng = str(spec.get("enum"))
+            else:
+                rng = ""
+            desc = (spec.get("description") or "")[:40]
+            print(f"{key:<45} [{item.value}] {t:<5} {rng} {desc}")
+
     def set_config(self, key, value):
         if key not in self._config:
             matches = difflib.get_close_matches(key, self._config.keys(), n=3)
