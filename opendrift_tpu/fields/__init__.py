@@ -3,7 +3,7 @@ from .environment import Environment
 from .analytic import (DoubleGyre, ConstantReader, OscillatingReader,
                        ArtificialOceanEddy, FailingReader,
                        TimeseriesReader, CurrentFromTrack)
-from .grid import StructuredGridReader
+from .grid import StructuredGridReader, ArrayReader
 from .netcdf import NetCDFReader
 from .roms import ROMSReader
 from .lazy import LazyReader
@@ -15,7 +15,8 @@ from .operators import (CombinedReader, ScaledReader, GaussianBlendReader,
 __all__ = ["BaseReader", "ContinuousReader", "Environment", "DoubleGyre",
            "ConstantReader", "OscillatingReader", "ArtificialOceanEddy",
            "FailingReader", "TimeseriesReader", "CurrentFromTrack",
-           "StructuredGridReader", "NetCDFReader", "ROMSReader",
+           "StructuredGridReader", "ArrayReader", "NetCDFReader",
+           "ROMSReader",
            "LazyReader", "reader_from_url", "CombinedReader",
            "ScaledReader", "GaussianBlendReader", "combine_add",
            "combine_sub"]

@@ -333,7 +333,14 @@ class StructuredGridReader(BaseReader):
             # comparable to the int16 scale/offset packing common in the
             # source NetCDF files.  Opt in: reader.packed_dtype='float16'.
             dtype = getattr(self, "packed_dtype", "float32")
-            out["packed"] = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
+            if getattr(self, "_dd_keep_host", False):
+                # domain decomposition: the host array is split into
+                # per-device Y bands by DDContext.retile — only the
+                # tiled shards ever reach device memory
+                out["packed"] = packed_all.astype(np.dtype(dtype))
+            else:
+                out["packed"] = jnp.asarray(packed_all,
+                                            dtype=jnp.dtype(dtype))
         epoch = self._run_epoch
         out["times"] = jnp.asarray(
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],
@@ -347,6 +354,21 @@ class StructuredGridReader(BaseReader):
         return out
 
     # ---------------------------------------------------------- sampling -
+    def _local_yi(self, dev_state, yi, covers=None):
+        """Domain decomposition: shift global fractional y-indices into
+        the local extended tile (dev_state['y_off'] is set inside the
+        shard_map by DDContext.local_dev_states) and restrict coverage to
+        rows the tile actually holds — an element beyond its halo reads
+        clipped rows, which must count as not-covered, not as data."""
+        off = dev_state.get("y_off") if isinstance(dev_state, dict) \
+            else None
+        if off is None:
+            return yi, covers
+        yi = yi - off
+        if covers is not None:
+            covers = covers & (yi >= 0) & (yi <= self._sampler.Y - 1)
+        return yi, covers
+
     def _grid_indices(self, lon, lat):
         x, y = self.crs.fwd(jnp, lon, lat)
         # geographic grids: map particle longitudes into the file's lon
@@ -364,6 +386,7 @@ class StructuredGridReader(BaseReader):
     def sample(self, dev_state, varnames, t, lon, lat, z, member=None):
         xi, yi = self._grid_indices(lon, lat)
         covers = self._covers_idx(xi, yi)
+        yi, covers = self._local_yi(dev_state, yi, covers)
         # ensemble forcing: element -> member by round-robin on ID
         # (reference reader_netCDF_CF_generic.py:560-569)
         M = getattr(self, "ensemble_size", 1)
@@ -439,6 +462,7 @@ class StructuredGridReader(BaseReader):
             keep_vars = ["x_sea_water_velocity", "y_sea_water_velocity"]
         xi, yi = self._grid_indices(lon, lat)
         covers = self._covers_idx(xi, yi)
+        yi, covers = self._local_yi(dev_state, yi, covers)
         M = getattr(self, "ensemble_size", 1)
         if M > 1 and member is not None:
             row_offset = (member.astype(jnp.int32) % M) \
@@ -462,6 +486,7 @@ class StructuredGridReader(BaseReader):
         bit-for-bit up to linear-blend ordering when the position equals
         the block's gather position."""
         xi, yi = self._grid_indices(lon, lat)
+        yi, _ = self._local_yi(dev_state, yi)
         vals = self._sampler.eval_corner_block(
             block, xi, yi, dev_state["times"], t, varnames)
         if not self.crs.is_latlon:
@@ -480,6 +505,7 @@ class StructuredGridReader(BaseReader):
         """Evaluate u/v from a gathered block at (possibly displaced)
         stage positions — no gathers, just VPU blends + rotation."""
         xi, yi = self._grid_indices(lon, lat)
+        yi, _ = self._local_yi(dev_state, yi)
         names = ["x_sea_water_velocity", "y_sea_water_velocity"]
         vals = self._sampler.eval_corner_block(
             block, xi, yi, dev_state["times"], t, names)
@@ -494,6 +520,7 @@ class StructuredGridReader(BaseReader):
         out = {}
         if want3:
             xi, yi = self._grid_indices(lon, lat)
+            yi, _ = self._local_yi(dev_state, yi)
             L = zlevels.shape[0]
             res = {v: [] for v in want3}
             for li in range(L):
@@ -519,6 +546,7 @@ class StructuredGridReader(BaseReader):
         if covers is None:
             xi, yi = self._grid_indices(lon, lat)
             covers = self._covers_idx(xi, yi)
+            _, covers = self._local_yi(dev_state, yi, covers)
         return out, covers
 
     def _covers_idx(self, xi, yi, eps=1e-2):
@@ -528,3 +556,45 @@ class StructuredGridReader(BaseReader):
         ny = self._iy.stop - self._iy.start
         return ((xi >= -eps) & (xi <= nx - 1 + eps)
                 & (yi >= -eps) & (yi <= ny - 1 + eps))
+
+
+class ArrayReader(StructuredGridReader):
+    """Structured forcing from in-memory numpy arrays.
+
+    The reference reaches the same capability by wrapping arrays into an
+    xarray Dataset for ``reader_netCDF_CF_generic``; here arrays feed the
+    device packer directly.  Used by tests, benchmarks and the multichip
+    dry run, and available to users as the zero-I/O structured reader.
+
+    ``data``: {standard_name: ndarray} of shape (F, Y, X), (F, Z, Y, X),
+    or (Y, X) for static fields (landmask, bathymetry).
+    """
+
+    def __init__(self, data, x, y, times, proj4="+proj=latlong",
+                 depths=None, name=None):
+        self._data = {k: np.asarray(v, dtype=np.float32)
+                      for k, v in data.items()}
+        self.x = np.asarray(x, dtype=np.float64)
+        self.y = np.asarray(y, dtype=np.float64)
+        self.times = list(times)
+        self.proj4 = proj4
+        self.depths = depths
+        self.variables = list(self._data)
+        self._var_has_z = {k: v.ndim == 4 for k, v in self._data.items()}
+        for k, v in self._data.items():
+            want = 2 if k in STATIC_VARIABLES and v.ndim == 2 else None
+            if want is None and v.ndim not in (3, 4):
+                raise ValueError(
+                    f"ArrayReader: {k} must be (F,Y,X), (F,Z,Y,X) or "
+                    f"static (Y,X); got shape {v.shape}")
+        if name:
+            self.name = name
+        super().__init__()
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        a = self._data[std]
+        if a.ndim == 2:          # static (Y, X)
+            return a[yslice, xslice]
+        if a.ndim == 4:
+            return a[ti][zslice, yslice, xslice]
+        return a[ti][yslice, xslice]

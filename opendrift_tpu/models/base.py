@@ -231,6 +231,20 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Shard elements over all visible devices "
                 "(data parallelism); forcing fields are replicated"},
+            "parallel:domain_decomposition": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Split the primary forcing grid into Y "
+                "bands over the device mesh (for grids too large to "
+                "replicate): per-tile particle buffers, on-device halo "
+                "exchange (ppermute over ICI) and neighbour-only "
+                "particle migration inside the fused step"},
+            "parallel:tile_capacity_factor": {
+                "type": "float", "default": 2.0, "min": 1.0, "max": 64.0,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Per-tile particle buffer slots as a "
+                "multiple of the even share (headroom for spatially "
+                "clumped distributions under domain decomposition)"},
             "drift:advection_single_fetch": {
                 "type": "bool", "default": False,
                 "level": CONFIG_LEVEL_ADVANCED,
@@ -779,17 +793,29 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                       for n, v in f.items()} for f in pending],
                     frame_times[flushed:])
                 flushed = len(frames)
+        dd = getattr(self, "_dd", None)
+
+        def get_frame(snap):
+            f = jax.device_get(snap)
+            if dd is not None:
+                export = self.export_variables
+                f = dd.reorder_frame(
+                    f, self._n_real_elements,
+                    keep_id=export is not None and "ID" in export)
+            return f
         try:
             for k in range(n_intervals):
                 t_rel = k * K * dt
                 dev_states = self.env.build_device_states(*window(k))
+                if dd is not None:
+                    dev_states = dd.retile(dev_states)
                 key = jax.random.fold_in(base_key, k)
                 state, snap = advance(state, dev_states, jnp.float32(t_rel),
                                       key)
                 if k + 1 < n_intervals:
                     # overlap next-window forcing I/O with device compute
                     self.env.prefetch_device_states(*window(k + 1))
-                frames.append(jax.device_get(snap))
+                frames.append(get_frame(snap))
                 frame_times.append(self.start_time
                                    + timedelta(seconds=t_rel))
                 _sample_memory()
@@ -798,8 +824,10 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             t_rel = n_intervals * K * dt
             dev_states = self.env.build_device_states(
                 *window(n_intervals - 1))
+            if dd is not None:
+                dev_states = dd.retile(dev_states)
             snap = final_snap(state, dev_states, jnp.float32(t_rel))
-            frames.append(jax.device_get(snap))
+            frames.append(get_frame(snap))
             frame_times.append(self.start_time + timedelta(seconds=t_rel))
             self.state = jax.device_get(state)
         except Exception:
@@ -977,6 +1005,22 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             state_np["z"] = (-depth0 + 0.01).astype(np.float32)
             state_np["prev_z"] = state_np["z"].copy()
 
+        # ---- domain decomposition: tile the primary forcing grid over
+        # the device mesh and re-layout elements into per-tile buffers
+        # (the slot of reference basereader/structured.py:121-123 block
+        # buffers at multi-chip scale; see parallel/tiled.py)
+        self._dd = None
+        if len(jax.devices()) > 1 and \
+                self.get_config("parallel:domain_decomposition"):
+            from ..parallel.tiled import DDContext
+            self._dd = DDContext(
+                self, max_speed=max_speed, dt=dt,
+                capacity_factor=self.get_config(
+                    "parallel:tile_capacity_factor"))
+            state_np = self._dd.bin_initial_state(
+                state_np, self._n_real_elements)
+            self._n_padded_elements = len(state_np["lon"])
+
         # ---- compile step
         self.export_variables = export_variables
         advance, final_snap = self._make_advance(K, dt, jit=jit)
@@ -990,7 +1034,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         # ---- multi-device particle sharding (DP over a 1D mesh)
         self._mesh = None
         n_dev = len(jax.devices())
-        if n_dev > 1 and self.get_config("parallel:particle_sharding"):
+        if self._dd is not None:
+            state = self._dd.shard_state(state)
+            self._mesh = self._dd.mesh
+            logger.info("Domain decomposition over %d tiles", n_dev)
+        elif n_dev > 1 and self.get_config("parallel:particle_sharding"):
             from ..parallel.mesh import particle_mesh, shard_state
             self._mesh = particle_mesh()
             state = shard_state(state, self._mesh)
@@ -1005,7 +1053,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         # per-element array shards evenly; padding stays NOT_RELEASED
         n_dev = len(jax.devices())
         self._n_real_elements = n
-        if n_dev > 1 and self.get_config("parallel:particle_sharding"):
+        if n_dev > 1 and self.get_config("parallel:particle_sharding") \
+                and not self.get_config("parallel:domain_decomposition"):
             n = ((n + n_dev - 1) // n_dev) * n_dev
         self._n_padded_elements = n
         sign = 1.0 if dt > 0 else -1.0
@@ -1128,6 +1177,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         params = self._dynamic_params()
         params["dt"] = float(dt)
         env = self.env
+        dd = getattr(self, "_dd", None)
         sign = 1.0 if dt > 0 else -1.0
         coastline_action = self.get_config("general:coastline_action")
         coastline_bisection = self.get_config("general:coastline_bisection",
@@ -1341,9 +1391,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         def snapshot(state, envs):
             snap = {}
             export = self.export_variables
+            # domain decomposition: slots move with migration, so the
+            # host re-indexes every frame by element ID
+            always = ("lon", "lat", "z", "status") + \
+                (("ID",) if dd is not None else ())
             for name in self.ElementType.variables:
-                if export is None or name in export or \
-                        name in ("lon", "lat", "z", "status"):
+                if export is None or name in export or name in always:
                     snap[name] = state.data[name]
             for name, v in envs.items():
                 if export is None or name in export:
@@ -1398,6 +1451,9 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             snap = snapshot(state, envs) if want_snap else None
             state = post_update(state, envs, dev_states, t_rel, tau, key,
                                 block_ctx)
+            if dd is not None:
+                # hand off elements that crossed their tile's row band
+                state = ElementState(dd.migrate(state.data))
             return state, snap
 
         def advance(state, dev_states, t0_rel, key):
@@ -1420,6 +1476,21 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                                                  jax.random.PRNGKey(0))
             return snapshot(state, envs)
 
+        if dd is not None:
+            # run the whole advance inside one shard_map over the tiles
+            # mesh: halo-exchange the forcing bands, decorrelate the RNG
+            # per tile, then execute the identical step program on each
+            # tile's local particles and extended forcing tile
+            def tile_advance(state, dev_states, t0_rel, key):
+                local = dd.local_dev_states(dev_states)
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index("tiles"))
+                return advance(state, local, t0_rel, key)
+
+            def tile_final(state, dev_states, t_rel):
+                local = dd.local_dev_states(dev_states)
+                return final_snapshot(state, local, t_rel)
+            return dd.wrap_advance(tile_advance), dd.wrap_final(tile_final)
         if not jit:
             return advance, final_snapshot
         return (jax.jit(advance, donate_argnums=(0,)),

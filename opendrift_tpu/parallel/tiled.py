@@ -1,0 +1,432 @@
+"""Engine-integrated forcing-grid domain decomposition.
+
+This wires the scaling design of ``parallel/domain.py`` into the real
+simulation engine: with ``o.set_config("parallel:domain_decomposition",
+True)``, ``run()`` splits the primary structured reader's packed blocks
+along the grid Y axis over a 1D ``tiles`` device mesh, and the FULL
+fused step — release, environment fetch, RK stage sampling, geodesic
+update, landmask/seafloor interaction, model ``update()`` physics,
+vertical mixing — executes inside one ``shard_map``.  This takes the
+architectural slot of the reference's per-reader block buffers
+(reference: opendrift/readers/basereader/structured.py:121-123) for
+grids too large to replicate per chip (SURVEY.md §2.10).
+
+Design:
+
+* **Host** uploads **core** tiles only (one Y-band per device); the
+  halo rows — sized by the reference's buffer rule ``max_speed*dt/dy+2``
+  (reference variables.py:616-617), doubled to cover RK stage
+  excursions — are exchanged **on device** between ring neighbours with
+  ``jax.lax.ppermute`` (ICI on real hardware) once per forcing window.
+* **Particles** live in fixed-capacity per-tile buffers (the element
+  state sharded over the ``tiles`` axis).  After every step, elements
+  whose grid row left their tile are packed into bounded leaver
+  buffers and sent to the adjacent tile with one ``ppermute`` hop per
+  direction — migration is neighbour-only by construction (a particle
+  cannot cross a whole tile in one step while the halo rule holds),
+  so traffic is O(L) per link instead of the O(n_tiles * L) of an
+  ``all_gather`` exchange.
+* **Conservation is unconditional**: the receiver acknowledges each
+  claimed element (one reverse ``ppermute`` of the claim mask) and the
+  sender frees only acknowledged slots — an element that finds no free
+  slot on the destination tile simply stays put (still sampled
+  correctly from the halo) and retries at the next exchange.
+* Readers with no gridded blocks (analytic fields, constants,
+  oscillating test readers) are pure functions of position and run
+  unchanged inside the shard_map; structured readers on a *different*
+  grid than the primary (e.g. a coarse atmosphere grid) stay
+  replicated — decomposition targets the grid that dominates memory.
+
+Validated by tests/test_engine_dd.py: the 8-virtual-device tiled run
+``allclose``-matches the single-device replicated gold for OceanDrift
+RK4 on gridded forcing, and clumped-seeding stress runs conserve every
+element through buffer-overflow conditions.
+"""
+
+import logging
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..elements.elements import NOT_RELEASED, ACTIVE
+
+logger = logging.getLogger(__name__)
+
+
+class DDContext:
+    """Per-run state of an engine-level domain decomposition."""
+
+    def __init__(self, sim, max_speed, dt, capacity_factor=2.0,
+                 devices=None, max_leavers=None):
+        from ..fields.grid import StructuredGridReader
+
+        if devices is None:
+            devices = jax.devices()
+        self.n_tiles = len(devices)
+        self.mesh = Mesh(np.array(devices), axis_names=("tiles",))
+        self.sim = sim
+        env = sim.env
+
+        # primary reader: top-priority source of the current components
+        tops = env.priority_list.get("x_sea_water_velocity", [])
+        primary = None
+        self.primary_idx = None
+        for i, (reader, served) in enumerate(env._plan):
+            if tops and reader.name == tops[0] and \
+                    isinstance(reader, StructuredGridReader):
+                primary, self.primary_idx = reader, i
+                break
+        if primary is None:
+            raise ValueError(
+                "parallel:domain_decomposition needs a structured gridded "
+                "reader serving x_sea_water_velocity (analytic/constant "
+                "current sources have no grid to decompose — use plain "
+                "particle sharding)")
+        self.primary = primary
+
+        ny = primary._iy.stop - primary._iy.start
+        self.rows = -(-ny // self.n_tiles)
+        dy = abs(primary.delta_y)
+        # grid spacing in metres (geographic grids have degree axes)
+        dy_m = dy * 111320.0 if getattr(primary.crs, "is_latlon", False) \
+            else dy
+        # halo: the reference's buffer rule, doubled for RK stage
+        # excursions + one unacknowledged-migration step of slack
+        self.halo = int(math.ceil(2.0 * max_speed * abs(dt) / dy_m)) + 2
+        if self.halo > self.rows:
+            raise ValueError(
+                f"Domain decomposition infeasible: halo ({self.halo} rows) "
+                f"exceeds tile height ({self.rows} rows of {ny}); use "
+                f"fewer tiles or a shorter time step")
+        self.capacity_factor = float(capacity_factor)
+        self.max_leavers = max_leavers  # resolved in bin_initial_state
+        self.cap = None
+
+        # tile every plan reader living on the primary's exact grid
+        # (typically: the one reader providing u/v/T/S/... together)
+        self.tiled_idx = []
+        for i, (reader, served) in enumerate(env._plan):
+            if not isinstance(reader, StructuredGridReader):
+                continue
+            same = (reader is primary or (
+                reader.proj4 == primary.proj4
+                and reader._iy == primary._iy
+                and abs(reader.delta_y - primary.delta_y)
+                < 1e-9 * dy
+                and reader.y[reader._iy.start]
+                == primary.y[primary._iy.start]))
+            if same:
+                self.tiled_idx.append(i)
+                # device_state keeps 'packed' on host so only the tiled
+                # shards ever reach device memory
+                reader._dd_keep_host = True
+        self._wrapped = {}
+
+    # ------------------------------------------------------ host: particles
+    def _tile_of(self, lon, lat):
+        """Host-side tile assignment from positions (numpy)."""
+        r = self.primary
+        x, y = r.lonlat2xy(lon, lat)
+        yi = (np.asarray(y) - r.y[r._iy.start]) / r.delta_y
+        return np.clip((yi // self.rows).astype(int), 0, self.n_tiles - 1)
+
+    def bin_initial_state(self, arrays, n_real):
+        """Re-layout flat host state arrays into per-tile fixed buffers.
+
+        Returns new arrays of shape (n_tiles * cap,); slot t*cap+s is
+        slot s of tile t.  Empty slots: ID=0, status=NOT_RELEASED,
+        release_tau=inf (never released, skipped on output reindex).
+        """
+        dest = self._tile_of(arrays["lon"][:n_real], arrays["lat"][:n_real])
+        counts = np.bincount(dest, minlength=self.n_tiles)
+        cap = max(int(counts.max()),
+                  int(math.ceil(self.capacity_factor * n_real
+                                / self.n_tiles)))
+        cap = -(-cap // 8) * 8
+        self.cap = cap
+        if self.max_leavers is None:
+            self.max_leavers = cap
+        out = {}
+        order = np.argsort(dest, kind="stable")
+        slot_in_tile = np.empty(n_real, dtype=np.int64)
+        slot_in_tile[order] = np.arange(n_real) - np.concatenate(
+            [[0], np.cumsum(counts)[:-1]])[dest[order]]
+        slots = dest * cap + slot_in_tile
+        total = self.n_tiles * cap
+        for name, v in arrays.items():
+            v = np.asarray(v)
+            if name == "ID":
+                a = np.zeros(total, v.dtype)
+            elif name == "status":
+                a = np.full(total, NOT_RELEASED, v.dtype)
+            elif name == "release_tau":
+                a = np.full(total, np.inf, v.dtype)
+            else:
+                fill = 0 if not np.issubdtype(v.dtype, np.floating) else 0.0
+                a = np.full(total, fill, v.dtype)
+            a[slots] = v[:n_real]
+            out[name] = a
+        logger.info("Domain decomposition: %d tiles x %d rows (halo %d), "
+                    "%d slots/tile for %d elements", self.n_tiles,
+                    self.rows, self.halo, cap, n_real)
+        return out
+
+    def shard_state(self, state):
+        return jax.device_put(
+            state, NamedSharding(self.mesh, P("tiles")))
+
+    # ------------------------------------------------------- host: forcing -
+    def retile(self, dev_states):
+        """Split each tiled reader's packed rows into per-device Y bands
+        (core rows only — halos are exchanged on device) and refresh the
+        reader's sampler to the local extended-tile geometry."""
+        from ..ops.interp import PackedSampler
+        out = list(dev_states)
+        for i in self.tiled_idx:
+            ds = dev_states[i]
+            if ds is None:
+                continue
+            ds = dict(ds)
+            reader = self.sim.env._plan[i][0]
+            s = reader._sampler
+            packed = np.asarray(ds.pop("packed"))
+            C = packed.shape[-1]
+            MZ = packed.shape[0] // (s.Y * s.X)
+            pk = packed.reshape(MZ, s.Y, s.X, C)
+            pad = self.rows * self.n_tiles - s.Y
+            if pad:
+                pk = np.concatenate(
+                    [pk, np.repeat(pk[:, -1:], pad, axis=1)], axis=1)
+            pk = np.ascontiguousarray(
+                pk.reshape(MZ, self.n_tiles, self.rows, s.X, C)
+                .transpose(1, 0, 2, 3, 4))
+            ds["packed_tiled"] = jax.device_put(
+                pk, NamedSharding(self.mesh, P("tiles")))
+            # sampler geometry becomes the extended local tile
+            reader._sampler = PackedSampler(
+                s.Z, self.rows + 2 * self.halo, s.X, s.F, s.col_of,
+                s.pair_mode)
+            out[i] = ds
+        return tuple(out)
+
+    # --------------------------------------------------- device: in the map
+    def local_dev_states(self, dev_states):
+        """Inside shard_map: halo-exchange each tiled core band into the
+        extended local tile and attach the tile's global-row offset."""
+        h = self.halo
+        n = self.n_tiles
+        idx = jax.lax.axis_index("tiles")
+        out = []
+        for i, ds in enumerate(dev_states):
+            if ds is None or not isinstance(ds, dict) \
+                    or "packed_tiled" not in ds:
+                out.append(ds)
+                continue
+            d = dict(ds)
+            core = d.pop("packed_tiled")[0]      # (MZ, rows, X, C)
+            top = core[:, -h:]
+            bot = core[:, :h]
+            # partial perms: tiles with no source receive zeros, then the
+            # domain edges replace them with edge-replicated rows
+            from_below = jax.lax.ppermute(
+                top, "tiles", [(k, k + 1) for k in range(n - 1)])
+            from_above = jax.lax.ppermute(
+                bot, "tiles", [(k, k - 1) for k in range(1, n)])
+            from_below = jnp.where(
+                idx == 0, jnp.broadcast_to(core[:, :1], from_below.shape),
+                from_below)
+            from_above = jnp.where(
+                idx == n - 1,
+                jnp.broadcast_to(core[:, -1:], from_above.shape),
+                from_above)
+            ext = jnp.concatenate([from_below, core, from_above], axis=1)
+            d["packed"] = ext.reshape(-1, ext.shape[-1])
+            d["y_off"] = (idx * self.rows - h).astype(jnp.float32)
+            out.append(d)
+        return tuple(out)
+
+    def migrate(self, data):
+        """Inside shard_map: neighbour-only particle exchange with
+        receiver acknowledgement (see module docstring).  ``data`` is the
+        element-state dict of per-slot arrays; returns the updated dict.
+
+        Sort-free: packing uses cumsum ranks + dropped-index scatters
+        (TPU sorts run on the scalar core; O(cap) VPU work here).
+        """
+        n = self.n_tiles
+        if n == 1:
+            return data
+        rows = self.rows
+        idx = jax.lax.axis_index("tiles")
+        _, yi = self.primary._grid_indices(data["lon"], data["lat"])
+        occ = data["ID"] > 0
+        movable = occ & (data["status"] == ACTIVE) & jnp.isfinite(yi)
+        dest = jnp.clip(jnp.floor(yi / rows).astype(jnp.int32), 0, n - 1)
+        # neighbour-only guarantee (the halo rule bounds one step's travel
+        # to under a tile height; clamping keeps pathological cases safe —
+        # they hop one tile per exchange)
+        dest = jnp.clip(dest, idx - 1, idx + 1)
+        dest = jnp.where(movable, dest, idx)
+        go_up = dest > idx
+        go_dn = dest < idx
+
+        fkeys = sorted(k for k in data
+                       if jnp.issubdtype(data[k].dtype, jnp.floating))
+        ikeys = sorted(k for k in data
+                       if not jnp.issubdtype(data[k].dtype, jnp.floating))
+        fmat = jnp.stack([data[k] for k in fkeys], axis=1)
+        imat = jnp.stack([data[k].astype(jnp.int32) for k in ikeys],
+                         axis=1)
+        cap = occ.shape[0]
+        L = min(self.max_leavers, cap)
+
+        def pack(mask):
+            rank = jnp.cumsum(mask) - 1
+            shipped = mask & (rank < L)
+            slot = jnp.where(shipped, rank, L)
+            pf = jnp.zeros((L, fmat.shape[1]), fmat.dtype).at[slot].set(
+                fmat, mode="drop")
+            pi = jnp.zeros((L, imat.shape[1]), jnp.int32).at[slot].set(
+                imat, mode="drop")
+            pocc = jnp.zeros((L,), bool).at[slot].set(shipped, mode="drop")
+            return pf, pi, pocc, shipped, slot
+
+        up = pack(go_up)
+        dn = pack(go_dn)
+        perm_up = [(k, k + 1) for k in range(n - 1)]
+        perm_dn = [(k, k - 1) for k in range(1, n)]
+        pp = partial(jax.lax.ppermute, axis_name="tiles")
+        in_f = jnp.concatenate([pp(up[0], perm=perm_up),
+                                pp(dn[0], perm=perm_dn)])
+        in_i = jnp.concatenate([pp(up[1], perm=perm_up),
+                                pp(dn[1], perm=perm_dn)])
+        in_occ = jnp.concatenate([pp(up[2], perm=perm_up),
+                                  pp(dn[2], perm=perm_dn)])
+
+        # claim arrivals into free slots: rank incoming, rank free slots
+        # via a dropped-index scatter of arange, masked scatter-add write
+        free = ~occ
+        free_rank = jnp.cumsum(free) - 1
+        slot_of_rank = jnp.zeros((cap,), jnp.int32).at[
+            jnp.where(free, free_rank, cap)].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")
+        n_free = jnp.sum(free)
+        in_rank = jnp.cumsum(in_occ) - 1
+        ok = in_occ & (in_rank < n_free)
+        slot = slot_of_rank[jnp.clip(in_rank, 0, cap - 1)]
+        okf = ok[:, None]
+        # scatter-add of (new - old) masked by ok: non-claimed entries
+        # contribute exactly 0, so duplicate indices cannot corrupt a
+        # claimed slot (a plain scatter-set would race)
+        fmat = fmat.at[slot].add(jnp.where(okf, in_f - fmat[slot], 0))
+        imat = imat.at[slot].add(jnp.where(okf, in_i - imat[slot], 0))
+
+        # acknowledge claims back to the senders; free only acked slots
+        ack_up = pp(ok[:L], perm=perm_dn)   # receiver d -> sender d-1
+        ack_dn = pp(ok[L:], perm=perm_up)   # receiver d -> sender d+1
+        pad = jnp.zeros((1,), bool)
+        ack_up = jnp.concatenate([ack_up, pad])
+        ack_dn = jnp.concatenate([ack_dn, pad])
+        freed = (up[3] & ack_up[up[4]]) | (dn[3] & ack_dn[dn[4]])
+
+        out = {}
+        for j, k in enumerate(fkeys):
+            out[k] = fmat[:, j]
+        for j, k in enumerate(ikeys):
+            out[k] = imat[:, j].astype(data[k].dtype)
+        out["ID"] = jnp.where(freed, 0, out["ID"])
+        out["status"] = jnp.where(freed, NOT_RELEASED, out["status"])
+        out["release_tau"] = jnp.where(freed, jnp.inf, out["release_tau"])
+        return out
+
+    # ------------------------------------------------------ compile wrapper
+    def _dev_specs(self, dev_states):
+        specs = []
+        for ds in dev_states:
+            if isinstance(ds, dict):
+                specs.append({
+                    k: (P("tiles", None, None, None, None)
+                        if k == "packed_tiled" else P()) for k in ds})
+            else:
+                # analytic/constant readers: replicate whatever they hold
+                specs.append(P())
+        return tuple(specs)
+
+    def wrap_advance(self, fn):
+        """shard_map + jit the (state, dev_states, t, key) -> (state, snap)
+        advance over the tiles mesh, with spec trees built from the actual
+        argument structure on first call (cached per structure)."""
+        def call(state, dev_states, t0_rel, key):
+            kstr = jax.tree_util.tree_structure(dev_states)
+            cached = self._wrapped.get(("adv", kstr))
+            if cached is None:
+                mapped = shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P("tiles"), self._dev_specs(dev_states),
+                              P(), P()),
+                    out_specs=(P("tiles"), P("tiles")),
+                    check_vma=False)
+                cached = jax.jit(mapped, donate_argnums=(0,))
+                self._wrapped[("adv", kstr)] = cached
+            return cached(state, dev_states, t0_rel, key)
+        return call
+
+    def wrap_final(self, fn):
+        def call(state, dev_states, t_rel):
+            kstr = jax.tree_util.tree_structure(dev_states)
+            cached = self._wrapped.get(("fin", kstr))
+            if cached is None:
+                mapped = shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P("tiles"), self._dev_specs(dev_states), P()),
+                    out_specs=P("tiles"),
+                    check_vma=False)
+                cached = jax.jit(mapped)
+                self._wrapped[("fin", kstr)] = cached
+            return cached(state, dev_states, t_rel)
+        return call
+
+    # --------------------------------------------------------- host: output
+    def reorder_frame(self, frame, n_real, keep_id=False):
+        """Re-index a device snapshot (per-slot arrays, slots move with
+        migration) into trajectory order by element ID.
+
+        Also surfaces the overflow failure mode loudly: an ACTIVE element
+        whose position tile differs from its owning tile is stuck
+        in-transit (destination buffers full).  Within the halo it is
+        still sampled exactly; beyond it, it degrades to the uncovered-
+        position semantics (fallback values / missing-data deactivation).
+        """
+        ids = np.asarray(frame.pop("ID"))
+        valid = (ids > 0) & (ids <= n_real)
+        if "lon" in frame and "status" in frame and self.cap:
+            act = valid & (np.asarray(frame["status"]) == ACTIVE)
+            own = np.arange(ids.shape[0]) // self.cap
+            pos = self._tile_of(np.asarray(frame["lon"])[act],
+                                np.asarray(frame["lat"])[act])
+            n_transit = int((own[act] != pos).sum())
+            self.last_in_transit = n_transit
+            if n_transit:
+                logger.warning(
+                    "%d element(s) stuck in-transit (destination tile "
+                    "buffers full) — raise parallel:tile_capacity_factor",
+                    n_transit)
+        out = {}
+        for name, v in frame.items():
+            v = np.asarray(v)
+            if np.issubdtype(v.dtype, np.floating):
+                a = np.full(n_real, np.nan, v.dtype)
+            elif name == "status":
+                a = np.full(n_real, NOT_RELEASED, v.dtype)
+            else:
+                a = np.zeros(n_real, v.dtype)
+            a[ids[valid] - 1] = v[valid]
+            out[name] = a
+        if keep_id:
+            out["ID"] = np.arange(1, n_real + 1, dtype=ids.dtype)
+        return out
