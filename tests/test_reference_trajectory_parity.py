@@ -1,0 +1,62 @@
+"""End-to-end trajectory parity vs the ACTUAL reference OpenDrift.
+
+The goldens in tests/goldens/ref_traj_*.npz are produced by running the
+reference's own ``OpenDriftSimulation.run()`` (reference
+basemodel/__init__.py:1829-2340) under the dependency shims in
+tools/refshims.py — i.e. the reference's real main loop, environment
+stack, ReaderBlock interpolation and pyproj-equivalent geodesic step.
+Regenerate with:
+
+    python tools/ref_runner.py          # requires /root/reference
+
+This is the BASELINE acceptance test: "matching OpenDrift allclose
+after 100 steps" — every scenario runs exactly 100 calculation steps.
+
+Tolerances: both engines hold element positions in float32
+(reference elements/elements.py:71-95), so each ~km-scale step commits
+a ~1e-7 relative rounding difference; over 100 steps this accumulates
+to O(10 m) over ~100 km of drift.  The analytic double-gyre scenarios
+(micrometre domain) agree to ~1e-5 m; gridded/constant runs are bounded
+at 50-60 m total — ~5e-4 of the path length, far below any physical
+signal.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import parity_compare  # noqa: E402
+
+# scenario -> (max separation any step [m], mean separation final step [m])
+TOLERANCES = {
+    "double_gyre_euler": (1e-3, 1e-3),
+    "double_gyre_rk4": (1e-3, 1e-3),
+    "constant_wind_euler": (50.0, 25.0),
+    "arctic20_euler": (60.0, 20.0),
+    "arctic20_rk4": (60.0, 20.0),
+}
+
+
+def _golden_available(name):
+    return os.path.exists(os.path.join(
+        parity_compare.GOLDENS, f"ref_traj_{name}.npz"))
+
+
+@pytest.mark.parametrize("name", list(TOLERANCES))
+def test_trajectory_matches_reference(name):
+    if not _golden_available(name):
+        pytest.skip(f"golden for {name} not generated")
+    golden, cfg = parity_compare.load_golden(name)
+    if name.startswith("arctic20") and not os.path.exists(cfg["file"]):
+        pytest.skip("reference Arctic20 forcing file unavailable")
+    o = parity_compare.RUNNERS[name](cfg)
+    stats = parity_compare.compare(name, o, golden)
+    max_tol, final_tol = TOLERANCES[name]
+    assert stats["shape_ref"] == stats["shape_our"]
+    assert stats["finite_mismatch"] == 0, stats
+    assert stats["max_m"] < max_tol, stats
+    assert stats["final_mean_m"] < final_tol, stats

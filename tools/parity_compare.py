@@ -1,0 +1,135 @@
+"""Compare opendrift_tpu runs against the reference goldens produced by
+tools/ref_runner.py.  Shared by tests/test_reference_trajectory_parity.py
+(import) and usable standalone for diagnosis:
+
+    python tools/parity_compare.py [scenario ...]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS = os.path.join(REPO, "tests", "goldens")
+sys.path.insert(0, REPO)
+
+
+def load_golden(name):
+    path = os.path.join(GOLDENS, f"ref_traj_{name}.npz")
+    d = np.load(path, allow_pickle=False)
+    cfg = json.loads(str(d["config"]))
+    return d, cfg
+
+
+def run_double_gyre(cfg):
+    from datetime import timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields import DoubleGyre
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("drift:advection_scheme", cfg["scheme"])
+    r = DoubleGyre(epsilon=cfg["epsilon"], omega=cfg["omega"], A=cfg["A"])
+    o.add_reader(r)
+    x = np.asarray(cfg["seed_x"])
+    y = np.asarray(cfg["seed_y"])
+    lon, lat = r.xy2lonlat(x, y)
+    o.seed_elements(lon=lon, lat=lat, time=r.initial_time)
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
+def run_constant_wind(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("environment:fallback:x_sea_water_velocity", cfg["u"])
+    o.set_config("environment:fallback:y_sea_water_velocity", cfg["v"])
+    o.set_config("environment:fallback:x_wind", cfg["wind_u"])
+    o.set_config("environment:fallback:y_wind", cfg["wind_v"])
+    o.set_config("drift:advection_scheme", cfg["scheme"])
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    time=datetime(2015, 9, 22, 6),
+                    wind_drift_factor=np.asarray(cfg["wind_drift_factor"]))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
+def run_arctic20(cfg):
+    from datetime import timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.netcdf import NetCDFReader
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:advection_scheme", cfg["scheme"])
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", False)
+    r = NetCDFReader(cfg["file"])
+    o.add_reader(r)
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    time=r.times[0])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step"])
+    return o
+
+
+RUNNERS = {
+    "double_gyre_euler": run_double_gyre,
+    "double_gyre_rk4": run_double_gyre,
+    "constant_wind_euler": run_constant_wind,
+    "arctic20_euler": run_arctic20,
+    "arctic20_rk4": run_arctic20,
+}
+
+
+def compare(name, o, golden):
+    """Returns dict of divergence stats between our result and golden."""
+    from opendrift_tpu.utils.geodesic import inverse_np
+
+    lon_r = np.asarray(golden["lon"], np.float64)
+    lat_r = np.asarray(golden["lat"], np.float64)
+    lon_o = np.asarray(o.result["lon"].values, np.float64)
+    lat_o = np.asarray(o.result["lat"].values, np.float64)
+    nt = min(lon_r.shape[1], lon_o.shape[1])
+    lon_r, lat_r = lon_r[:, :nt], lat_r[:, :nt]
+    lon_o, lat_o = lon_o[:, :nt], lat_o[:, :nt]
+    both = (np.isfinite(lon_r) & np.isfinite(lon_o))
+    _, _, dist = inverse_np(lat_r[both], lon_r[both],
+                            np.where(both, lat_o, lat_r)[both],
+                            np.where(both, lon_o, lon_r)[both])
+    dist = np.asarray(dist)
+    last = both[:, -1]
+    _, _, dist_last = inverse_np(lat_r[:, -1][last], lon_r[:, -1][last],
+                                 lat_o[:, -1][last], lon_o[:, -1][last])
+    return {
+        "shape_ref": lon_r.shape, "shape_our": lon_o.shape,
+        "finite_mismatch": int((np.isfinite(lon_r) != np.isfinite(lon_o)).sum()),
+        "max_m": float(np.max(dist)) if dist.size else np.nan,
+        "mean_m": float(np.mean(dist)) if dist.size else np.nan,
+        "final_max_m": float(np.max(dist_last)) if dist_last.size else np.nan,
+        "final_mean_m": float(np.mean(dist_last)) if dist_last.size else np.nan,
+    }
+
+
+def main():
+    names = sys.argv[1:] or list(RUNNERS)
+    for name in names:
+        golden, cfg = load_golden(name)
+        o = RUNNERS[name](cfg)
+        stats = compare(name, o, golden)
+        print(name, json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""Run the ACTUAL reference OpenDrift (/root/reference) under the
+dependency shims in tools/refshims.py and dump trajectory goldens.
+
+This executes the reference's real main loop — seeding, environment
+fetches, advection (Euler/RK2/RK4 with midpoint refetches,
+reference physics_methods.py:611-691), geodesic position update
+(basemodel/__init__.py:4631), buffering — so the goldens capture the
+reference's end-to-end behaviour, not just kernel formulas.
+
+Usage:
+    python tools/ref_runner.py [--out tests/goldens] [--scenario NAME]
+
+Writes one ``ref_traj_<scenario>.npz`` per scenario, holding
+lon/lat(/z) arrays of shape (n_elements, n_output_steps), the output
+times (seconds since start) and a JSON config echo for the mirror run.
+
+Run as a subprocess only: the shims replace sys.modules entries.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import refshims  # noqa: E402
+
+refshims.install()
+sys.path.insert(0, REF)
+
+from datetime import datetime, timedelta  # noqa: E402
+
+
+def _seed_grid(nx=10, ny=5, x0=0.15, x1=1.85, y0=0.15, y1=0.85):
+    x, y = np.meshgrid(np.linspace(x0, x1, nx), np.linspace(y0, y1, ny))
+    return x.ravel(), y.ravel()
+
+
+def _common_config(o):
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("seed:ocean_only", False)
+
+
+def _collect(o, result):
+    lon = np.asarray(result.lon.values, dtype=np.float64)
+    lat = np.asarray(result.lat.values, dtype=np.float64)
+    out = {"lon": lon, "lat": lat,
+           "status": np.asarray(result.status.values)}
+    if "z" in result.data_vars:
+        out["z"] = np.asarray(result.z.values, dtype=np.float64)
+    times = result["time"].values
+    out["time_s"] = ((times - times[0]) / np.timedelta64(1, "s")).astype(
+        np.float64)
+    return out
+
+
+def scenario_double_gyre(scheme):
+    """Mirrors reference examples/example_double_gyre.py, deterministic
+    seeding (explicit grid, no radius scatter)."""
+    from opendrift.models.oceandrift import OceanDrift
+    from opendrift.readers import reader_double_gyre
+
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("drift:advection_scheme", scheme)
+    r = reader_double_gyre.Reader(epsilon=0.25, omega=0.628, A=0.1)
+    o.add_reader(r)
+    x, y = _seed_grid()
+    lon, lat = r.xy2lonlat(x, y)
+    o.seed_elements(lon=lon, lat=lat, time=r.initial_time)
+    result = o.run(duration=timedelta(seconds=10), time_step=0.1)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "double_gyre",
+        "epsilon": 0.25, "omega": 0.628, "A": 0.1,
+        "scheme": scheme, "time_step": 0.1, "duration_s": 10,
+        "seed_x": x.tolist(), "seed_y": y.tolist(),
+    })
+    return out
+
+
+def scenario_constant_wind():
+    """Constant current + wind with per-element wind_drift_factor:
+    exercises the geodesic step and windage over real distances
+    (reference example_constant_current.py + advect_wind)."""
+    from opendrift.models.oceandrift import OceanDrift
+
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.35)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.65)
+    o.set_config("environment:fallback:x_wind", 7.5)
+    o.set_config("environment:fallback:y_wind", -4.0)
+    n = 50
+    lon = np.linspace(3.5, 5.5, n)
+    lat = np.linspace(59.0, 61.0, n)
+    wdf = np.linspace(0.0, 0.05, n)
+    o.seed_elements(lon=lon, lat=lat, time=datetime(2015, 9, 22, 6),
+                    wind_drift_factor=wdf)
+    result = o.run(duration=timedelta(hours=25), time_step=900)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "constant",
+        "u": 0.35, "v": 0.65, "wind_u": 7.5, "wind_v": -4.0,
+        "scheme": "euler", "time_step": 900, "duration_s": 25 * 3600,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "wind_drift_factor": wdf.tolist(),
+    })
+    return out
+
+
+ARCTIC20 = os.path.join(
+    REF, "tests/test_data/2Feb2016_Nordic_sigma_3d/Arctic20_1to5Feb_2016.nc")
+
+
+def load_arctic20_surface():
+    """Decode the Arctic20 z-level subset (surface layer u/v) with our
+    own NetCDF parser; returns (proj4, x_m, y_m, times, fields)."""
+    from opendrift_tpu.utils import ncio
+
+    ds = ncio.NCFile(ARCTIC20)
+    proj4 = ds.variables["polar_stereographic"].attrs["proj4_string"]
+    xs = np.asarray(ds.variables["X"][:], np.float64) * 1000.0  # km -> m
+    ys = np.asarray(ds.variables["Y"][:], np.float64) * 1000.0
+    tvals = np.asarray(ds.variables["time"][:], np.float64)
+    times = [datetime(1970, 1, 1) + timedelta(seconds=float(t))
+             for t in tvals]
+    fields = {}
+    for name, std in (("u", "x_sea_water_velocity"),
+                      ("v", "y_sea_water_velocity")):
+        v = ds.variables[name]
+        raw = np.asarray(v[:])
+        fv = v.attrs.get("_FillValue")
+        sf = float(v.attrs.get("scale_factor", 1.0))
+        ao = float(v.attrs.get("add_offset", 0.0))
+        arr = raw.astype(np.float64) * sf + ao
+        if fv is not None:
+            arr[raw == fv] = np.nan
+        fields[std] = arr[:, 0, :, :]  # surface layer
+    return proj4, xs, ys, times, fields
+
+
+def scenario_arctic20(scheme):
+    """Gridded Arctic20 polar-stereographic forcing through the
+    reference's own StructuredReader/ReaderBlock stack (block fetch,
+    NaN expansion, time blending, vector rotation), served by an
+    in-memory concrete reader — the gridded rung of the BASELINE
+    config ladder (reference example_rungekutta_norkyst.py pattern)."""
+    from opendrift.models.oceandrift import OceanDrift
+    from opendrift.readers.basereader.structured import StructuredReader
+
+    class ArrayStructuredReader(StructuredReader):
+        """Concrete structured reader over in-memory numpy arrays.
+
+        Plays the role of reference reader_netCDF_CF_generic.py for
+        a pre-decoded dataset: get_variables returns index-subset
+        arrays; all interpolation happens in the reference's own
+        ReaderBlock (reference interpolation/structured.py:107)."""
+
+        def __init__(self, proj4, x, y, times, fields):
+            self.proj4 = proj4
+            self.proj = None
+            self.name = "array_structured"
+            self.x = np.asarray(x, np.float64)
+            self.y = np.asarray(y, np.float64)
+            self.xmin, self.xmax = self.x.min(), self.x.max()
+            self.ymin, self.ymax = self.y.min(), self.y.max()
+            self.delta_x = float(self.x[1] - self.x[0])
+            self.delta_y = float(self.y[1] - self.y[0])
+            self.times = list(times)
+            self.start_time = self.times[0]
+            self.end_time = self.times[-1]
+            self.time_step = self.times[1] - self.times[0]
+            self._fields = fields
+            self.variables = list(fields.keys())
+            self.zlevels = None
+            super().__init__()
+
+        def get_variables(self, requested_variables, time=None,
+                          x=None, y=None, z=None):
+            requested_variables, time, x, y, z, outside = \
+                self.check_arguments(requested_variables, time, x, y, z)
+            nearest_time, dummy1, dummy2, indx_nearest, dummy3, dummy4 = \
+                self.nearest_time(time)
+            ix0 = np.maximum(0, np.searchsorted(self.x, x.min()) - 1
+                             - self.buffer)
+            ix1 = np.minimum(len(self.x),
+                             np.searchsorted(self.x, x.max()) + 1
+                             + self.buffer)
+            iy0 = np.maximum(0, np.searchsorted(self.y, y.min()) - 1
+                             - self.buffer)
+            iy1 = np.minimum(len(self.y),
+                             np.searchsorted(self.y, y.max()) + 1
+                             + self.buffer)
+            variables = {"time": nearest_time,
+                         "x": self.x[ix0:ix1], "y": self.y[iy0:iy1],
+                         "z": None}
+            for var in requested_variables:
+                variables[var] = self._fields[var][indx_nearest,
+                                                   iy0:iy1, ix0:ix1]
+            return variables
+
+    proj4, xs, ys, times, fields = load_arctic20_surface()
+
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("drift:advection_scheme", scheme)
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", False)
+    r = ArrayStructuredReader(proj4, xs, ys, times, fields)
+    o.add_reader(r)
+    nseed = 40
+    lon = np.linspace(9.0, 16.0, nseed)
+    lat = np.linspace(70.0, 72.5, nseed)
+    o.seed_elements(lon=lon, lat=lat, time=times[0])
+    result = o.run(duration=timedelta(hours=50), time_step=1800,
+                   time_step_output=1800)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "arctic20_surface",
+        "scheme": scheme, "time_step": 1800, "duration_s": 50 * 3600,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "file": ARCTIC20,
+    })
+    return out
+
+
+SCENARIOS = {
+    "double_gyre_euler": lambda: scenario_double_gyre("euler"),
+    "double_gyre_rk4": lambda: scenario_double_gyre("runge-kutta4"),
+    "constant_wind_euler": scenario_constant_wind,
+    "arctic20_euler": lambda: scenario_arctic20("euler"),
+    "arctic20_rk4": lambda: scenario_arctic20("runge-kutta4"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "tests", "goldens"))
+    ap.add_argument("--scenario", default=None)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    names = [args.scenario] if args.scenario else list(SCENARIOS)
+    for name in names:
+        print(f"=== running reference scenario {name}")
+        data = SCENARIOS[name]()
+        path = os.path.join(args.out, f"ref_traj_{name}.npz")
+        np.savez_compressed(path, **data)
+        print(f"    wrote {path}: lon shape {data['lon'].shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,650 @@
+"""Dependency shims that let the ACTUAL reference OpenDrift package at
+/root/reference run in this image (which lacks pyproj/xarray/netCDF4/
+cartopy/shapely/geojson/roaring-landmask/coloredlogs).
+
+Purpose: execute the reference's own ``OpenDriftSimulation.run()``
+(reference basemodel/__init__.py:1829) end-to-end so trajectory goldens
+can be captured and compared against opendrift_tpu — the BASELINE
+acceptance test ("matching OpenDrift allclose after 100 steps").
+
+Every shim implements ONLY the surface the reference's run path touches:
+
+- ``pyproj``  -> delegates to opendrift_tpu.utils.crs / utils.geodesic
+  (our from-scratch PROJ + Vincenty implementations).
+- ``xarray``  -> a small Dataset/DataArray facade over numpy sufficient
+  for ``self.result`` buffering (reference basemodel/__init__.py:2083-2499).
+- ``roaring_landmask`` -> all-ocean mask (scenarios provide their own
+  land_binary_mask or a fallback of 0).
+- ``netCDF4``/``cartopy``/``shapely``/``geojson``/``copernicusmarine``/
+  ``cmocean``/``coloredlogs`` -> import-time stubs (never called on the
+  run path for the golden scenarios).
+
+Run under a SUBPROCESS only (tools/ref_runner.py): installing these
+mutates sys.modules globally.
+"""
+
+import json
+import sys
+import types
+
+import numpy as np
+
+
+# --------------------------------------------------------------------
+# pyproj
+# --------------------------------------------------------------------
+
+def _build_pyproj():
+    from opendrift_tpu.utils import crs as tcrs
+    from opendrift_tpu.utils import geodesic as tgeo
+
+    pyproj = types.ModuleType("pyproj")
+
+    class _CRSInfo:
+        def __init__(self, is_geographic):
+            self.is_geographic = is_geographic
+
+    class Proj:
+        def __init__(self, arg, preserve_units=True):
+            if isinstance(arg, Proj):
+                self.srs = arg.srs
+                self._impl = arg._impl
+            elif isinstance(arg, dict):
+                self.srs = " ".join(f"+{k}={v}" for k, v in arg.items())
+                self._impl = tcrs.from_proj4(self.srs)
+            else:
+                self.srs = str(arg)
+                self._impl = tcrs.from_proj4(self.srs)
+            geographic = ("+proj=latlong" in self.srs
+                          or "+proj=longlat" in self.srs
+                          or "+proj=lonlat" in self.srs
+                          or "+proj=latlon" in self.srs)
+            self.crs = _CRSInfo(geographic)
+
+        @property
+        def proj4(self):
+            return self.srs
+
+        def definition_string(self):
+            return self.srs
+
+        def __call__(self, x, y, inverse=False):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            if inverse:
+                lon, lat = self._impl.inv(np, x, y)
+                return lon, lat
+            return self._impl.fwd(np, x, y)
+
+    class Geod:
+        def __init__(self, ellps="WGS84", **kw):
+            pass
+
+        def fwd(self, lons, lats, az, dist, radians=False):
+            lat2, lon2 = tgeo.direct_np(lats, lons, az, dist)
+            # back azimuth: forward azimuth at destination + 180, cheap
+            # approximation — the reference run path discards it.
+            back = np.asarray(az, dtype=np.float64) + 180.0
+            back = np.where(back > 180.0, back - 360.0, back)
+            return lon2, lat2, back
+
+        def inv(self, lons1, lats1, lons2, lats2, radians=False):
+            az12, az21, dist = tgeo.inverse_np(lats1, lons1, lats2, lons2)
+            return az12, az21, dist
+
+    class Transformer:
+        def __init__(self, p_from, p_to):
+            self._from = p_from
+            self._to = p_to
+
+        @classmethod
+        def from_proj(cls, p_from, p_to, always_xy=False):
+            if not isinstance(p_from, Proj):
+                p_from = Proj(p_from)
+            if not isinstance(p_to, Proj):
+                p_to = Proj(p_to)
+            return cls(p_from, p_to)
+
+        def transform(self, x, y):
+            if self._from.crs.is_geographic:
+                lon, lat = np.asarray(x, np.float64), np.asarray(y, np.float64)
+            else:
+                lon, lat = self._from(x, y, inverse=True)
+            if self._to.crs.is_geographic:
+                return lon, lat
+            return self._to(lon, lat)
+
+    class CRS:
+        def __init__(self, arg):
+            self.srs = str(arg)
+
+        @classmethod
+        def from_proj4(cls, s):
+            return cls(s)
+
+    pyproj.Proj = Proj
+    pyproj.Geod = Geod
+    pyproj.Transformer = Transformer
+    pyproj.CRS = CRS
+    pyproj.exceptions = types.ModuleType("pyproj.exceptions")
+    pyproj.exceptions.CRSError = ValueError
+    return pyproj
+
+
+# --------------------------------------------------------------------
+# xarray facade
+# --------------------------------------------------------------------
+
+def _as_label(value):
+    """Normalise a coordinate label (datetime/Timestamp/np scalar)."""
+    import pandas as pd
+    if isinstance(value, _DataArray):
+        value = value.values
+    if hasattr(value, "to_datetime64"):
+        return value.to_datetime64()
+    import datetime as _dt
+    if isinstance(value, _dt.datetime):
+        return np.datetime64(pd.Timestamp(value))
+    return value
+
+
+def _index_of(coord_values, label, method=None):
+    label = _as_label(label)
+    if np.ndim(label) > 0:
+        labels = np.asarray(label)
+        idx = np.searchsorted(coord_values, labels)
+        return idx
+    if method == "backfill":
+        return int(np.searchsorted(coord_values, label, side="left"))
+    if method in (None, "nearest"):
+        idx = int(np.searchsorted(coord_values, label, side="left"))
+        if method is None:
+            if idx >= len(coord_values) or coord_values[idx] != label:
+                raise KeyError(label)
+            return idx
+        if idx > 0 and (idx == len(coord_values)
+                        or abs(coord_values[idx - 1] - label)
+                        <= abs(coord_values[idx] - label)):
+            return idx - 1
+        return idx
+    raise NotImplementedError(f"sel method {method}")
+
+
+class _Loc:
+    def __init__(self, da):
+        self._da = da
+
+    def _resolve(self, key):
+        idx = [slice(None)] * self._da.values.ndim
+        for dim, label in key.items():
+            d = self._da.dims.index(dim)
+            idx[d] = _index_of(self._da._coord_values(dim), label)
+        return tuple(idx)
+
+    def __getitem__(self, key):
+        return self._da.values[self._resolve(key)]
+
+    def __setitem__(self, key, value):
+        self._da.values[self._resolve(key)] = value
+
+
+class _Scalar:
+    def __init__(self, v):
+        self._v = v
+
+    def item(self):
+        return self._v.item() if hasattr(self._v, "item") else self._v
+
+
+class _DataArray:
+    """Minimal xarray.DataArray: shared-buffer views, label indexing on
+    sorted coords, attrs exposed as attributes (reference accesses
+    ``result.lat.minval`` etc., basemodel/__init__.py:2470-2482)."""
+
+    def __init__(self, data, dims=(), attrs=None, coords=None, name=None):
+        self.values = data
+        self.dims = tuple(dims)
+        self.attrs = dict(attrs or {})
+        self.coords = coords or {}
+        self.name = name
+
+    def _coord_values(self, dim):
+        c = self.coords[dim]
+        return c.values if isinstance(c, _DataArray) else np.asarray(c)
+
+    # -- indexing ------------------------------------------------------
+    @property
+    def loc(self):
+        return _Loc(self)
+
+    def __getitem__(self, key):
+        vals = self.values[key]
+        if np.ndim(vals) == 0 or isinstance(key, (int, np.integer)):
+            dims = self.dims[1:] if self.dims else ()
+        else:
+            dims = self.dims
+        coords = dict(self.coords)
+        if isinstance(key, (int, np.integer, slice, np.ndarray, list)) \
+                and self.dims and self.dims[0] in coords:
+            sub = self._coord_values(self.dims[0])[key]
+            if np.ndim(sub) == 0:
+                coords.pop(self.dims[0], None)
+            else:
+                coords[self.dims[0]] = sub
+        return _DataArray(vals, dims, self.attrs, coords, self.name)
+
+    def __setitem__(self, key, value):
+        self.values[key] = value
+
+    def sel(self, indexers=None, method=None, **kw):
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = self
+        for dim, label in indexers.items():
+            if dim not in out.dims:   # selecting on own values (coord da)
+                idx = _index_of(out.values, label, method)
+                return _DataArray(out.values[idx], (), out.attrs, {}, out.name)
+            d = out.dims.index(dim)
+            idx = _index_of(out._coord_values(dim), label, method)
+            slicer = [slice(None)] * out.values.ndim
+            slicer[d] = idx
+            vals = out.values[tuple(slicer)]
+            dims = tuple(x for i, x in enumerate(out.dims) if i != d)
+            out = _DataArray(vals, dims, out.attrs, dict(out.coords), out.name)
+        return out
+
+    def isel(self, indexers=None, drop=False, **kw):
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = self
+        for dim, idx in indexers.items():
+            d = out.dims.index(dim)
+            slicer = [slice(None)] * out.values.ndim
+            slicer[d] = idx
+            vals = out.values[tuple(slicer)]
+            if np.ndim(idx) == 0:
+                dims = tuple(x for i, x in enumerate(out.dims) if i != d)
+            else:
+                dims = out.dims
+            coords = dict(out.coords)
+            if np.ndim(idx) == 0:
+                coords.pop(dim, None)
+            elif dim in coords:
+                coords[dim] = out._coord_values(dim)[idx]
+            out = _DataArray(vals, dims, out.attrs, coords, out.name)
+        return out
+
+    # -- reductions / arithmetic ---------------------------------------
+    def min(self, skipna=True, dim=None):
+        vals = self.values
+        return _Scalar(np.nanmin(vals) if skipna else np.min(vals))
+
+    def max(self, skipna=True, dim=None):
+        vals = self.values
+        return _Scalar(np.nanmax(vals) if skipna else np.max(vals))
+
+    def notnull(self):
+        vals = self.values
+        if np.issubdtype(np.asarray(vals).dtype, np.floating):
+            return _DataArray(~np.isnan(vals), self.dims, {}, dict(self.coords))
+        return _DataArray(np.ones(np.shape(vals), bool), self.dims, {},
+                          dict(self.coords))
+
+    def argmax(self, dim=None):
+        if dim is None:
+            return _DataArray(np.argmax(self.values), ())
+        d = self.dims.index(dim)
+        vals = np.argmax(self.values, axis=d)
+        dims = tuple(x for i, x in enumerate(self.dims) if i != d)
+        return _DataArray(vals, dims)
+
+    def __eq__(self, other):
+        other_v = other.values if isinstance(other, _DataArray) else _as_label(other)
+        return _DataArray(self.values == other_v, self.dims, {}, dict(self.coords))
+
+    __hash__ = None
+
+    def __contains__(self, item):
+        return bool(np.any(self.values == _as_label(item)))
+
+    def __add__(self, other):
+        if hasattr(other, "to_timedelta64"):
+            other = other.to_timedelta64()
+        return _DataArray(self.values + other, self.dims, dict(self.attrs),
+                          dict(self.coords), self.name)
+
+    def __sub__(self, other):
+        other_v = other.values if isinstance(other, _DataArray) else _as_label(other)
+        return _DataArray(self.values - other_v, self.dims, {}, dict(self.coords))
+
+    def __truediv__(self, other):
+        return _DataArray(self.values / other, self.dims, {}, dict(self.coords))
+
+    def __len__(self):
+        return len(self.values)
+
+    def __iter__(self):
+        for i in range(len(self.values)):
+            yield self[i]
+
+    def __array__(self, dtype=None):
+        return np.asarray(self.values, dtype=dtype)
+
+    def __float__(self):
+        return float(self.values)
+
+    # -- attrs ----------------------------------------------------------
+    def assign_attrs(self, *args, **kw):
+        new = dict(self.attrs)
+        for a in args:
+            new.update(a)
+        new.update(kw)
+        return _DataArray(self.values, self.dims, new, dict(self.coords),
+                          self.name)
+
+    def copy(self, deep=False):
+        vals = self.values.copy() if deep and hasattr(self.values, "copy") \
+            else self.values
+        return _DataArray(vals, self.dims, dict(self.attrs),
+                          dict(self.coords), self.name)
+
+    @property
+    def T(self):
+        return _DataArray(np.asarray(self.values).T, self.dims[::-1],
+                          dict(self.attrs), dict(self.coords), self.name)
+
+    def __getattr__(self, key):
+        attrs = object.__getattribute__(self, "attrs")
+        if key in attrs:
+            return attrs[key]
+        raise AttributeError(key)
+
+
+class _Coords(dict):
+    def __init__(self, ds):
+        super().__init__()
+        self._ds = ds
+
+    def __setitem__(self, key, value):
+        if isinstance(value, _DataArray):
+            value = value.values
+        super().__setitem__(key, _DataArray(np.asarray(value), (key,)))
+
+    def __getitem__(self, key):
+        return super().__getitem__(key)
+
+
+class _Dataset:
+    """Minimal xarray.Dataset for the reference result buffer."""
+
+    def __init__(self, coords=None, data_vars=None, attrs=None):
+        self.attrs = dict(attrs or {})
+        self._coords = _Coords(self)
+        self._vars = {}
+        for name, spec in (coords or {}).items():
+            if isinstance(spec, tuple):
+                dims, vals = spec[0], spec[1]
+                cattrs = spec[2] if len(spec) > 2 else {}
+            else:
+                vals, cattrs = spec, {}
+            vals = np.asarray(vals)
+            dict.__setitem__(self._coords, name,
+                             _DataArray(vals, (name,), cattrs, name=name))
+        for name, spec in (data_vars or {}).items():
+            self[name] = spec
+
+    # -- mapping --------------------------------------------------------
+    def __setitem__(self, name, spec):
+        if isinstance(spec, _DataArray):
+            da = spec
+            da.name = name
+            da.coords = {d: dict.__getitem__(self._coords, d)
+                         for d in da.dims if d in self._coords}
+        else:
+            dims, vals = spec[0], np.asarray(spec[1])
+            attrs = spec[2] if len(spec) > 2 else {}
+            if isinstance(dims, str):
+                dims = (dims,)
+            da = _DataArray(vals, dims, attrs, name=name)
+            da.coords = {d: dict.__getitem__(self._coords, d)
+                         for d in dims if d in self._coords}
+        self._vars[name] = da
+
+    def __getitem__(self, name):
+        if isinstance(name, (list, tuple)):
+            sub = _Dataset(attrs=self.attrs)
+            sub._coords = self._coords
+            for n in name:
+                sub._vars[n] = self._vars[n]
+            return sub
+        if name in self._vars:
+            return self._vars[name]
+        return dict.__getitem__(self._coords, name)
+
+    def __contains__(self, name):
+        return name in self._vars or name in self._coords
+
+    def __iter__(self):
+        return iter(self._vars)
+
+    def __len__(self):
+        return len(self._vars)
+
+    def __getattr__(self, name):
+        vars_ = object.__getattribute__(self, "_vars")
+        coords = object.__getattribute__(self, "_coords")
+        if name in vars_:
+            return vars_[name]
+        if name in coords:
+            return dict.__getitem__(coords, name)
+        attrs = object.__getattribute__(self, "attrs")
+        if name in attrs:
+            return attrs[name]
+        raise AttributeError(name)
+
+    # -- structure ------------------------------------------------------
+    @property
+    def coords(self):
+        return self._coords
+
+    @property
+    def data_vars(self):
+        return dict(self._vars)
+
+    @property
+    def sizes(self):
+        out = {}
+        for name, c in self._coords.items():
+            out[name] = len(c.values)
+        for da in self._vars.values():
+            for d, n in zip(da.dims, np.shape(da.values)):
+                out.setdefault(d, n)
+        return out
+
+    @property
+    def dims(self):
+        return self.sizes
+
+    def assign_attrs(self, *args, **kw):
+        for a in args:
+            self.attrs.update(a)
+        self.attrs.update(kw)
+        return self
+
+    def copy(self, deep=False):
+        new = _Dataset(attrs=dict(self.attrs))
+        new._coords = self._coords
+        for n, da in self._vars.items():
+            new._vars[n] = da.copy(deep=deep)
+        return new
+
+    # -- selection ------------------------------------------------------
+    def _subset(self, dim, idx):
+        new = _Dataset(attrs=dict(self.attrs))
+        for n, c in self._coords.items():
+            vals = c.values[idx] if n == dim else c.values
+            dict.__setitem__(new._coords, n,
+                             _DataArray(vals, (n,), c.attrs, name=n))
+        for n, da in self._vars.items():
+            if dim in da.dims:
+                d = da.dims.index(dim)
+                slicer = [slice(None)] * da.values.ndim
+                slicer[d] = idx
+                vals = da.values[tuple(slicer)]
+                if np.ndim(idx) == 0:
+                    dims = tuple(x for i, x in enumerate(da.dims) if i != d)
+                else:
+                    dims = da.dims
+            else:
+                vals, dims = da.values, da.dims
+            nda = _DataArray(vals, dims, da.attrs, name=n)
+            nda.coords = {d: dict.__getitem__(new._coords, d)
+                          for d in dims if d in new._coords}
+            new._vars[n] = nda
+        return new
+
+    def sel(self, indexers=None, **kw):
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = self
+        for dim, sl in indexers.items():
+            coord = dict.__getitem__(out._coords, dim).values
+            if isinstance(sl, slice):
+                lo = 0 if sl.start is None else int(
+                    np.searchsorted(coord, _as_label(sl.start), "left"))
+                hi = len(coord) if sl.stop is None else int(
+                    np.searchsorted(coord, _as_label(sl.stop), "right"))
+                out = out._subset(dim, slice(lo, hi))
+            else:
+                out = out._subset(dim, _index_of(coord, sl))
+        return out
+
+    def isel(self, indexers=None, drop=False, **kw):
+        indexers = dict(indexers or {})
+        indexers.update(kw)
+        out = self
+        for dim, idx in indexers.items():
+            if np.ndim(idx) == 0 and not isinstance(idx, slice):
+                idx = int(idx)
+            elif not isinstance(idx, slice):
+                idx = np.asarray(idx)
+            out = out._subset(dim, idx)
+            if np.ndim(idx) == 0 and not isinstance(idx, slice):
+                # dropped dim: remove its coordinate
+                dict.pop(out._coords, dim, None)
+        return out
+
+
+def _build_xarray():
+    xr = types.ModuleType("xarray")
+    xr.Dataset = _Dataset
+    xr.DataArray = _DataArray
+
+    def open_dataset(*a, **kw):
+        raise NotImplementedError("xarray shim: open_dataset not supported")
+
+    xr.open_dataset = open_dataset
+    xr.open_mfdataset = open_dataset
+    return xr
+
+
+# --------------------------------------------------------------------
+# misc stubs
+# --------------------------------------------------------------------
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install():
+    """Install all shims into sys.modules (idempotent)."""
+    if "pyproj" not in sys.modules:
+        sys.modules["pyproj"] = _build_pyproj()
+    if "xarray" not in sys.modules:
+        sys.modules["xarray"] = _build_xarray()
+
+    class _RoaringLandmask:
+        @staticmethod
+        def new():
+            return _RoaringLandmask()
+
+        def contains(self, x, y):
+            return np.zeros(np.shape(x), dtype=bool)
+
+        def contains_many(self, x, y):
+            return np.zeros(np.shape(x), dtype=bool)
+
+    _stub("roaring_landmask", RoaringLandmask=_RoaringLandmask)
+
+    class _NCDataset:
+        def __init__(self, *a, **kw):
+            raise NotImplementedError("netCDF4 shim")
+
+    _stub("netCDF4", Dataset=_NCDataset,
+          num2date=lambda *a, **k: None, date2num=lambda *a, **k: None)
+
+    cartopy = _stub("cartopy")
+    cartopy.crs = _stub("cartopy.crs", Mercator=object, PlateCarree=object,
+                        Stereographic=object)
+    class _GSHHSFeature:
+        def __init__(self, *a, **kw):
+            pass
+
+    cartopy.feature = _stub("cartopy.feature", GSHHSFeature=_GSHHSFeature,
+                            Feature=_GSHHSFeature,
+                            COLORS={"land": "#efefdb", "water": "#97b6e1",
+                                    "land_alt1": "#aedfa3"})
+    cartopy.io = _stub("cartopy.io")
+    cartopy.io.shapereader = _stub("cartopy.io.shapereader")
+
+    shapely = _stub("shapely",
+                    clip_by_rect=lambda *a, **k: None,
+                    wkb=None)
+    shapely.geometry = _stub("shapely.geometry", box=lambda *a, **k: None,
+                             Polygon=object, MultiPolygon=object,
+                             Point=object, shape=lambda *a, **k: None,
+                             asPolygon=lambda *a, **k: None)
+    shapely.wkb = _stub("shapely.wkb", loads=lambda *a, **k: None)
+    shapely.wkt = _stub("shapely.wkt", loads=lambda *a, **k: None)
+    shapely.ops = _stub("shapely.ops")
+    shapely.prepared = _stub("shapely.prepared", prep=lambda x: x)
+
+    def _gj(kind):
+        def make(coords=None, **kw):
+            return {"type": kind, "coordinates": coords, **kw}
+        return make
+
+    def _gj_feature(geometry=None, properties=None):
+        return {"type": "Feature", "geometry": geometry,
+                "properties": properties}
+
+    def _gj_fc(features):
+        return {"type": "FeatureCollection", "features": list(features)}
+
+    geojson = _stub("geojson", Point=_gj("Point"),
+                    LineString=_gj("LineString"), Polygon=_gj("Polygon"),
+                    Feature=_gj_feature, FeatureCollection=_gj_fc,
+                    loads=lambda s: json.loads(s),
+                    dumps=lambda o, **k: json.dumps(o, **k))
+    geojson.utils = _stub("geojson.utils")
+    _stub("copernicusmarine")
+    _stub("cmocean", cm=types.SimpleNamespace())
+
+    fields = {"asctime": {}, "levelname": {"color": "magenta"},
+              "name": {}, "lineno": {}}
+
+    def _coloredlogs_install(level=20, fmt=None, datefmt=None,
+                             field_styles=None, **kw):
+        import logging
+        h = logging.StreamHandler()
+        if fmt:
+            h.setFormatter(logging.Formatter(fmt, datefmt))
+        lg = logging.getLogger("opendrift")
+        lg.addHandler(h)
+
+    _stub("coloredlogs", DEFAULT_FIELD_STYLES=fields,
+          install=_coloredlogs_install)
