@@ -24,6 +24,7 @@ _MODEL_REGISTRY = {
     "PlastDrift": "opendrift_tpu.models.plastdrift",
     "SedimentDrift": "opendrift_tpu.models.sedimentdrift",
     "LarvalFish": "opendrift_tpu.models.larvalfish",
+    "LarvalFishExtended": "opendrift_tpu.models.larvalfish",
     "ShipDrift": "opendrift_tpu.models.shipdrift",
     "OpenBerg": "opendrift_tpu.models.openberg",
     "RadionuclideDrift": "opendrift_tpu.models.radionuclides",

@@ -9,7 +9,7 @@ from .leeway import Leeway
 from .shipdrift import ShipDrift
 from .openoil import OpenOil
 from .openberg import OpenBerg
-from .larvalfish import LarvalFish
+from .larvalfish import LarvalFish, LarvalFishExtended
 from .sealice import SeaLice
 from .radionuclides import RadionuclideDrift
 from .chemicaldrift import ChemicalDrift
@@ -19,6 +19,6 @@ from .model_template import ModelTemplate
 __all__ = ["OpenDriftSimulation", "Mode", "StepContext", "OceanDrift",
            "Lagrangian3DArray", "WindBlow", "SeaIceDrift",
            "PelagicEggDrift", "PlastDrift", "SedimentDrift", "Leeway",
-           "ShipDrift", "OpenOil", "OpenBerg", "LarvalFish", "SeaLice",
+           "ShipDrift", "OpenOil", "OpenBerg", "LarvalFish", "LarvalFishExtended", "SeaLice",
            "RadionuclideDrift", "ChemicalDrift", "OpenHNS",
            "OpenBergOld", "ModelTemplate"]

@@ -102,7 +102,8 @@ class PelagicEggDrift(OceanDrift):
     def update(self, ctx):
         """(reference pelagicegg.py:181-193)."""
         self.update_terminal_velocity(ctx)
-        self.vertical_mixing(ctx)
+        if self.get_config("drift:vertical_mixing"):
+            self.vertical_mixing(ctx)
         ctx.advect_ocean_current()
         if self.get_config("drift:vertical_advection"):
             self.vertical_advection(ctx)

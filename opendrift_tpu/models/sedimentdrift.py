@@ -61,7 +61,8 @@ class SedimentDrift(OceanDrift):
         self.vertical_advection(ctx)
         ctx.advect_wind()
         ctx.stokes_drift()
-        self.vertical_mixing(ctx)
+        if self.get_config("drift:vertical_mixing"):
+            self.vertical_mixing(ctx)
         self.resuspension(ctx)
 
     def bottom_interaction(self, ctx, mix, zmin):

@@ -21,6 +21,8 @@ CASES = [
     ("plastdrift.py", "PlastElement", "PlastDrift"),
     ("sedimentdrift.py", "SedimentElement", "SedimentDrift"),
     ("larvalfish.py", "LarvalFishElement", "LarvalFish"),
+    ("larvalfish_extended.py", "LarvalFishExtendedElement",
+     "LarvalFishExtended"),
     ("sealice.py", "SeaLiceElement", "SeaLice"),
     ("shipdrift.py", "ShipObject", "ShipDrift"),
     ("openberg.py", "IcebergObj", "OpenBerg"),
