@@ -12,6 +12,8 @@ chemical, sediment interaction and burial — all fused element-wise with
 the vectorised speciation kernel.
 """
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -21,6 +23,8 @@ from ..config import CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED, \
 from ..ops.speciation import speciation_step
 from ..ops import physics as ph
 from .oceandrift import OceanDrift, Lagrangian3DArray
+
+logger = logging.getLogger(__name__)
 
 G = 9.81
 R_GAS = 8.206e-5  # atm m3 / (mol K)
@@ -85,6 +89,10 @@ class ChemicalDrift(OceanDrift):
         "spm": {"fallback": 1.0},
         "ocean_mixed_layer_thickness": {"fallback": 50},
         "active_sediment_layer_thickness": {"fallback": 0.03},
+        # pH drives KOC corrections of dissociating organics
+        # (reference chemicaldrift.py:113-114)
+        "sea_water_ph_reported_on_total_scale": {"fallback": 8.1},
+        "pH_sediment": {"fallback": 6.9},
     }
 
     def add_config(self):
@@ -291,6 +299,14 @@ class ChemicalDrift(OceanDrift):
                 "type": "float", "default": 5e-6, "min": 0, "max": 1e-3,
                 "units": "m", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "SPM diameter"},
+            "chemical:dissolved_diameter": {
+                "type": "float", "default": 0.0, "min": 0, "max": 1e-3,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Diameter of dissolved species"},
+            "chemical:particle_diameter_uncertainty": {
+                "type": "float", "default": 1e-7, "min": 0, "max": 1e-3,
+                "units": "m", "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Gaussian std added to particle diameter"},
             "seed:LMM_fraction": {
                 "type": "float", "default": 1.0, "min": 0, "max": 1,
                 "level": CONFIG_LEVEL_ESSENTIAL,
@@ -354,6 +370,61 @@ class ChemicalDrift(OceanDrift):
         MWsalt = 68.35
         dens = ph.sea_water_density(T, S) * 1e-3       # kg/L
         return 10.0 ** (setchenow * (S / MWsalt) * dens)
+
+    # ---- pH-dependent KOC corrections for dissociating organics ----
+    # (ePiE Technical Manual 2019 estimates for the dissociated forms;
+    # formulas follow the reference verbatim, including its use of the
+    # acid-form KOC in 'base' mode and the pH-independent base term of
+    # the amphoteric neutral fraction)
+
+    @staticmethod
+    def _koc_diss_forms(KOW, pKa_acid):
+        """(reference chemicaldrift.py:597-598)."""
+        koc_acid = 10.0 ** (0.11 * np.log10(KOW) + 1.54)
+        koc_base = 10.0 ** (pKa_acid ** (0.65 * ((KOW / (KOW + 1.0))
+                                                 ** 0.14)))
+        return koc_acid, koc_base
+
+    @classmethod
+    def calc_KOC_corr_particle(cls, KOC_initial, KOC_n, pKa_acid,
+                               pKa_base, KOW, pH, diss):
+        """KOC correction factor for sediment / SPM sorbed phases
+        (reference calc_KOC_sedcorr / calc_KOC_watcorrSPM,
+        chemicaldrift.py:593-672), vectorised over per-element pH."""
+        koc_acid, koc_base = cls._koc_diss_forms(KOW, pKa_acid)
+        if diss == "acid":
+            phi_n = 1.0 / (1.0 + 10.0 ** (pH - pKa_acid))
+            upd = KOC_n * phi_n + (1.0 - phi_n) * koc_acid
+        elif diss == "base":
+            phi_n = 1.0 / (1.0 + 10.0 ** (pH - pKa_base))
+            upd = KOC_n * phi_n + (1.0 - phi_n) * koc_acid
+        elif diss == "amphoter":
+            phi_n = 1.0 / (1.0 + 10.0 ** (pH - pKa_acid)
+                           + 10.0 ** pKa_base)
+            anion = phi_n * 10.0 ** (pH - pKa_acid)
+            cation = phi_n * 10.0 ** (pKa_base - pH)
+            upd = KOC_n * phi_n + anion * koc_acid + cation * koc_base
+        else:   # 'undiss'
+            return jnp.ones_like(pH)
+        return upd / KOC_initial
+
+    @staticmethod
+    def calc_KOC_corr_DOM(KOC_initial, KOC_n, pKa_acid, pKa_base, KOW,
+                          pH, diss):
+        """KOC correction factor for the DOM-bound phase
+        (reference calc_KOC_watcorrDOM, chemicaldrift.py:674-713)."""
+        if diss == "acid":
+            phi_n = 1.0 / (1.0 + 10.0 ** (pH - pKa_acid))
+        elif diss == "base":
+            phi_n = 1.0 / (1.0 + 10.0 ** (pH - pKa_base))
+        elif diss == "amphoter":
+            phi_n = 1.0 / (1.0 + 10.0 ** (pH - pKa_acid)
+                           + 10.0 ** pKa_base)
+        else:   # 'undiss'
+            return jnp.ones_like(pH)
+        upd = (0.08 * (phi_n * KOC_n
+                       + phi_n * 10.0 ** (np.log10(KOW) - 3.5))) / 0.526
+        return upd / KOC_initial
 
     def transfer_rates_matrix(self):
         """Background speciation rates: 'organics' (Karickhoff & Morris
@@ -458,6 +529,18 @@ class ChemicalDrift(OceanDrift):
                 "Particle reversible"), dtype=np.int32)
             specie[:n_lmm] = self.specie_name2num("LMM")
             kwargs["specie"] = specie
+        if "diameter" not in kwargs:
+            # particle-bound elements start at the configured SPM
+            # diameter (+ uncertainty); dissolved at 0
+            # (reference seed_elements, chemicaldrift.py:540-549)
+            specie = np.atleast_1d(np.asarray(kwargs["specie"]))
+            dia = np.zeros(max(specie.size, number), dtype=np.float32)
+            is_p = np.broadcast_to(specie, dia.shape) \
+                == self.specie_name2num("Particle reversible")
+            std = self.get_config("chemical:particle_diameter_uncertainty")
+            dia[is_p] = self.get_config("chemical:particle_diameter") \
+                + np.random.normal(0, std, int(is_p.sum()))
+            kwargs["diameter"] = dia
         return super().seed_elements(*args, **kwargs)
 
     # ---------------------------------------------------------- physics ---
@@ -472,8 +555,10 @@ class ChemicalDrift(OceanDrift):
         S0 = ctx.environment["sea_water_salinity"]
         rho_w = ph.sea_water_density(T0, S0)
         mu_w = ph.sea_water_dynamic_viscosity(T0, S0)
-        # per-element particle density (reference chemicaldrift.py:1187)
-        dia = self.get_config("chemical:particle_diameter")
+        # per-element particle density and diameter (reference
+        # chemicaldrift.py:1156,1187; diameter is seeded per element
+        # and updated on species change)
+        dia = d["diameter"]
         w = -(d["density"] - rho_w) * G * dia ** 2 / (18.0 * mu_w)
         on_spm = d["specie"] == self.specie_name2num("Particle reversible")
         ctx.set_var("terminal_velocity", jnp.where(on_spm, w, 0.0))
@@ -517,10 +602,9 @@ class ChemicalDrift(OceanDrift):
 
         # per-element T/S correction of the organics desorption rates
         # (inversely proportional to Kd; reference update_transfer_rates
-        # chemicaldrift.py:1204-1260)
-        if self.get_config("chemical:transfer_setup") == "organics" \
-                and self.get_config(
-                    "chemical:transformations:dissociation") == "nondiss":
+        # chemicaldrift.py:1204-1260), with pH-dependent KOC corrections
+        # for dissociating chemicals (reference :1246-1340)
+        if self.get_config("chemical:transfer_setup") == "organics":
             T = ctx.environment["sea_water_temperature"]
             Sal = ctx.environment["sea_water_salinity"]
             Tref = self.get_config("chemical:transformations:TrefKOW")
@@ -531,11 +615,50 @@ class ChemicalDrift(OceanDrift):
             setch = self.get_config("chemical:transformations:Setchenow")
             sc = self.salinitycorr(setch, T, Sal)
             hum = self.specie_name2num("Humic colloid")
+            is_dom = d["specie"] == hum
+            is_spm = d["specie"] == prev
+            is_sed = d["specie"] == srev
             corr = jnp.where(
-                d["specie"] == hum,
-                self.tempcorr(DH_dom, T, Tref) * sc,
-                jnp.where((d["specie"] == prev) | (d["specie"] == srev),
+                is_dom, self.tempcorr(DH_dom, T, Tref) * sc,
+                jnp.where(is_spm | is_sed,
                           self.tempcorr(DH_sed, T, Tref) * sc, 1.0))
+            diss = self.get_config("chemical:transformations:dissociation")
+            if diss != "nondiss":
+                # transfer_rates_matrix above has set self.Kd_* and the
+                # neutral-form KOCs; corrections are ratios vs those
+                pKa_acid = self.get_config(
+                    "chemical:transformations:pKa_acid")
+                pKa_base = self.get_config(
+                    "chemical:transformations:pKa_base")
+                if diss in ("acid", "amphoter") and pKa_acid < 0:
+                    raise ValueError("pKa_acid must be positive")
+                if diss in ("base", "amphoter") and pKa_base < 0:
+                    raise ValueError("pKa_base must be positive")
+                KOW = 10.0 ** self.get_config(
+                    "chemical:transformations:LogKOW")
+                fOC_SPM = self.get_config(
+                    "chemical:transformations:fOC_SPM")
+                fOC_sed = self.get_config(
+                    "chemical:transformations:fOC_sed")
+                KOC_sed_n = self.Kd_sed / fOC_sed
+                KOC_DOM_n = self.Kd_DOM / 0.526
+                pH_w = ctx.environment[
+                    "sea_water_ph_reported_on_total_scale"]
+                pH_s = ctx.environment["pH_sediment"]
+                corr_sed = self.calc_KOC_corr_particle(
+                    KOC_sed_n, KOC_sed_n, pKa_acid, pKa_base, KOW,
+                    pH_s, diss)
+                corr_spm = self.calc_KOC_corr_particle(
+                    self.Kd_SPM / fOC_SPM, KOC_sed_n, pKa_acid,
+                    pKa_base, KOW, pH_w, diss)
+                corr_dom = self.calc_KOC_corr_DOM(
+                    KOC_DOM_n, KOC_DOM_n, pKa_acid, pKa_base, KOW,
+                    pH_w, diss)
+                koc = jnp.where(is_dom, corr_dom,
+                                jnp.where(is_spm, corr_spm,
+                                          jnp.where(is_sed, corr_sed,
+                                                    1.0)))
+                corr = corr / jnp.maximum(koc, 1e-30)
             row = row.at[:, lmm].set(row[:, lmm] / jnp.maximum(corr,
                                                                1e-12))
 
@@ -555,6 +678,51 @@ class ChemicalDrift(OceanDrift):
         ctx.set_var("specie", new_specie, mask=ctx.active)
         ctx.set_var("z", jnp.minimum(z, 0.0))
         ctx.set_var("moving", moving)
+        self.update_chemical_diameter(ctx, d["specie"], new_specie)
+
+    def update_chemical_diameter(self, ctx, sp_in, sp_out):
+        """Reset element diameter when the species changes: particle
+        species get chemical:particle_diameter (+ gaussian uncertainty;
+        halved for SPM aggregated from humic colloids), dissolved and
+        colloid species get chemical:dissolved_diameter
+        (reference update_chemical_diameter, chemicaldrift.py:1550-1620)."""
+        import jax
+
+        d = ctx.state.data
+        dia_part = self.get_config("chemical:particle_diameter")
+        dia_diss = self.get_config("chemical:dissolved_diameter")
+        std = self.get_config("chemical:particle_diameter_uncertainty")
+
+        def num(name):
+            try:
+                return self.specie_name2num(name)
+            except ValueError:
+                return None
+
+        changed = sp_out != sp_in
+        diameter = d["diameter"]
+        noise = std * jax.random.normal(ctx.next_key(),
+                                        diameter.shape) if std > 0 else 0.0
+        hum = num("Humic colloid")
+        for name in ("Particle reversible", "Particle slowly reversible",
+                     "Particle irreversible"):
+            sp = num(name)
+            if sp is None:
+                continue
+            to_part = changed & (sp_out == sp)
+            base = jnp.asarray(dia_part, diameter.dtype)
+            if name == "Particle reversible" and hum is not None:
+                # aggregated from humic colloids: half diameter
+                base = jnp.where(sp_in == hum, dia_part / 2.0, dia_part)
+            diameter = jnp.where(to_part, base + noise, diameter)
+        for name in ("LMM", "LMManion", "LMMcation", "Colloid",
+                     "Humic colloid"):
+            sp = num(name)
+            if sp is None:
+                continue
+            diameter = jnp.where(changed & (sp_out == sp), dia_diss,
+                                 diameter)
+        ctx.set_var("diameter", diameter)
 
     def degradation(self, ctx):
         """Overall rate-constant degradation
@@ -726,6 +894,27 @@ class ChemicalDrift(OceanDrift):
                     H[ti, si, li] = h
         return H, lonbin, latbin, np.asarray(bounds)
 
+    def get_pixel_mean_depth(self, lons, lats):
+        """Bathymetry sampled at concentration-grid pixel centres from
+        the reader serving sea_floor_depth_below_sea_level (reference
+        ``get_pixel_mean_depth``, chemicaldrift.py:2685-2716).  Returns
+        positive depths (m); falls back to the configured fallback value
+        when no gridded bathymetry is available."""
+        var = "sea_floor_depth_below_sea_level"
+        lons = np.asarray(lons, np.float64)
+        try:
+            vals = self.env.get_variables_along_trajectory(
+                [var], lons, np.asarray(lats, np.float64),
+                [self.start_time] * lons.size)[var]
+            vals = np.asarray(vals, np.float64)
+            vals[~np.isfinite(vals)] = 0.0
+            return vals
+        except Exception as e:
+            logger.debug("pixel mean depth unavailable (%s); using "
+                         "fallback depth", e)
+            fb = self.required_variables[var].get("fallback", 100)
+            return np.full(lons.size, float(fb))
+
     @staticmethod
     def horizontal_smooth(H, cells=1):
         """Box smoothing over the two trailing (lon, lat) axes
@@ -751,12 +940,24 @@ class ChemicalDrift(OceanDrift):
             H = self.horizontal_smooth(H, smoothing_cells)
         lat_c = 0.5 * (latbin[:-1] + latbin[1:])
         lon_c = 0.5 * (lonbin[:-1] + lonbin[1:])
-        # cell volume in litres: pixel area x layer thickness
-        thick = np.diff(bounds)                       # m, per layer
+        # per-pixel cell volume: layer thickness truncated by the local
+        # bathymetry (pixel mean depth), zeroed below 0.1 m and NaN'd
+        # where dry — concentrations in shallow pixels divide by the
+        # real water volume (reference chemicaldrift.py:2238-2254)
         area = float(pixelsize_m) ** 2                # m2
-        vol_L = thick * area * 1000.0                 # L
+        lon_g, lat_g = np.meshgrid(lon_c, lat_c, indexing="ij")
+        depth = self.get_pixel_mean_depth(
+            lon_g.ravel(), lat_g.ravel()).reshape(lon_g.shape)
+        L = len(bounds) - 1
+        vol_L = np.zeros((L,) + lon_g.shape)
+        for zi in range(L):
+            floor = np.maximum(-depth, bounds[zi])
+            tt = bounds[zi + 1] - floor
+            tt[tt < 0.1] = 0.0
+            vol_L[zi] = tt * area * 1000.0            # litres
+        vol_L[vol_L == 0.0] = np.nan
         scale = {"ug": 1.0, "mg": 1e-3, "g": 1e-6, "kg": 1e-9}[mass_unit]
-        conc = H * scale / vol_L[None, None, :, None, None]
+        conc = H * scale / vol_L[None, None, :, :, :]
         times = self.result.coords["time"].astype("datetime64[s]")
         secs = (times - np.datetime64("1970-01-01T00:00:00", "s")
                 ).astype("float64")
