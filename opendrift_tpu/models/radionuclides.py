@@ -70,13 +70,15 @@ class RadionuclideDrift(OceanDrift):
         super().add_config()
         self._add_config({
             "radionuclide:isotope": {
-                "type": "enum", "enum": list(KD_VALUES) + ["manual"],
+                "type": "enum", "enum": list(KD_VALUES) + ["Al", "manual"],
                 "default": "137Cs", "level": CONFIG_LEVEL_ESSENTIAL,
                 "description": "Radionuclide isotope (sets Kd)"},
             "radionuclide:specie_setup": {
                 "type": "enum",
                 "enum": ["LMM + Rev", "LMM + Rev + Slow rev",
-                         "LMM + Rev + Slow rev + Irrev"],
+                         "LMM + Rev + Irrev",
+                         "LMM + Rev + Slow rev + Irrev",
+                         "LMM + Colloid + Rev"],
                 "default": "LMM + Rev", "level": CONFIG_LEVEL_ESSENTIAL,
                 "description": "Speciation scheme"},
             "radionuclide:transformations:Kd": {
@@ -167,7 +169,11 @@ class RadionuclideDrift(OceanDrift):
     # ------------------------------------------------------ species setup -
     @property
     def name_species(self):
+        """(reference radionuclides.py:240-270)."""
         setup = self.get_config("radionuclide:specie_setup")
+        if setup == "LMM + Colloid + Rev":
+            return ["LMMcation", "LMManion", "Humic colloid", "Polymer",
+                    "Particle reversible", "Sediment reversible"]
         names = ["LMM", "Particle reversible", "Sediment reversible"]
         if "Slow rev" in setup:
             names += ["Particle slowly reversible",
@@ -175,6 +181,24 @@ class RadionuclideDrift(OceanDrift):
         if "Irrev" in setup:
             names += ["Particle irreversible", "Sediment irreversible"]
         return names
+
+    def check_speciation(self):
+        """Isotope/speciation compatibility (reference
+        radionuclides.py:320-341; raises instead of exit())."""
+        isotope = self.get_config("radionuclide:isotope")
+        setup = self.get_config("radionuclide:specie_setup")
+        legal = {
+            "137Cs": ["LMM + Rev", "LMM + Rev + Slow rev",
+                      "LMM + Rev + Irrev", "LMM + Rev + Slow rev + Irrev"],
+            "129I": ["LMM + Rev", "LMM + Rev + Slow rev + Irrev"],
+            "241Am": ["LMM + Rev", "LMM + Rev + Slow rev",
+                      "LMM + Rev + Slow rev + Irrev"],
+            "Al": ["LMM + Colloid + Rev"],
+        }
+        if isotope != "manual" and setup not in legal[isotope]:
+            raise ValueError(
+                f"Illegal speciation for {isotope}: {setup} "
+                f"(legal: {legal[isotope]})")
 
     @property
     def nspecies(self):
@@ -190,8 +214,13 @@ class RadionuclideDrift(OceanDrift):
         return KD_VALUES[isotope]
 
     def transfer_rates_matrix(self):
-        """Background transfer-rate matrix (S, S)
-        (reference radionuclides.py:512-580)."""
+        """Background transfer-rate matrix (S, S), or (4, S, S) keyed by
+        salinity interval for the Al colloid chemistry
+        (reference radionuclides.py:512-650)."""
+        self.check_speciation()
+        if self.get_config("radionuclide:specie_setup") \
+                == "LMM + Colloid + Rev":
+            return self._colloid_transfer_rates()
         S = self.nspecies
         rates = np.zeros((S, S), dtype=np.float32)
         lmm = self.specie_name2num("LMM")
@@ -220,13 +249,70 @@ class RadionuclideDrift(OceanDrift):
             rates[prev, psrev] = slow
             rates[ssrev, srev] = slow * 0.1
             rates[psrev, prev] = slow * 0.1
-        if "Irrev" in setup:
+        if "Irrev" in setup and "Slow rev" in setup:
+            # the irreversible pools fill from the slow pools; without
+            # them the irrev species are seed-only (as in the reference,
+            # whose '+ irrev' rates also read the slow-pool indices)
             pirr = self.specie_name2num("Particle irreversible")
             sirr = self.specie_name2num("Sediment irreversible")
             slow = self.get_config("radionuclide:transformations:slow_coeff")
             rates[ssrev, sirr] = slow
             rates[psrev, pirr] = slow
         return rates
+
+    def _colloid_transfer_rates(self):
+        """Salinity-banded Al speciation rates, Simonsen et al. (2019b)
+        (reference radionuclides.py:585-650).  Returns (4, S, S); band
+        edges ``salinity_intervals`` = [0, 1, 10, 20] psu."""
+        S = self.nspecies
+        Dc = self.get_config("radionuclide:transformations:Dc")
+        cat = self.specie_name2num("LMMcation")
+        an = self.specie_name2num("LMManion")
+        hum = self.specie_name2num("Humic colloid")
+        pol = self.specie_name2num("Polymer")
+        prev = self.specie_name2num("Particle reversible")
+        srev = self.specie_name2num("Sediment reversible")
+        self.salinity_intervals = (0.0, 1.0, 10.0, 20.0)
+        r = np.zeros((4, S, S), dtype=np.float32)
+        # (band, source, dest): adsorption to humics/particles/polymer
+        # strengthens and desorption quickens with salinity
+        r[0, cat, hum] = 1.2e-5
+        r[0, cat, prev] = 4.0e-6
+        r[0, hum, cat] = 0.3 * Dc
+        r[0, hum, prev] = 2.0e-6
+        r[0, prev, cat] = 0.3 * Dc
+        r[0, srev, cat] = 0.03 * Dc
+        r[1, cat, hum] = 1.0e-5
+        r[1, cat, prev] = 3.0e-6
+        r[1, cat, pol] = 1.2e-4
+        r[1, hum, cat] = 7.0 * Dc
+        r[1, hum, prev] = 4.0e-6
+        r[1, prev, cat] = 0.5 * Dc
+        r[1, srev, cat] = 0.05 * Dc
+        r[1, an, pol] = 5.0e-6
+        r[1, pol, an] = 12.0 * Dc
+        r[1, pol, prev] = 2.4e-5
+        r[2, cat, hum] = 8.0e-6
+        r[2, cat, prev] = 2.0e-6
+        r[2, cat, pol] = 1.4e-4
+        r[2, hum, cat] = 7.0 * Dc
+        r[2, hum, prev] = 6.0e-6
+        r[2, prev, cat] = 0.6 * Dc
+        r[2, srev, cat] = 0.06 * Dc
+        r[2, an, pol] = 5.0e-6
+        r[2, pol, an] = 12.0 * Dc
+        r[2, pol, prev] = 6.0e-5
+        r[3, cat, hum] = 6.0e-6
+        r[3, cat, prev] = 1.8e-6
+        r[3, cat, pol] = 1.5e-4
+        r[3, hum, cat] = 7.0 * Dc
+        r[3, hum, prev] = 1.0e-5
+        r[3, prev, cat] = 0.8 * Dc
+        r[3, srev, cat] = 0.08 * Dc
+        r[3, an, pol] = 5.0e-6
+        r[3, pol, an] = 12.0 * Dc
+        r[3, pol, prev] = 8.0e-5
+        return r
 
     # --------------------------------------------------------- seeding ----
     def seed_elements(self, *args, **kwargs):
@@ -289,20 +375,32 @@ class RadionuclideDrift(OceanDrift):
         (reference radionuclides.py:728-810)."""
         d = ctx.state.data
         rates = jnp.asarray(self.transfer_rates_matrix())
-        row = rates[d["specie"]]                       # (N, S)
-        lmm = self.specie_name2num("LMM")
-        srev = self.specie_name2num("Sediment reversible")
-        prev = self.specie_name2num("Particle reversible")
-        # LMM -> sediment only near the seabed
-        thick = self.get_config("radionuclide:sediment:layer_thick")
-        dist = d["z"] + ctx.environment["sea_floor_depth_below_sea_level"]
-        far = (d["specie"] == lmm) & (dist > thick)
-        row = row.at[:, srev].set(jnp.where(far, 0.0, row[:, srev]))
-        # adsorption scaled by local suspended particle concentration
-        conc3 = ctx.environment["conc3"]
-        is_lmm = d["specie"] == lmm
-        row = row.at[:, prev].set(
-            jnp.where(is_lmm, row[:, prev] * conc3 / 1.0e-3, row[:, prev]))
+        if rates.ndim == 3:
+            # Al colloid chemistry: per-element salinity band
+            # (reference update_transfer_rates, radionuclides.py:753-757)
+            sal = ctx.environment["sea_water_salinity"]
+            sali = jnp.clip(
+                jnp.searchsorted(jnp.asarray(self.salinity_intervals),
+                                 sal, side="right") - 1,
+                0, rates.shape[0] - 1)
+            row = rates[sali, d["specie"]]             # (N, S)
+        else:
+            row = rates[d["specie"]]                   # (N, S)
+            lmm = self.specie_name2num("LMM")
+            srev = self.specie_name2num("Sediment reversible")
+            prev = self.specie_name2num("Particle reversible")
+            # LMM -> sediment only near the seabed
+            thick = self.get_config("radionuclide:sediment:layer_thick")
+            dist = d["z"] \
+                + ctx.environment["sea_floor_depth_below_sea_level"]
+            far = (d["specie"] == lmm) & (dist > thick)
+            row = row.at[:, srev].set(jnp.where(far, 0.0, row[:, srev]))
+            # adsorption scaled by local suspended particle concentration
+            conc3 = ctx.environment["conc3"]
+            is_lmm = d["specie"] == lmm
+            row = row.at[:, prev].set(
+                jnp.where(is_lmm, row[:, prev] * conc3 / 1.0e-3,
+                          row[:, prev]))
 
         new_specie, transformed = speciation_step(
             d["specie"], row, ctx.params["dt"], ctx.next_key(), ctx.active)
@@ -333,9 +431,10 @@ class RadionuclideDrift(OceanDrift):
         newdia = jnp.abs(dia + jax.random.normal(ctx.next_key(), z.shape)
                          * dunc)
         to_particle = transformed & self._is_particle_specie(new_specie)
-        to_lmm = transformed & (new_specie == lmm)
+        to_diss = transformed & ~self._is_particle_specie(new_specie) \
+            & ~self._is_sediment_specie(new_specie)
         diameter = jnp.where(to_particle, newdia, d["diameter"])
-        diameter = jnp.where(to_lmm, 0.0, diameter)
+        diameter = jnp.where(to_diss, 0.0, diameter)
 
         ctx.set_var("specie", new_specie, mask=ctx.active)
         ctx.set_var("z", z)

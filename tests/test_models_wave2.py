@@ -333,3 +333,41 @@ def test_chemical_emission_seeding():
     total = sum(np.sum(s["mass"]) for s in o._seedings
                 if "mass" in s)
     assert np.isclose(total, 3000.0 * factor, rtol=1e-5)
+
+
+def test_radionuclide_al_colloid_chemistry():
+    """Al 'LMM + Colloid + Rev' setup: salinity-banded transfer rates
+    (Simonsen 2019b; reference radionuclides.py:585-650) populate the
+    colloid/polymer species in brackish water."""
+    o = RadionuclideDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("radionuclide:isotope", "Al")
+    o.set_config("radionuclide:specie_setup", "LMM + Colloid + Rev")
+    o.set_config("seed:LMM_fraction", 1.0)
+    o.set_config("seed:particle_fraction", 0.0)
+    o.set_config("drift:vertical_mixing", False)
+    o.add_reader(_env(sea_water_temperature=8.0, sea_water_salinity=5.0,
+                      sea_floor_depth_below_sea_level=50.0))
+    o.seed_elements(2.0, 60.0, z=-5.0, number=300, time=T0)
+    o.run(duration=timedelta(hours=48), time_step=3600,
+          time_step_output=timedelta(hours=48))
+    spec = o.result["specie"].values[:, -1]
+    an = o.name_species.index("LMManion")
+    pol = o.name_species.index("Polymer")
+    prev = o.name_species.index("Particle reversible")
+    cat = o.name_species.index("LMMcation")
+    # cations polymerise fast (1.2e-4/s) and polymer depolymerises to
+    # anions (12*Dc): after 48 h anions dominate, with polymer and
+    # particle pools populated and few cations left
+    assert (spec == an).mean() > 0.5
+    assert (spec == pol).any() and (spec == prev).any()
+    assert (spec == cat).mean() < 0.1
+
+
+def test_radionuclide_speciation_legality():
+    o = RadionuclideDrift(loglevel=40)
+    o.set_config("radionuclide:isotope", "129I")
+    o.set_config("radionuclide:specie_setup", "LMM + Rev + Slow rev")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Illegal speciation"):
+        o.transfer_rates_matrix()
