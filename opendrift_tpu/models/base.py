@@ -1096,27 +1096,48 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         return []
 
     def _auto_landmask_fallback(self):
-        """If no reader provides land_binary_mask and no fallback is set,
-        fall back to all-ocean with a warning (the rasterised landmask
-        reader is added by the user or a concrete deployment)."""
+        """Resolve land_binary_mask when no reader provides it and no
+        fallback is configured.  The reference auto-adds the GSHHG
+        global landmask, which always covers
+        (reference reader_global_landmask.py:201-260); our bundled
+        raster is regional, so if it does not cover the seeds the run
+        RAISES when a coastline action is active — an all-ocean
+        default would silently turn 'stranding' into a no-op."""
         if "land_binary_mask" not in self.required_variables:
             return
-        has_reader = bool(self.env.priority_list.get("land_binary_mask"))
-        fb = self.env.fallback_values.get("land_binary_mask", None)
-        if not has_reader and fb is None:
-            if self.get_config("general:use_auto_landmask"):
-                try:
-                    from ..fields.landmask import GlobalLandmask
-                    self.env.add_reader(GlobalLandmask())
-                    self.env._plan.append(
-                        (self.env.readers[list(self.env.readers)[-1]],
-                         ["land_binary_mask"]))
+        if bool(self.env.priority_list.get("land_binary_mask")) or \
+                self.env.fallback_values.get("land_binary_mask",
+                                             None) is not None:
+            return
+        if self.get_config("general:use_auto_landmask"):
+            reason = "auto landmask failed"
+            try:
+                from ..fields.landmask import GlobalLandmask
+                lm = GlobalLandmask()
+                lon = np.concatenate([s["lon"] for s in self._seedings])
+                lat = np.concatenate([s["lat"] for s in self._seedings])
+                if bool(np.all(lm.covers_positions(lon, lat))):
+                    self.env.add_reader(lm)
+                    self.env._plan.append((lm, ["land_binary_mask"]))
                     return
-                except Exception as e:  # no landmask data available
-                    logger.warning(
-                        "No landmask data available (%s); assuming all "
-                        "ocean", e)
+                reason = ("the bundled coastline raster does not cover "
+                          "the seeding area")
+            except Exception as e:  # no landmask data available
+                reason = f"no landmask data available ({e})"
+        else:
+            reason = "general:use_auto_landmask is False"
+        if self.get_config("general:coastline_action") == "none":
             self.env.fallback_values["land_binary_mask"] = 0.0
+            return
+        raise ValueError(
+            f"general:coastline_action="
+            f"'{self.get_config('general:coastline_action')}' needs a "
+            f"landmask, but {reason}. Either add a gridded ocean reader "
+            "whose grid provides a land mask, supply a coastline "
+            "shapefile (OPENDRIFT_LANDMASK_SHP), set "
+            "environment:fallback:land_binary_mask=0 to explicitly "
+            "treat the domain as all ocean, or set "
+            "general:coastline_action='none'")
 
     def _cond_holds(self, cond):
         """Evaluate a conditional like ``['drift:vertical_mixing', 'is',

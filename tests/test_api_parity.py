@@ -23,6 +23,7 @@ def _basic_run(hours=3):
                                  "y_sea_water_velocity": 0.1,
                                  "x_wind": 6.0, "y_wind": 0.0}))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     o.seed_elements(lon=4.0, lat=60.0, number=10,
                     time=datetime(2020, 1, 1))
     o.run(duration=timedelta(hours=hours), time_step=900)

@@ -119,6 +119,7 @@ def test_incremental_export_matches_memory(tmp_path):
     o.add_reader(ConstantReader({"x_sea_water_velocity": 0.2,
                                  "y_sea_water_velocity": 0.0}))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     o.set_config("export:buffer_length", 3)
     o.seed_elements(lon=4.0, lat=60.0, number=7,
                     time=datetime(2020, 1, 1))
@@ -164,6 +165,7 @@ def test_single_fetch_rk4_matches_refetch():
         o = OceanDrift(loglevel=50)
         o.add_reader(ROMSReader(nordic))
         o.set_config("general:use_auto_landmask", False)
+        o.set_config("environment:fallback:land_binary_mask", 0)
         o.set_config("drift:advection_scheme", "runge-kutta4")
         o.set_config("drift:advection_single_fetch", single)
         o.set_config("drift:horizontal_diffusivity", 0.0)
@@ -198,6 +200,7 @@ def test_opendrift_open_roundtrip(tmp_path):
     o.add_reader(ConstantReader({"x_sea_water_velocity": 0.15,
                                  "y_sea_water_velocity": 0.05}))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     o.set_config("drift:horizontal_diffusivity", 3.0)
     o.seed_elements(lon=4.0, lat=60.0, number=30,
                     time=datetime(2021, 5, 1))

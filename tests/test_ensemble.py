@@ -58,6 +58,7 @@ def test_ensemble_round_robin_drift(ensemble_file):
     o = OceanDrift(loglevel=50)
     o.add_reader(NetCDFReader(ensemble_file))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     N = 12
     o.seed_elements(lon=np.full(N, 4.0), lat=np.full(N, 60.0),
                     time=datetime(2020, 1, 1))
@@ -79,6 +80,7 @@ def test_ensemble_spread_statistics(ensemble_file):
     o = OceanDrift(loglevel=50)
     o.add_reader(NetCDFReader(ensemble_file))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     N = 90
     o.seed_elements(lon=np.full(N, 4.0), lat=np.full(N, 60.0),
                     time=datetime(2020, 1, 1))

@@ -53,6 +53,7 @@ def test_dateline_crossing_drift(tmp_path):
     o.add_reader(NetCDFReader(
         _make_global_file(tmp_path, 0.0, 357.5, "g360b.nc")))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     o.seed_elements(lon=179.8, lat=0.0, time=datetime(2020, 1, 1))
     o.run(duration=timedelta(hours=36), time_step=3600)
     lon = np.asarray(o.result["lon"])[0]

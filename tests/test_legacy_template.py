@@ -17,6 +17,7 @@ def test_openhns_phase_transitions_conserve_mass():
         "x_sea_water_velocity": 0.2, "y_sea_water_velocity": 0.0,
         "x_wind": 8.0, "y_wind": 0.0}))
     m.set_config("general:use_auto_landmask", False)
+    m.set_config("environment:fallback:land_binary_mask", 0)
     m.set_config("drift:vertical_mixing", False)
     m.seed_elements(lon=4.0, lat=60.0, time=datetime(2020, 1, 1),
                     number=200, hns_type="acetone")
@@ -42,6 +43,7 @@ def test_openhns_type_rates_differ():
             "x_sea_water_velocity": 0.0, "y_sea_water_velocity": 0.0,
             "x_wind": 0.0, "y_wind": 0.0}))
         m.set_config("general:use_auto_landmask", False)
+        m.set_config("environment:fallback:land_binary_mask", 0)
         m.set_config("drift:vertical_mixing", False)
         m.seed_elements(lon=4.0, lat=60.0, time=datetime(2020, 1, 1),
                         number=300, hns_type=hns_type)
@@ -64,6 +66,7 @@ def test_model_template_runs():
     m.add_reader(ConstantReader({
         "x_sea_water_velocity": 0.1, "y_sea_water_velocity": 0.0}))
     m.set_config("general:use_auto_landmask", False)
+    m.set_config("environment:fallback:land_binary_mask", 0)
     m.set_config("template:my_setting", 2.0)
     m.seed_elements(lon=4.0, lat=60.0, time=datetime(2020, 1, 1),
                     number=3, my_property=1.0)
