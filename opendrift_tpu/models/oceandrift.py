@@ -416,12 +416,14 @@ class OceanDrift(OpenDriftSimulation):
         return False
 
     def _pallas_mixing_applicable(self, model):
-        """True when the mixing inner loop can run as the fused Pallas
-        VMEM kernel: windspeed-parameterised diffusivity and every
-        per-substep hook still at its base implementation (subclasses
-        like OpenOil override the hooks and keep the jnp path)."""
+        """True when the mixing inner loop can run as a fused Pallas
+        VMEM kernel: windspeed-parameterised OR profile-based
+        ('environment'/'constant') diffusivity, with every per-substep
+        hook still at its base implementation (subclasses like OpenOil
+        override the hooks and keep the jnp path)."""
         from ..ops import pallas_mixing
-        if model not in pallas_mixing._WINDSPEED_MODELS:
+        if model not in pallas_mixing._WINDSPEED_MODELS \
+                and model not in ("environment", "constant"):
             return False
         cls = type(self)
         if not (cls.surface_stick is OceanDrift.surface_stick
@@ -514,23 +516,31 @@ class OceanDrift(OpenDriftSimulation):
                                   moving, extra, store_depths,
                                   Tprof is not None):
             return
-        if not extra and not store_depths \
+        if not extra and not store_depths and Tprof is None \
                 and self._pallas_mixing_applicable(model):
             from ..ops import pallas_mixing
             w = d.get("terminal_velocity", jnp.zeros_like(d["z"]))
             seed = jax.random.bits(base_key, dtype=jnp.uint32)
             seed = jax.lax.bitcast_convert_type(seed, jnp.int32)
-            z_out = pallas_mixing.visser_mixing(
-                d["z"], moving, w, ctx.wind_speed(),
-                ctx.environment.get(
-                    "ocean_mixed_layer_thickness",
-                    jnp.full_like(d["z"], 50.0)),
-                zmin, seed,
-                ntimes=ntimes, dt_mix=dt_mix, model=model,
-                bg=float(self.get_config(
-                    "vertical_mixing:background_diffusivity")),
-                mixing_at_surface=bool(mixing_at_surface),
-                interpret=pallas_mixing.FORCE_INTERPRET)
+            if Kprof is not None:   # 'environment' / 'constant' profiles
+                h = float(ctx.zlevels[0] - ctx.zlevels[1])
+                z_out = pallas_mixing.visser_mixing_profile(
+                    d["z"], moving, w, Kprof, gradK, zmin, seed,
+                    ntimes=ntimes, dt_mix=dt_mix, h=h,
+                    mixing_at_surface=bool(mixing_at_surface),
+                    interpret=pallas_mixing.FORCE_INTERPRET)
+            else:
+                z_out = pallas_mixing.visser_mixing(
+                    d["z"], moving, w, ctx.wind_speed(),
+                    ctx.environment.get(
+                        "ocean_mixed_layer_thickness",
+                        jnp.full_like(d["z"], 50.0)),
+                    zmin, seed,
+                    ntimes=ntimes, dt_mix=dt_mix, model=model,
+                    bg=float(self.get_config(
+                        "vertical_mixing:background_diffusivity")),
+                    mixing_at_surface=bool(mixing_at_surface),
+                    interpret=pallas_mixing.FORCE_INTERPRET)
             ctx.set_var("z", jnp.where(active, z_out, d["z"]))
             return
         mix = jax.lax.fori_loop(0, ntimes, body,

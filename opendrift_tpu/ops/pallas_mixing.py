@@ -20,13 +20,22 @@ runs as a pure-jnp function on CPU (``_emulate``) — the TPU kernel and
 the CPU path are op-for-op the same math, so tests on the CPU mesh
 validate exactly what the chip executes.
 
-Only the base-model path is lowered (windspeed-parameterised diffusivity,
-default surface/bottom hooks — the combination exercised by the flagship
-benchmark); models that override the mixing hooks (e.g. OpenOil wave
-entrainment, reference openoil.py:1017-1060) keep the jnp path in
-models/oceandrift.py.  RNG streams differ from that path (SplitMix32 vs
-threefry): statistically identical, not bit-identical — matching the
-reference's stance that mixing is stochastic.
+Three variants are lowered:
+
+- ``visser_mixing`` — windspeed-parameterised diffusivity with the
+  default surface/bottom hooks (the flagship-benchmark path);
+- ``visser_mixing_profile`` — reader-provided ('environment') or
+  constant diffusivity profiles: per-element K/gradK level rows live in
+  VMEM and the nearest-level lookup is a one-hot contraction over the
+  level axis (no gather on the VPU);
+- ``visser_mixing_oil`` — OpenOil's wave entrainment + Tkalich rise
+  velocity (reference openoil.py:922-1060).
+
+Models that override the mixing hooks beyond these combinations keep
+the jnp ``fori_loop`` path in models/oceandrift.py.  RNG streams differ
+from that path (SplitMix32 vs threefry): statistically identical, not
+bit-identical — matching the reference's stance that mixing is
+stochastic.
 """
 
 import functools
@@ -175,6 +184,46 @@ def _mix_loop_oil(z, diam, mv, wind, mld, zmin, p_ent, d_cand, zb,
     return jax.lax.fori_loop(0, ntimes, body, (z, diam))
 
 
+def _mix_loop_prof(z, mv, w, Kprof, gradK, zmin, elem, seed, *, ntimes,
+                   dt_mix, h, mixing_at_surface):
+    """Inner loop with per-element diffusivity PROFILES (the
+    'environment'/'constant' models): ``Kprof``/``gradK`` are
+    (..., L) level rows, h the (uniform, positive) level spacing.  The
+    jnp path's nearest-level ``take_along_axis`` becomes a one-hot
+    contraction over L — all VPU multiply-adds, no gather."""
+    adt = abs(dt_mix)
+    base = _splitmix32(elem + seed * jnp.uint32(0x9e3779b9))
+    L = Kprof.shape[0]                 # profiles are level-major (L, ...)
+    iota = jax.lax.broadcasted_iota(jnp.int32, Kprof.shape, 0)
+
+    def lookup(prof, zi):
+        onehot = (iota == zi[None]).astype(prof.dtype)
+        return jnp.sum(prof * onehot, axis=0)
+
+    def body(i, z):
+        surface = z == 0.0
+        bits = _splitmix32(base + i.astype(jnp.uint32)
+                           * jnp.uint32(0x85ebca6b))
+        R = jax.lax.bitcast_convert_type(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
+        ).astype(jnp.float32) * jnp.float32(2.0 / 16777216.0) - 1.0
+        zi = jnp.clip(jnp.round(-z / h).astype(jnp.int32), 0, L - 1)
+        Kz = lookup(Kprof, zi)
+        dKdz = lookup(gradK, zi)
+        z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
+        z = jnp.where(z >= 0.0, -z, z)                      # surface reflect
+        z = jnp.where((z < zmin) & (mv == 1.0),
+                      2.0 * zmin - z, z)                    # seafloor reflect
+        z = z + w * dt_mix * mv                             # buoyancy
+        if not mixing_at_surface:
+            z = jnp.where(surface, 0.0, z)
+        z = jnp.minimum(z, 0.0)                             # surface stick
+        z = jnp.maximum(z, zmin)                            # bottom stick
+        return z
+
+    return jax.lax.fori_loop(0, ntimes, body, z)
+
+
 def _kernel(seed_ref, z_ref, mv_ref, w_ref, wind_ref, mld_ref, zmin_ref,
             out_ref, **opts):
     from jax.experimental import pallas as pl
@@ -245,6 +294,92 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32),
     )(jnp.atleast_1d(seed_u32.astype(jnp.int32)), *args)
+    return out.reshape(-1)[:N]
+
+
+def _kernel_prof(seed_ref, z_ref, mv_ref, w_ref, kprof_ref, gradk_ref,
+                 zmin_ref, out_ref, **opts):
+    from jax.experimental import pallas as pl
+
+    rows, lanes = z_ref.shape
+    elem = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0) * lanes
+            + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1)
+            + jnp.uint32(pl.program_id(0) * rows * lanes))
+    out_ref[:] = _mix_loop_prof(
+        z_ref[:], mv_ref[:], w_ref[:], kprof_ref[:], gradk_ref[:],
+        zmin_ref[:], elem, seed_ref[0].astype(jnp.uint32), **opts)
+
+
+# level rows multiply VMEM per element: use smaller tiles
+_ROWS_PROF = 64
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntimes", "dt_mix", "h", "mixing_at_surface",
+                     "interpret"))
+def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed, *,
+                          ntimes, dt_mix, h, mixing_at_surface,
+                          interpret=False):
+    """Visser substeps with per-element diffusivity profiles.
+
+    z, moving, w, zmin: f32 (N,); Kprof, gradK: f32 (L, N) level-major
+    (the engine's profile layout); seed scalar.  Returns final z."""
+    N = z.shape[0]
+    L = Kprof.shape[0]
+    tile = _ROWS_PROF * _LANES
+    n_tiles = max(1, -(-N // tile))
+    Np = n_tiles * tile
+    pad = Np - N
+
+    opts = dict(ntimes=int(ntimes), dt_mix=float(dt_mix), h=float(h),
+                mixing_at_surface=bool(mixing_at_surface))
+
+    def prep(a, fill=0.0):
+        a = jnp.asarray(a, jnp.float32)
+        if a.ndim == 0:
+            a = jnp.full((N,), a)
+        if pad:
+            a = jnp.pad(a, (0, pad), constant_values=fill)
+        return a.reshape(-1, _LANES)
+
+    def prep_prof(p):
+        p = jnp.asarray(p, jnp.float32)
+        if pad:
+            p = jnp.pad(p, ((0, 0), (0, pad)))
+        return p.reshape(L, -1, _LANES)           # (L, R, lanes)
+
+    zp, mvp, wp, zminp = prep(z), prep(moving), prep(w), prep(zmin)
+    kp, gp = prep_prof(Kprof), prep_prof(gradK)
+    seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
+
+    if interpret or not available():
+        R = Np // _LANES
+        elem = (jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 1))
+        out = _mix_loop_prof(zp, mvp, wp, kp, gp, zminp, elem,
+                             seed_u32, **opts)
+        return out.reshape(-1)[:N]
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((_ROWS_PROF, _LANES), lambda i, s: (i, 0),
+                        memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, _ROWS_PROF, _LANES), lambda i, s: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[spec, spec, spec, pspec, pspec, spec],
+        out_specs=spec,
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_prof, **opts),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32),
+    )(jnp.atleast_1d(seed_u32.astype(jnp.int32)), zp, mvp, wp, kp, gp,
+      zminp)
     return out.reshape(-1)[:N]
 
 
