@@ -2,7 +2,8 @@ from .base import BaseReader, ContinuousReader
 from .environment import Environment
 from .analytic import (DoubleGyre, ConstantReader, OscillatingReader,
                        ArtificialOceanEddy, FailingReader,
-                       TimeseriesReader, CurrentFromTrack)
+                       TimeseriesReader, CurrentFromTrack,
+                       CurrentFromDrifter)
 from .grid import StructuredGridReader, ArrayReader
 from .netcdf import NetCDFReader
 from .roms import ROMSReader
@@ -15,6 +16,7 @@ from .operators import (CombinedReader, ScaledReader, GaussianBlendReader,
 __all__ = ["BaseReader", "ContinuousReader", "Environment", "DoubleGyre",
            "ConstantReader", "OscillatingReader", "ArtificialOceanEddy",
            "FailingReader", "TimeseriesReader", "CurrentFromTrack",
+           "CurrentFromDrifter",
            "StructuredGridReader", "ArrayReader", "NetCDFReader",
            "ROMSReader",
            "LazyReader", "reader_from_url", "CombinedReader",

@@ -220,6 +220,66 @@ class CurrentFromTrack(ContinuousReader):
         return values, jnp.ones_like(lon, dtype=bool)
 
 
+class CurrentFromDrifter(CurrentFromTrack):
+    """Current field inverted from a drifter track with the Stokes-drift
+    contribution subtracted (reference:
+    opendrift/readers/reader_current_from_drifter.py): segment
+    velocities from consecutive positions, minus the monochromatic
+    Stokes profile at depth ``z`` sampled from a wave reader at each
+    segment's midpoint and time."""
+
+    def __init__(self, lons, lats, times, waves=None, z=0.0,
+                 name="current_from_drifter"):
+        lons = np.asarray(lons, dtype=float)
+        lats = np.asarray(lats, dtype=float)
+        times = list(times)
+        valid = np.isfinite(lons + lats)
+        if not valid.all():
+            lons = lons[valid]
+            lats = lats[valid]
+            times = [t for t, v in zip(times, valid) if v]
+        super().__init__(lons, lats, times, windage_rate=0.0)
+        self.name = name
+        if waves is None:
+            return
+        # midpoints of each segment, sampled at each segment's start
+        mid_lon = 0.5 * (lons[:-1] + lons[1:])
+        mid_lat = 0.5 * (lats[:-1] + lats[1:])
+        wave_vars = [
+            "sea_surface_wave_significant_height",
+            "sea_surface_wave_stokes_drift_x_velocity",
+            "sea_surface_wave_stokes_drift_y_velocity",
+            "sea_surface_wave_mean_period_from_variance_spectral_"
+            "density_inverse_frequency_moment"]
+        waves.set_run_epoch(self._times[0])
+        waves.prepare()
+        dev = waves.device_state(self._times[0], self._times[-1])
+        trel = jnp.asarray(
+            [(t - self._times[0]).total_seconds() for t in self._times],
+            dtype=jnp.float32)
+
+        import jax
+
+        @jax.jit
+        def seg(t, lo, la):
+            vals, _ = waves.sample(dev, wave_vars, t,
+                                   jnp.asarray([lo]), jnp.asarray([la]),
+                                   jnp.zeros(1))
+            return {v: vals[v][0] for v in wave_vars}
+
+        ts = jax.device_get(jax.vmap(seg)(
+            trel, jnp.asarray(mid_lon, jnp.float32),
+            jnp.asarray(mid_lat, jnp.float32)))
+        from ..ops import physics as ph
+        su, sv, _ = ph.stokes_drift_profile_monochromatic(
+            ts["sea_surface_wave_stokes_drift_x_velocity"],
+            ts["sea_surface_wave_stokes_drift_y_velocity"],
+            ts["sea_surface_wave_significant_height"],
+            ts[wave_vars[3]], z)
+        self._u = (self._u - np.asarray(su)).astype(np.float32)
+        self._v = (self._v - np.asarray(sv)).astype(np.float32)
+
+
 class TimeseriesReader(ContinuousReader):
     """Spatially uniform, time-varying values from a (time, value) series
     (reference: opendrift/readers/reader_timeseries.py).  Linear

@@ -94,3 +94,35 @@ def test_reader_plot(tmp_path):
     out = tmp_path / "reader.png"
     r.plot(variable="x_sea_water_velocity", filename=str(out))
     assert out.stat().st_size > 1000
+
+
+def test_current_from_drifter_subtracts_stokes():
+    """(reference reader_current_from_drifter.py): drifter-track
+    inversion minus the monochromatic Stokes profile from a wave
+    reader."""
+    from datetime import datetime, timedelta
+    import numpy as np
+    from opendrift_tpu.fields.analytic import (CurrentFromDrifter,
+                                               ConstantReader)
+    t0 = datetime(2020, 1, 1)
+    times = [t0 + timedelta(hours=i) for i in range(6)]
+    lon = 4.0 + 0.5 * 3600 * np.arange(6) / (111320 * np.cos(
+        np.radians(60.0)))
+    lat = np.full(6, 60.0)
+    r = CurrentFromDrifter(lon, lat, times)
+    np.testing.assert_allclose(r._u, 0.5, atol=0.01)
+    waves = ConstantReader({
+        "sea_surface_wave_significant_height": 2.0,
+        "sea_surface_wave_stokes_drift_x_velocity": 0.1,
+        "sea_surface_wave_stokes_drift_y_velocity": 0.0,
+        "sea_surface_wave_mean_period_from_variance_spectral_density_"
+        "inverse_frequency_moment": 8.0})
+    r2 = CurrentFromDrifter(lon, lat, times, waves=waves, z=0.0)
+    np.testing.assert_allclose(r2._u, r._u - 0.1, atol=1e-5)
+    # at depth the Stokes contribution decays
+    r3 = CurrentFromDrifter(lon, lat, times, waves=waves, z=-5.0)
+    assert np.all(r3._u > r2._u) and np.all(r3._u < r._u)
+    # NaN positions are dropped like the reference
+    lon_bad = lon.copy(); lon_bad[2] = np.nan
+    r4 = CurrentFromDrifter(lon_bad, lat, times)
+    assert len(r4._u) == 4
