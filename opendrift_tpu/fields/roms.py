@@ -41,6 +41,65 @@ DEFAULT_DEPTHS = np.array(
      300.0, 500.0, 1000.0, 2000.0, 3000.0], dtype=np.float32)
 
 
+def s_stretch(N, theta_s, theta_b, stagger="rho", vstretching=1):
+    """ROMS s-level stretching curves C(s), Vstretching 1-5
+    (roppy.s_stretch equivalent, reference roppy/depth.py:383-455;
+    formulas from the ROMS vertical-coordinate documentation).  Used
+    when a file carries theta_s/theta_b but no Cs_r variable."""
+    if stagger == "rho":
+        K = np.arange(0.5, N)
+    elif stagger == "w":
+        K = np.arange(N + 1, dtype=np.float64)
+    else:
+        raise ValueError("stagger must be 'rho' or 'w'")
+    S = -1.0 + K / N
+    if vstretching == 1:
+        cff1 = 1.0 / np.sinh(theta_s)
+        cff2 = 0.5 / np.tanh(0.5 * theta_s)
+        return ((1.0 - theta_b) * cff1 * np.sinh(theta_s * S)
+                + theta_b * (cff2 * np.tanh(theta_s * (S + 0.5)) - 0.5))
+    if vstretching == 2:
+        a = b = 1.0
+        Csur = (1 - np.cosh(theta_s * S)) / (np.cosh(theta_s) - 1)
+        Cbot = np.sinh(theta_b * (S + 1)) / np.sinh(theta_b) - 1
+        mu = (S + 1) ** a * (1 + (a / b) * (1 - (S + 1) ** b))
+        return mu * Csur + (1 - mu) * Cbot
+    if vstretching == 3:
+        g = 3.0
+        Csur = -np.log(np.cosh(g * (-S) ** theta_s)) / np.log(np.cosh(g))
+        Cbot = (np.log(np.cosh(g * (S + 1) ** theta_b))
+                / np.log(np.cosh(g)) - 1)
+        mu = 0.5 * (1 - np.tanh(g * (S + 0.5)))
+        return mu * Csur + (1 - mu) * Cbot
+    if vstretching in (4, 5):
+        if vstretching == 5:
+            S1 = (K * K - 2 * K * N + K + N * N - N) / (N * N - N)
+            S2 = (K * K - K * N) / (1.0 - N)
+            S = -S1 - 0.01 * S2
+        C = (1 - np.cosh(theta_s * S)) / (np.cosh(theta_s) - 1)
+        return (np.exp(theta_b * C) - 1) / (1 - np.exp(-theta_b))
+    raise ValueError(f"Unknown Vstretching {vstretching}")
+
+
+def zslice_columns(data_sigma, z, depths):
+    """(S, ...) sigma-level columns -> (L, ...) values at fixed target
+    depths (positive down), linear in z with end-clamping — the
+    vectorised roppy.multi_zslice (reference roppy/depth.py:213-285)."""
+    S = z.shape[0]
+    out = np.empty((len(depths),) + z.shape[1:], dtype=np.float32)
+    for li, d in enumerate(depths):
+        zt = -float(d)
+        k = np.clip(np.sum(z < zt, axis=0), 1, S - 1)
+        z_lo = np.take_along_axis(z, (k - 1)[None], 0)[0]
+        z_hi = np.take_along_axis(z, k[None], 0)[0]
+        v_lo = np.take_along_axis(data_sigma, (k - 1)[None], 0)[0]
+        v_hi = np.take_along_axis(data_sigma, k[None], 0)[0]
+        denom = np.where(z_hi != z_lo, z_hi - z_lo, 1.0)
+        w = np.clip((zt - z_lo) / denom, 0.0, 1.0)
+        out[li] = v_lo * (1.0 - w) + w * v_hi
+    return out
+
+
 def sdepth(h, zeta, hc, C, s, vtransform=2):
     """Depth of sigma levels (roppy.sdepth equivalent,
     reference roppy/depth.py:24-112).  Returns z (S, ...) negative down."""
@@ -103,6 +162,23 @@ class ROMSReader(StructuredGridReader):
         self._Cs_r = gvar("Cs_r", required=False)
         if self._Cs_r is None:
             self._Cs_r = gvar("Cs_rho", required=False)
+        if self._Cs_r is None and self._s_rho is not None:
+            # no stored stretching curve: compute from theta_s/theta_b
+            # like reference reader_ROMS_native via roppy.s_stretch
+            def scalar(n):
+                v = gvar(n, required=False)
+                if v is not None:
+                    return float(np.asarray(v).ravel()[0])
+                a = ds.attrs.get(n)
+                return float(a) if a is not None else None
+
+            th_s = scalar("theta_s")
+            th_b = scalar("theta_b")
+            vstr = scalar("Vstretching")
+            if th_s is not None:
+                self._Cs_r = s_stretch(
+                    len(self._s_rho), th_s, th_b or 0.0,
+                    vstretching=int(vstr) if vstr else 1)
         hc = gvar("hc", required=False)
         self._hc = float(hc) if hc is not None else 0.0
         vt = gvar("Vtransform", required=False)
@@ -203,19 +279,7 @@ class ROMSReader(StructuredGridReader):
         reference roppy/depth.py:115-199)."""
         z = sdepth(self._h, zeta, self._hc, self._Cs_r, self._s_rho,
                    self._vtransform)          # (S, eta, xi), ascending
-        S = z.shape[0]
-        out = np.empty((len(self.depths),) + z.shape[1:], dtype=np.float32)
-        for li, d in enumerate(self.depths):
-            zt = -float(d)
-            k = np.clip(np.sum(z < zt, axis=0), 1, S - 1)
-            z_lo = np.take_along_axis(z, (k - 1)[None], 0)[0]
-            z_hi = np.take_along_axis(z, k[None], 0)[0]
-            v_lo = np.take_along_axis(data_sigma, (k - 1)[None], 0)[0]
-            v_hi = np.take_along_axis(data_sigma, k[None], 0)[0]
-            denom = np.where(z_hi != z_lo, z_hi - z_lo, 1.0)
-            w = np.clip((zt - z_lo) / denom, 0.0, 1.0)
-            out[li] = v_lo * (1.0 - w) + w * v_hi
-        return out
+        return zslice_columns(data_sigma, z, self.depths)
 
     def _unstagger(self, data, kind):
         """Average u/v-point data to rho points when staggered; subset
