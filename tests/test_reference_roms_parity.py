@@ -58,9 +58,12 @@ def test_s_stretch_matches_roppy(roppy, vstretching):
         ref = roppy.s_stretch(20, theta_s, theta_b,
                               Vstretching=vstretching)
         np.testing.assert_allclose(ours, ref, rtol=1e-12)
-        # C(s) is a valid stretching curve: in [-1, 0], monotone
+        # C(s) is a valid stretching curve: in [-1, 0]; monotone for
+        # the common variants (3 with large theta_s is not, in roppy
+        # either)
         assert ours[0] >= -1.0 - 1e-9 and ours[-1] <= 1e-9
-        assert np.all(np.diff(ours) > 0)
+        if vstretching != 3:
+            assert np.all(np.diff(ours) > 0)
 
 
 def test_zslice_columns_matches_multi_zslice(roppy):
