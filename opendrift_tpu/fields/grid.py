@@ -195,6 +195,16 @@ class StructuredGridReader(BaseReader):
             arr = arr[..., ::-1]
         if self._flip_y:
             arr = arr[..., ::-1, :]
+        arr = self._scrub_frame(std, arr)
+        if len(self._frame_cache) > self._max_cached_frames:
+            self._frame_cache.clear()
+        self._frame_cache[key] = arr
+        return arr
+
+    def _scrub_frame(self, std, arr):
+        """Valid-range scrub + NaN fill + optional convolution (the host
+        preprocessing the reference does per ReaderBlock, reference
+        interpolation/structured.py:50-71, variables.py:630-668)."""
         rng = STANDARD_NAMES.get(std)
         if rng is not None and std not in NEAREST_VARIABLES:
             bad = (arr < rng["valid_min"]) | (arr > rng["valid_max"])
@@ -216,10 +226,49 @@ class StructuredGridReader(BaseReader):
                 arr = arr.astype(np.float32)
         else:
             arr = np.nan_to_num(arr, nan=1.0)  # unknown -> land
-        if len(self._frame_cache) > self._max_cached_frames:
-            self._frame_cache.clear()
-        self._frame_cache[key] = arr
         return arr
+
+    def _load_frame_rows(self, std, ti, member, r0, r1, ctx=8):
+        """Per-host shard read: load, scrub and return only subset rows
+        [r0, r1) of a frame (row indices relative to the ``_iy`` subset,
+        in ascending-y orientation).  Reads ``ctx`` context rows either
+        side so the nearest-valid NaN fill sees its neighbourhood, then
+        crops.  ``r1`` may exceed the grid (tile padding): the returned
+        band is edge-replicated to ``r1 - r0`` rows.
+
+        This is the multi-host forcing path — each host touches only the
+        rows its devices own (VERDICT round-1 item 5), instead of the
+        replicated full-grid read of ``_load_frame``.
+        """
+        iy = self._iy
+        ny = iy.stop - iy.start
+        if r0 >= ny:                      # band entirely past the grid
+            last = self._load_frame_rows(std, ti, member, ny - 1, ny, ctx)
+            return np.repeat(last, r1 - r0, axis=-2)
+        rr1 = min(r1, ny)
+        c0, c1 = max(0, r0 - ctx), min(ny, rr1 + ctx)
+        if self._flip_y:
+            # ascending-orientation rows [c0, c1) live at source rows
+            # [ny - c1, ny - c0) of the (descending) file
+            ys = slice(iy.start + ny - c1, iy.start + ny - c0)
+        else:
+            ys = slice(iy.start + c0, iy.start + c1)
+        if getattr(self, "ensemble_size", 1) > 1:
+            raw = self._read_frame(std, ti, slice(None), ys, self._ix,
+                                   member)
+        else:
+            raw = self._read_frame(std, ti, slice(None), ys, self._ix)
+        arr = np.asarray(raw, dtype=np.float32)
+        if self._flip_x:
+            arr = arr[..., ::-1]
+        if self._flip_y:
+            arr = arr[..., ::-1, :]
+        arr = self._scrub_frame(std, arr)
+        band = arr[..., r0 - c0:rr1 - c0, :]
+        if rr1 < r1:                      # pad past the grid edge
+            reps = np.repeat(band[..., -1:, :], r1 - rr1, axis=-2)
+            band = np.concatenate([band, reps], axis=-2)
+        return band
 
     def device_state(self, window_start=None, window_end=None):
         """Pack the window's frames into the row-packed device layout
@@ -289,40 +338,21 @@ class StructuredGridReader(BaseReader):
         self._sampler = PackedSampler(Z, ny, nx, F, col_of, pair_mode)
 
         M = getattr(self, "ensemble_size", 1)
+        pair_factor = {"none": 1, "x": 2, "xy": 4}[pair_mode]
+        self._pack_plan = {
+            "tidx": tidx, "col_of": col_of, "Z": Z, "C": C,
+            "Cf": C * pair_factor, "pair_mode": pair_mode, "M": M,
+            "ny": ny, "nx": nx,
+        }
         out = {}
-        if C > 0:
-            blocks = []
-            for m in range(M):
-                packed = np.empty((Z, ny, nx, C), dtype=np.float32)
-                for v in self._group3:
-                    c0 = col_of[v][0]
-                    for fi, ti in enumerate(tidx):
-                        packed[:, :, :, c0 + fi] = \
-                            self._load_frame(v, ti, m)[:Z]
-                for v in self._group2:
-                    c0 = col_of[v][0]
-                    for fi, ti in enumerate(tidx):
-                        packed[:, :, :, c0 + fi] = \
-                            self._load_frame(v, ti, m)[None, :, :]
-                for v in self._static_packed + self._static_near:
-                    packed[:, :, :, col_of[v][0]] = \
-                        self._load_frame(v, 0, m)[None, :, :]
-                if pair_mode != "none":
-                    # append neighbour rows so one gather covers the
-                    # x-pair ('x') or the full bilinear stencil ('xy')
-                    def shift_x(a):
-                        return np.concatenate([a[:, :, 1:], a[:, :, -1:]],
-                                              axis=2)
-
-                    def shift_y(a):
-                        return np.concatenate([a[:, 1:], a[:, -1:]],
-                                              axis=1)
-                    variants = [packed, shift_x(packed)]
-                    if pair_mode == "xy":
-                        variants += [shift_y(packed),
-                                     shift_x(shift_y(packed))]
-                    packed = np.concatenate(variants, axis=3)
-                blocks.append(packed.reshape(Z * ny * nx, -1))
+        if C > 0 and getattr(self, "_dd_defer_pack", False):
+            # multi-host domain decomposition: the full-grid host array is
+            # never built — DDContext.retile reads each host's row bands
+            # straight from the source via packed_rows()
+            out["packed_deferred"] = True
+        elif C > 0:
+            blocks = [self._pack_member(m, tidx, col_of, Z, C, pair_mode)
+                      .reshape(Z * ny * nx, -1) for m in range(M)]
             # member m's rows start at m * Z*ny*nx
             packed_all = np.concatenate(blocks, axis=0) if M > 1 \
                 else blocks[0]
@@ -353,21 +383,90 @@ class StructuredGridReader(BaseReader):
             out["depths"] = jnp.zeros((1,), dtype=jnp.float32)
         return out
 
+    def _pack_member(self, m, tidx, col_of, Z, C, pair_mode, rows=None):
+        """Pack one ensemble member's window into the row layout:
+        (Z, nrows, nx, C * pair_factor).  With ``rows=(r0, r1)`` only
+        that row band is read from the source (per-host shard read);
+        neighbour-shift columns are built with one context row so the
+        band matches the full-grid packing exactly."""
+        nx = self._ix.stop - self._ix.start
+        if rows is None:
+            r0, r1 = 0, self._iy.stop - self._iy.start
+            load = lambda v, ti: self._load_frame(v, ti, m)
+            pad_y = 0
+        else:
+            r0, r1 = rows
+            # one extra bottom row so shift_y is exact at the band edge
+            pad_y = 1 if pair_mode == "xy" else 0
+            load = lambda v, ti: self._load_frame_rows(
+                v, ti, m, r0, r1 + pad_y)
+        nrows = r1 - r0 + pad_y
+        packed = np.empty((Z, nrows, nx, C), dtype=np.float32)
+        for v in self._group3:
+            c0 = col_of[v][0]
+            for fi, ti in enumerate(tidx):
+                packed[:, :, :, c0 + fi] = load(v, ti)[:Z]
+        for v in self._group2:
+            c0 = col_of[v][0]
+            for fi, ti in enumerate(tidx):
+                packed[:, :, :, c0 + fi] = load(v, ti)[None, :, :]
+        for v in self._static_packed + self._static_near:
+            packed[:, :, :, col_of[v][0]] = load(v, 0)[None, :, :]
+        if pair_mode != "none":
+            # append neighbour rows so one gather covers the
+            # x-pair ('x') or the full bilinear stencil ('xy')
+            def shift_x(a):
+                return np.concatenate([a[:, :, 1:], a[:, :, -1:]],
+                                      axis=2)
+
+            def shift_y(a):
+                return np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            variants = [packed, shift_x(packed)]
+            if pair_mode == "xy":
+                variants += [shift_y(packed), shift_x(shift_y(packed))]
+            packed = np.concatenate(variants, axis=3)
+        if pad_y:
+            packed = packed[:, :-pad_y]
+        return packed
+
+    def packed_rows(self, r0, r1):
+        """Per-host shard read for multi-host domain decomposition:
+        build the packed row band [r0, r1) of the current window —
+        shape (M*Z, r1-r0, nx, Cf) — reading only those rows (plus a
+        small NaN-fill context margin) from the source.  Requires a
+        preceding ``device_state()`` call (which records the window's
+        pack plan); ``r1`` may exceed the grid for tile padding."""
+        plan = self._pack_plan
+        bands = [self._pack_member(m, plan["tidx"], plan["col_of"],
+                                   plan["Z"], plan["C"],
+                                   plan["pair_mode"], rows=(r0, r1))
+                 for m in range(plan["M"])]
+        band = np.concatenate(bands, axis=0) if plan["M"] > 1 \
+            else bands[0]
+        dtype = getattr(self, "packed_dtype", "float32")
+        return np.ascontiguousarray(band.astype(np.dtype(dtype)))
+
     # ---------------------------------------------------------- sampling -
-    def _local_yi(self, dev_state, yi, covers=None):
-        """Domain decomposition: shift global fractional y-indices into
-        the local extended tile (dev_state['y_off'] is set inside the
-        shard_map by DDContext.local_dev_states) and restrict coverage to
-        rows the tile actually holds — an element beyond its halo reads
-        clipped rows, which must count as not-covered, not as data."""
-        off = dev_state.get("y_off") if isinstance(dev_state, dict) \
-            else None
-        if off is None:
-            return yi, covers
-        yi = yi - off
-        if covers is not None:
-            covers = covers & (yi >= 0) & (yi <= self._sampler.Y - 1)
-        return yi, covers
+    def _local_idx(self, dev_state, xi, yi, covers=None):
+        """Domain decomposition: shift global fractional grid indices
+        into the local extended tile (dev_state['y_off']/'x_off' are set
+        inside the shard_map by DDContext.local_dev_states) and restrict
+        coverage to cells the tile actually holds — an element beyond
+        its halo reads clipped cells, which must count as not-covered,
+        not as data.  'x_off' only appears under 2D (Y x X) tiling."""
+        if not isinstance(dev_state, dict):
+            return xi, yi, covers
+        y_off = dev_state.get("y_off")
+        if y_off is not None:
+            yi = yi - y_off
+            if covers is not None:
+                covers = covers & (yi >= 0) & (yi <= self._sampler.Y - 1)
+        x_off = dev_state.get("x_off")
+        if x_off is not None:
+            xi = xi - x_off
+            if covers is not None:
+                covers = covers & (xi >= 0) & (xi <= self._sampler.X - 1)
+        return xi, yi, covers
 
     def _grid_indices(self, lon, lat):
         x, y = self.crs.fwd(jnp, lon, lat)
@@ -386,7 +485,7 @@ class StructuredGridReader(BaseReader):
     def sample(self, dev_state, varnames, t, lon, lat, z, member=None):
         xi, yi = self._grid_indices(lon, lat)
         covers = self._covers_idx(xi, yi)
-        yi, covers = self._local_yi(dev_state, yi, covers)
+        xi, yi, covers = self._local_idx(dev_state, xi, yi, covers)
         # ensemble forcing: element -> member by round-robin on ID
         # (reference reader_netCDF_CF_generic.py:560-569)
         M = getattr(self, "ensemble_size", 1)
@@ -462,7 +561,7 @@ class StructuredGridReader(BaseReader):
             keep_vars = ["x_sea_water_velocity", "y_sea_water_velocity"]
         xi, yi = self._grid_indices(lon, lat)
         covers = self._covers_idx(xi, yi)
-        yi, covers = self._local_yi(dev_state, yi, covers)
+        xi, yi, covers = self._local_idx(dev_state, xi, yi, covers)
         M = getattr(self, "ensemble_size", 1)
         if M > 1 and member is not None:
             row_offset = (member.astype(jnp.int32) % M) \
@@ -486,7 +585,7 @@ class StructuredGridReader(BaseReader):
         bit-for-bit up to linear-blend ordering when the position equals
         the block's gather position."""
         xi, yi = self._grid_indices(lon, lat)
-        yi, _ = self._local_yi(dev_state, yi)
+        xi, yi, _ = self._local_idx(dev_state, xi, yi)
         vals = self._sampler.eval_corner_block(
             block, xi, yi, dev_state["times"], t, varnames)
         if not self.crs.is_latlon:
@@ -505,7 +604,7 @@ class StructuredGridReader(BaseReader):
         """Evaluate u/v from a gathered block at (possibly displaced)
         stage positions — no gathers, just VPU blends + rotation."""
         xi, yi = self._grid_indices(lon, lat)
-        yi, _ = self._local_yi(dev_state, yi)
+        xi, yi, _ = self._local_idx(dev_state, xi, yi)
         names = ["x_sea_water_velocity", "y_sea_water_velocity"]
         vals = self._sampler.eval_corner_block(
             block, xi, yi, dev_state["times"], t, names)
@@ -520,7 +619,7 @@ class StructuredGridReader(BaseReader):
         out = {}
         if want3:
             xi, yi = self._grid_indices(lon, lat)
-            yi, _ = self._local_yi(dev_state, yi)
+            xi, yi, _ = self._local_idx(dev_state, xi, yi)
             L = zlevels.shape[0]
             res = {v: [] for v in want3}
             for li in range(L):
@@ -546,7 +645,7 @@ class StructuredGridReader(BaseReader):
         if covers is None:
             xi, yi = self._grid_indices(lon, lat)
             covers = self._covers_idx(xi, yi)
-            _, covers = self._local_yi(dev_state, yi, covers)
+            _, _, covers = self._local_idx(dev_state, xi, yi, covers)
         return out, covers
 
     def _covers_idx(self, xi, yi, eps=1e-2):

@@ -245,6 +245,13 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "description": "Per-tile particle buffer slots as a "
                 "multiple of the even share (headroom for spatially "
                 "clumped distributions under domain decomposition)"},
+            "parallel:tile_grid": {
+                "type": "str", "default": "auto",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Tile topology for domain decomposition: "
+                "'auto' = 1D Y bands (one per device), or 'RxC' for a "
+                "2D Y-by-X tiling (R*C must equal the device count; "
+                "right for domains wider than tall)"},
             "drift:advection_single_fetch": {
                 "type": "bool", "default": False,
                 "level": CONFIG_LEVEL_ADVANCED,
@@ -774,6 +781,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         # (reference export_buffer_length, basemodel/__init__.py:2390)
         writer = None
         flushed = 0
+        if outfile is not None:
+            # multi-host: one process owns the output file
+            from ..parallel import multihost
+            if multihost.is_multihost() and not multihost.is_primary():
+                outfile = None
         buffer_length = self.get_config("export:buffer_length") or 0
         if outfile is not None and buffer_length > 0:
             from ..export.io_netcdf import IncrementalWriter
@@ -796,13 +808,26 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         dd = getattr(self, "_dd", None)
 
         def get_frame(snap):
-            f = jax.device_get(snap)
+            if dd is not None:
+                f = dd.gather(snap)
+            elif self._mesh is not None:
+                from ..parallel import multihost
+                f = multihost.gather(snap, self._mesh)
+            else:
+                f = jax.device_get(snap)
             if dd is not None:
                 export = self.export_variables
                 f = dd.reorder_frame(
                     f, self._n_real_elements,
                     keep_id=export is not None and "ID" in export)
             return f
+        # multi-host: replicated inputs must be explicit global arrays
+        # (single-process: _mh_global is the identity)
+        if self._mesh is not None:
+            from ..parallel import multihost as _mh
+            _mh_global = lambda tree: _mh.ensure_global(tree, self._mesh)
+        else:
+            _mh_global = lambda tree: tree
         try:
             for k in range(n_intervals):
                 t_rel = k * K * dt
@@ -810,8 +835,9 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 if dd is not None:
                     dev_states = dd.retile(dev_states)
                 key = jax.random.fold_in(base_key, k)
-                state, snap = advance(state, dev_states, jnp.float32(t_rel),
-                                      key)
+                dev_states, t_arr, key = _mh_global(
+                    (dev_states, jnp.float32(t_rel), key))
+                state, snap = advance(state, dev_states, t_arr, key)
                 if k + 1 < n_intervals:
                     # overlap next-window forcing I/O with device compute
                     self.env.prefetch_device_states(*window(k + 1))
@@ -826,10 +852,18 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 *window(n_intervals - 1))
             if dd is not None:
                 dev_states = dd.retile(dev_states)
-            snap = final_snap(state, dev_states, jnp.float32(t_rel))
+            dev_states, t_arr = _mh_global((dev_states,
+                                            jnp.float32(t_rel)))
+            snap = final_snap(state, dev_states, t_arr)
             frames.append(get_frame(snap))
             frame_times.append(self.start_time + timedelta(seconds=t_rel))
-            self.state = jax.device_get(state)
+            if dd is not None:
+                self.state = dd.gather(state)
+            elif self._mesh is not None:
+                from ..parallel import multihost
+                self.state = multihost.gather(state, self._mesh)
+            else:
+                self.state = jax.device_get(state)
         except Exception:
             # leave the partial record-layout file readable
             flush(force=True)
@@ -1016,7 +1050,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             self._dd = DDContext(
                 self, max_speed=max_speed, dt=dt,
                 capacity_factor=self.get_config(
-                    "parallel:tile_capacity_factor"))
+                    "parallel:tile_capacity_factor"),
+                tile_grid=self.get_config("parallel:tile_grid"))
             state_np = self._dd.bin_initial_state(
                 state_np, self._n_real_elements)
             self._n_padded_elements = len(state_np["lon"])
@@ -1504,8 +1539,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             # tile's local particles and extended forcing tile
             def tile_advance(state, dev_states, t0_rel, key):
                 local = dd.local_dev_states(dev_states)
-                key = jax.random.fold_in(
-                    key, jax.lax.axis_index("tiles"))
+                key = jax.random.fold_in(key, dd.tile_index())
                 return advance(state, local, t0_rel, key)
 
             def tile_final(state, dev_states, t_rel):

@@ -34,16 +34,28 @@ def pad_to_multiple(n, k):
 
 def shard_state(state, mesh):
     """Place every per-element array of the state pytree on the mesh,
-    sharded along the particle axis (last-dim for (C, N) matrices)."""
+    sharded along the particle axis (last-dim for (C, N) matrices).
+    On a multi-process mesh each host uploads only its shards (the host
+    state is identical everywhere — seeding is deterministic host code)."""
+    from . import multihost
+
     def spec_for(x):
         if x.ndim == 1:
             return NamedSharding(mesh, P("dp"))
         # component matrices (C, N): shard the particle axis
         return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["dp"])))
+    if multihost.is_multihost():
+        return jax.tree_util.tree_map(
+            lambda x: multihost.make_global(np.asarray(x), spec_for(x)),
+            state)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, spec_for(x)), state)
 
 
 def replicate(tree, mesh):
+    from . import multihost
     repl = NamedSharding(mesh, P())
+    if multihost.is_multihost():
+        return jax.tree_util.tree_map(
+            lambda x: multihost.make_global(np.asarray(x), repl), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)

@@ -3,29 +3,35 @@
 This wires the scaling design of ``parallel/domain.py`` into the real
 simulation engine: with ``o.set_config("parallel:domain_decomposition",
 True)``, ``run()`` splits the primary structured reader's packed blocks
-along the grid Y axis over a 1D ``tiles`` device mesh, and the FULL
-fused step — release, environment fetch, RK stage sampling, geodesic
-update, landmask/seafloor interaction, model ``update()`` physics,
-vertical mixing — executes inside one ``shard_map``.  This takes the
+over a ``(ty, tx)`` device mesh — 1D Y bands by default, or a 2D Y x X
+tiling via ``parallel:tile_grid = "RxC"`` — and the FULL fused step —
+release, environment fetch, RK stage sampling, geodesic update,
+landmask/seafloor interaction, model ``update()`` physics, vertical
+mixing — executes inside one ``shard_map``.  This takes the
 architectural slot of the reference's per-reader block buffers
 (reference: opendrift/readers/basereader/structured.py:121-123) for
 grids too large to replicate per chip (SURVEY.md §2.10).
 
 Design:
 
-* **Host** uploads **core** tiles only (one Y-band per device); the
-  halo rows — sized by the reference's buffer rule ``max_speed*dt/dy+2``
+* **Host** uploads **core** tiles only; the halo cells — sized by the
+  reference's buffer rule ``max_speed*dt/dy+2``
   (reference variables.py:616-617), doubled to cover RK stage
-  excursions — are exchanged **on device** between ring neighbours with
-  ``jax.lax.ppermute`` (ICI on real hardware) once per forcing window.
+  excursions — are exchanged **on device** between grid neighbours with
+  ``jax.lax.ppermute`` (ICI on real hardware) once per forcing window:
+  a Y phase over ``ty``, then an X phase of the Y-extended tile over
+  ``tx`` (which carries the corners).  On a multi-process mesh each
+  host reads only the forcing rows its devices own
+  (``grid.packed_rows`` via ``jax.make_array_from_callback``).
 * **Particles** live in fixed-capacity per-tile buffers (the element
-  state sharded over the ``tiles`` axis).  After every step, elements
-  whose grid row left their tile are packed into bounded leaver
+  state sharded over the tile axes).  After every step, elements
+  whose grid cell left their tile are packed into bounded leaver
   buffers and sent to the adjacent tile with one ``ppermute`` hop per
-  direction — migration is neighbour-only by construction (a particle
-  cannot cross a whole tile in one step while the halo rule holds),
-  so traffic is O(L) per link instead of the O(n_tiles * L) of an
-  ``all_gather`` exchange.
+  direction and axis (dimension-ordered: Y pass then X pass delivers
+  diagonal movers within one exchange) — migration is neighbour-only
+  by construction (a particle cannot cross a whole tile in one step
+  while the halo rule holds), so traffic is O(L) per link instead of
+  the O(n_tiles * L) of an ``all_gather`` exchange.
 * **Conservation is unconditional**: the receiver acknowledges each
   claimed element (one reverse ``ppermute`` of the claim mask) and the
   sender frees only acknowledged slots — an element that finds no free
@@ -62,14 +68,42 @@ class DDContext:
     """Per-run state of an engine-level domain decomposition."""
 
     def __init__(self, sim, max_speed, dt, capacity_factor=2.0,
-                 devices=None, max_leavers=None):
+                 devices=None, max_leavers=None, tile_grid="auto"):
+        import os
         from ..fields.grid import StructuredGridReader
 
         if devices is None:
             devices = jax.devices()
         self.n_tiles = len(devices)
-        self.mesh = Mesh(np.array(devices), axis_names=("tiles",))
+        # tile topology: "auto" = 1D along Y (one Y band per device);
+        # "RxC" = 2D Y x X tiling (R * C must equal the device count) —
+        # right for domains wider than tall, where Y-only bands would
+        # get thin and halo-dominated
+        if tile_grid in (None, "auto", ""):
+            self.n_ty, self.n_tx = self.n_tiles, 1
+        else:
+            try:
+                r, c = tile_grid.lower().split("x")
+                self.n_ty, self.n_tx = int(r), int(c)
+            except ValueError:
+                raise ValueError(
+                    f"parallel:tile_grid must be 'auto' or 'RxC', got "
+                    f"{tile_grid!r}")
+            if self.n_ty * self.n_tx != self.n_tiles:
+                raise ValueError(
+                    f"parallel:tile_grid {tile_grid} needs "
+                    f"{self.n_ty * self.n_tx} devices, have {self.n_tiles}")
+        self.mesh = Mesh(
+            np.array(devices).reshape(self.n_ty, self.n_tx),
+            axis_names=("ty", "tx"))
+        self.state_spec = P(("ty", "tx"))
         self.sim = sim
+        # multi-host: tiles span processes; forcing rows are read
+        # per-host (packed_rows), halo/migration ppermutes cross the
+        # process boundary over DCN (docs/parallel.md)
+        self.multihost = jax.process_count() > 1
+        self.defer_pack = self.multihost or \
+            os.environ.get("OPENDRIFT_DD_PER_HOST_READS") == "1"
         env = sim.env
 
         # primary reader: top-priority source of the current components
@@ -90,19 +124,30 @@ class DDContext:
         self.primary = primary
 
         ny = primary._iy.stop - primary._iy.start
-        self.rows = -(-ny // self.n_tiles)
+        nx = primary._ix.stop - primary._ix.start
+        self.rows = -(-ny // self.n_ty)
+        self.cols = -(-nx // self.n_tx)
         dy = abs(primary.delta_y)
+        dx = abs(primary.delta_x)
         # grid spacing in metres (geographic grids have degree axes)
-        dy_m = dy * 111320.0 if getattr(primary.crs, "is_latlon", False) \
-            else dy
+        latlon = getattr(primary.crs, "is_latlon", False)
+        dy_m = dy * 111320.0 if latlon else dy
+        dx_m = dx * 111320.0 * 0.3 if latlon else dx  # high-lat slack
         # halo: the reference's buffer rule, doubled for RK stage
         # excursions + one unacknowledged-migration step of slack
         self.halo = int(math.ceil(2.0 * max_speed * abs(dt) / dy_m)) + 2
+        self.halo_x = 0 if self.n_tx == 1 else \
+            int(math.ceil(2.0 * max_speed * abs(dt) / dx_m)) + 2
         if self.halo > self.rows:
             raise ValueError(
                 f"Domain decomposition infeasible: halo ({self.halo} rows) "
                 f"exceeds tile height ({self.rows} rows of {ny}); use "
                 f"fewer tiles or a shorter time step")
+        if self.halo_x > self.cols:
+            raise ValueError(
+                f"Domain decomposition infeasible: halo ({self.halo_x} "
+                f"columns) exceeds tile width ({self.cols} of {nx}); use "
+                f"fewer X tiles or a shorter time step")
         self.capacity_factor = float(capacity_factor)
         self.max_leavers = max_leavers  # resolved in bin_initial_state
         self.cap = None
@@ -125,15 +170,30 @@ class DDContext:
                 # device_state keeps 'packed' on host so only the tiled
                 # shards ever reach device memory
                 reader._dd_keep_host = True
+                # multi-host: skip the full-grid host packing entirely —
+                # retile reads each host's row bands from the source
+                reader._dd_defer_pack = self.defer_pack
         self._wrapped = {}
+
+    def tile_index(self):
+        """Traced linear tile id inside the shard_map (row-major over
+        the (ty, tx) mesh — matches the slot layout of
+        bin_initial_state)."""
+        return (jax.lax.axis_index("ty") * self.n_tx
+                + jax.lax.axis_index("tx"))
 
     # ------------------------------------------------------ host: particles
     def _tile_of(self, lon, lat):
-        """Host-side tile assignment from positions (numpy)."""
+        """Host-side linear tile assignment from positions (numpy)."""
         r = self.primary
         x, y = r.lonlat2xy(lon, lat)
         yi = (np.asarray(y) - r.y[r._iy.start]) / r.delta_y
-        return np.clip((yi // self.rows).astype(int), 0, self.n_tiles - 1)
+        ty = np.clip((yi // self.rows).astype(int), 0, self.n_ty - 1)
+        if self.n_tx == 1:
+            return ty
+        xi = (np.asarray(x) - r.x[r._ix.start]) / r.delta_x
+        tx = np.clip((xi // self.cols).astype(int), 0, self.n_tx - 1)
+        return ty * self.n_tx + tx
 
     def bin_initial_state(self, arrays, n_real):
         """Re-layout flat host state arrays into per-tile fixed buffers.
@@ -177,16 +237,31 @@ class DDContext:
         return out
 
     def shard_state(self, state):
-        return jax.device_put(
-            state, NamedSharding(self.mesh, P("tiles")))
+        sharding = NamedSharding(self.mesh, self.state_spec)
+        if self.multihost:
+            # every process holds the identical host state (seeding is
+            # deterministic host code); each uploads only its shards
+            from . import multihost
+            return multihost.put_sharded(state, sharding)
+        return jax.device_put(state, sharding)
+
+    def gather(self, tree):
+        """Host numpy copies of device output (snapshots, final state);
+        cross-process gather when the tiles span processes."""
+        from . import multihost
+        return multihost.gather(tree, self.mesh)
 
     # ------------------------------------------------------- host: forcing -
     def retile(self, dev_states):
-        """Split each tiled reader's packed rows into per-device Y bands
-        (core rows only — halos are exchanged on device) and refresh the
-        reader's sampler to the local extended-tile geometry."""
+        """Split each tiled reader's packed rows into per-device (ty, tx)
+        bands (core cells only — halos are exchanged on device) and
+        refresh the reader's sampler to the local extended-tile
+        geometry."""
         from ..ops.interp import PackedSampler
         out = list(dev_states)
+        spec = NamedSharding(self.mesh, P("ty", "tx"))
+        rows, cols = self.rows, self.cols
+        n_ty, n_tx = self.n_ty, self.n_tx
         for i in self.tiled_idx:
             ds = dev_states[i]
             if ds is None:
@@ -194,33 +269,78 @@ class DDContext:
             ds = dict(ds)
             reader = self.sim.env._plan[i][0]
             s = reader._sampler
-            packed = np.asarray(ds.pop("packed"))
-            C = packed.shape[-1]
-            MZ = packed.shape[0] // (s.Y * s.X)
-            pk = packed.reshape(MZ, s.Y, s.X, C)
-            pad = self.rows * self.n_tiles - s.Y
-            if pad:
-                pk = np.concatenate(
-                    [pk, np.repeat(pk[:, -1:], pad, axis=1)], axis=1)
-            pk = np.ascontiguousarray(
-                pk.reshape(MZ, self.n_tiles, self.rows, s.X, C)
-                .transpose(1, 0, 2, 3, 4))
-            ds["packed_tiled"] = jax.device_put(
-                pk, NamedSharding(self.mesh, P("tiles")))
+            if ds.pop("packed_deferred", None):
+                # per-host shard read: each process's callback runs only
+                # for its addressable tiles, reading just those rows of
+                # the forcing source (grid.packed_rows)
+                plan = reader._pack_plan
+                MZ = plan["M"] * plan["Z"]
+                C = plan["Cf"]
+                nx = plan["nx"]
+                gshape = (n_ty, n_tx, MZ, rows, cols, C)
+
+                def band_of(ty, tx, reader=reader, nx=nx):
+                    band = reader.packed_rows(ty * rows, (ty + 1) * rows)
+                    b = band[:, :, tx * cols:(tx + 1) * cols]
+                    if b.shape[2] < cols:   # pad past the grid's right edge
+                        b = np.concatenate(
+                            [b, np.repeat(b[:, :, -1:],
+                                          cols - b.shape[2], axis=2)],
+                            axis=2)
+                    return b
+
+                def cb(idx, band_of=band_of):
+                    tys = range(idx[0].start or 0,
+                                idx[0].stop if idx[0].stop is not None
+                                else n_ty)
+                    txs = range(idx[1].start or 0,
+                                idx[1].stop if idx[1].stop is not None
+                                else n_tx)
+                    return np.stack([
+                        np.stack([band_of(ty, tx) for tx in txs])
+                        for ty in tys])
+                ds["packed_tiled"] = jax.make_array_from_callback(
+                    gshape, spec, cb)
+            else:
+                packed = np.asarray(ds.pop("packed"))
+                C = packed.shape[-1]
+                MZ = packed.shape[0] // (s.Y * s.X)
+                pk = packed.reshape(MZ, s.Y, s.X, C)
+                pad_y = rows * n_ty - s.Y
+                if pad_y:
+                    pk = np.concatenate(
+                        [pk, np.repeat(pk[:, -1:], pad_y, axis=1)], axis=1)
+                pad_x = cols * n_tx - s.X
+                if pad_x:
+                    pk = np.concatenate(
+                        [pk, np.repeat(pk[:, :, -1:], pad_x, axis=2)],
+                        axis=2)
+                pk = np.ascontiguousarray(
+                    pk.reshape(MZ, n_ty, rows, n_tx, cols, C)
+                    .transpose(1, 3, 0, 2, 4, 5))
+                ds["packed_tiled"] = jax.device_put(pk, spec)
             # sampler geometry becomes the extended local tile
             reader._sampler = PackedSampler(
-                s.Z, self.rows + 2 * self.halo, s.X, s.F, s.col_of,
-                s.pair_mode)
+                s.Z, rows + 2 * self.halo, cols + 2 * self.halo_x, s.F,
+                s.col_of, s.pair_mode)
             out[i] = ds
         return tuple(out)
 
     # --------------------------------------------------- device: in the map
     def local_dev_states(self, dev_states):
         """Inside shard_map: halo-exchange each tiled core band into the
-        extended local tile and attach the tile's global-row offset."""
-        h = self.halo
-        n = self.n_tiles
-        idx = jax.lax.axis_index("tiles")
+        extended local tile and attach the tile's global offsets.
+
+        Two phases: Y rows over the 'ty' axis, then X columns of the
+        Y-extended tile over 'tx' — the second phase carries the corner
+        halos automatically.  Partial perms: tiles with no source
+        receive zeros, then the domain edges replace them with
+        edge-replicated cells.
+        """
+        h, hx = self.halo, self.halo_x
+        n_ty, n_tx = self.n_ty, self.n_tx
+        ty = jax.lax.axis_index("ty")
+        tx = jax.lax.axis_index("tx")
         out = []
         for i, ds in enumerate(dev_states):
             if ds is None or not isinstance(ds, dict) \
@@ -228,25 +348,41 @@ class DDContext:
                 out.append(ds)
                 continue
             d = dict(ds)
-            core = d.pop("packed_tiled")[0]      # (MZ, rows, X, C)
-            top = core[:, -h:]
-            bot = core[:, :h]
-            # partial perms: tiles with no source receive zeros, then the
-            # domain edges replace them with edge-replicated rows
+            core = d.pop("packed_tiled")[0][0]   # (MZ, rows, cols, C)
+            # ---- phase Y
             from_below = jax.lax.ppermute(
-                top, "tiles", [(k, k + 1) for k in range(n - 1)])
+                core[:, -h:], "ty", [(k, k + 1) for k in range(n_ty - 1)])
             from_above = jax.lax.ppermute(
-                bot, "tiles", [(k, k - 1) for k in range(1, n)])
+                core[:, :h], "ty", [(k, k - 1) for k in range(1, n_ty)])
             from_below = jnp.where(
-                idx == 0, jnp.broadcast_to(core[:, :1], from_below.shape),
+                ty == 0, jnp.broadcast_to(core[:, :1], from_below.shape),
                 from_below)
             from_above = jnp.where(
-                idx == n - 1,
+                ty == n_ty - 1,
                 jnp.broadcast_to(core[:, -1:], from_above.shape),
                 from_above)
             ext = jnp.concatenate([from_below, core, from_above], axis=1)
+            # ---- phase X (skipped under 1D tiling)
+            if n_tx > 1 and hx > 0:
+                from_left = jax.lax.ppermute(
+                    ext[:, :, -hx:], "tx",
+                    [(k, k + 1) for k in range(n_tx - 1)])
+                from_right = jax.lax.ppermute(
+                    ext[:, :, :hx], "tx",
+                    [(k, k - 1) for k in range(1, n_tx)])
+                from_left = jnp.where(
+                    tx == 0,
+                    jnp.broadcast_to(ext[:, :, :1], from_left.shape),
+                    from_left)
+                from_right = jnp.where(
+                    tx == n_tx - 1,
+                    jnp.broadcast_to(ext[:, :, -1:], from_right.shape),
+                    from_right)
+                ext = jnp.concatenate([from_left, ext, from_right],
+                                      axis=2)
+                d["x_off"] = (tx * self.cols - hx).astype(jnp.float32)
             d["packed"] = ext.reshape(-1, ext.shape[-1])
-            d["y_off"] = (idx * self.rows - h).astype(jnp.float32)
+            d["y_off"] = (ty * self.rows - h).astype(jnp.float32)
             out.append(d)
         return tuple(out)
 
@@ -255,18 +391,26 @@ class DDContext:
         receiver acknowledgement (see module docstring).  ``data`` is the
         element-state dict of per-slot arrays; returns the updated dict.
 
-        Sort-free: packing uses cumsum ranks + dropped-index scatters
-        (TPU sorts run on the scalar core; O(cap) VPU work here).
+        2D tiling routes dimension-ordered (Y pass, then X pass): a
+        diagonal mover crosses in Y first and is delivered in X within
+        the same exchange.  Sort-free: packing uses cumsum ranks +
+        dropped-index scatters (TPU sorts run on the scalar core;
+        O(cap) VPU work here).
         """
-        n = self.n_tiles
-        if n == 1:
-            return data
-        rows = self.rows
-        idx = jax.lax.axis_index("tiles")
-        _, yi = self.primary._grid_indices(data["lon"], data["lat"])
+        if self.n_ty > 1:
+            data = self._migrate_axis(data, "ty", self.n_ty, which="y")
+        if self.n_tx > 1:
+            data = self._migrate_axis(data, "tx", self.n_tx, which="x")
+        return data
+
+    def _migrate_axis(self, data, axis, n, which):
+        size = self.rows if which == "y" else self.cols
+        idx = jax.lax.axis_index(axis)
+        xi, yi = self.primary._grid_indices(data["lon"], data["lat"])
+        gi = yi if which == "y" else xi
         occ = data["ID"] > 0
-        movable = occ & (data["status"] == ACTIVE) & jnp.isfinite(yi)
-        dest = jnp.clip(jnp.floor(yi / rows).astype(jnp.int32), 0, n - 1)
+        movable = occ & (data["status"] == ACTIVE) & jnp.isfinite(gi)
+        dest = jnp.clip(jnp.floor(gi / size).astype(jnp.int32), 0, n - 1)
         # neighbour-only guarantee (the halo rule bounds one step's travel
         # to under a tile height; clamping keeps pathological cases safe —
         # they hop one tile per exchange)
@@ -300,7 +444,7 @@ class DDContext:
         dn = pack(go_dn)
         perm_up = [(k, k + 1) for k in range(n - 1)]
         perm_dn = [(k, k - 1) for k in range(1, n)]
-        pp = partial(jax.lax.ppermute, axis_name="tiles")
+        pp = partial(jax.lax.ppermute, axis_name=axis)
         in_f = jnp.concatenate([pp(up[0], perm=perm_up),
                                 pp(dn[0], perm=perm_dn)])
         in_i = jnp.concatenate([pp(up[1], perm=perm_up),
@@ -350,7 +494,7 @@ class DDContext:
         for ds in dev_states:
             if isinstance(ds, dict):
                 specs.append({
-                    k: (P("tiles", None, None, None, None)
+                    k: (P("ty", "tx", None, None, None, None)
                         if k == "packed_tiled" else P()) for k in ds})
             else:
                 # analytic/constant readers: replicate whatever they hold
@@ -367,9 +511,9 @@ class DDContext:
             if cached is None:
                 mapped = shard_map(
                     fn, mesh=self.mesh,
-                    in_specs=(P("tiles"), self._dev_specs(dev_states),
-                              P(), P()),
-                    out_specs=(P("tiles"), P("tiles")),
+                    in_specs=(self.state_spec,
+                              self._dev_specs(dev_states), P(), P()),
+                    out_specs=(self.state_spec, self.state_spec),
                     check_vma=False)
                 cached = jax.jit(mapped, donate_argnums=(0,))
                 self._wrapped[("adv", kstr)] = cached
@@ -383,8 +527,9 @@ class DDContext:
             if cached is None:
                 mapped = shard_map(
                     fn, mesh=self.mesh,
-                    in_specs=(P("tiles"), self._dev_specs(dev_states), P()),
-                    out_specs=P("tiles"),
+                    in_specs=(self.state_spec,
+                              self._dev_specs(dev_states), P()),
+                    out_specs=self.state_spec,
                     check_vma=False)
                 cached = jax.jit(mapped)
                 self._wrapped[("fin", kstr)] = cached

@@ -37,7 +37,7 @@ def _forcing(ny=96, nx=40, v_of_lat=None, u=0.25):
 
 def _run(dd, scheme="runge-kutta4", number=64, steps=40, dt=900,
          v_of_lat=None, capacity_factor=2.0, lat0=59.2, radius=4000,
-         single_fetch=False):
+         single_fetch=False, tile_grid=None, forcing=None):
     o = OceanDrift(loglevel=50)
     o.set_config("environment:fallback:land_binary_mask", 0)
     o.set_config("drift:advection_scheme", scheme)
@@ -46,9 +46,12 @@ def _run(dd, scheme="runge-kutta4", number=64, steps=40, dt=900,
     o.set_config("drift:vertical_mixing", False)
     o.set_config("parallel:domain_decomposition", dd)
     o.set_config("parallel:tile_capacity_factor", capacity_factor)
+    if tile_grid is not None:
+        o.set_config("parallel:tile_grid", tile_grid)
     if single_fetch:
         o.set_config("drift:advection_single_fetch", True)
-    o.add_reader(_forcing(v_of_lat=v_of_lat))
+    o.add_reader(forcing if forcing is not None
+                 else _forcing(v_of_lat=v_of_lat))
     o.seed_elements(4.0, lat0, number=number, radius=radius, time=T0)
     o.run(steps=steps, time_step=dt)
     return o
@@ -156,6 +159,36 @@ def test_dd_stochastic_diffusion_statistics():
     o2.run(steps=20, time_step=1800)
     s2 = o2.result["lat"].values[:, -1].std() * 111320.0
     assert abs(spread - s2) / s2 < 0.35
+
+
+def test_2d_tile_grid_matches_gold():
+    """2D (Y x X) tiling: diagonal flow crosses both Y and X tile
+    boundaries; both orientations must reproduce the replicated gold.
+    Dimension-ordered (Y pass then X pass) neighbour-only migration
+    delivers the diagonal movers within one exchange."""
+    kw = dict(number=96, steps=36, lat0=59.3, radius=15000,
+              capacity_factor=16.0,
+              forcing=_forcing(ny=64, nx=64, u=0.45))
+    gold = _run(dd=False, **kw)
+    for tg in ("4x2", "2x4"):
+        kw["forcing"] = _forcing(ny=64, nx=64, u=0.45)
+        tiled = _run(dd=True, tile_grid=tg, **kw)
+        np.testing.assert_allclose(tiled.result["lon"].values,
+                                   gold.result["lon"].values, atol=2e-5)
+        np.testing.assert_allclose(tiled.result["lat"].values,
+                                   gold.result["lat"].values, atol=2e-5)
+        assert (tiled._dd.n_ty, tiled._dd.n_tx) \
+            == tuple(int(v) for v in tg.split("x"))
+        assert tiled._dd.last_in_transit == 0
+
+
+def test_tile_grid_validation():
+    kw = dict(number=8, steps=2, forcing=_forcing())
+    with pytest.raises(ValueError, match="tile_grid"):
+        _run(dd=True, tile_grid="3x5", **kw)   # 15 != 8 devices
+    with pytest.raises(ValueError, match="tile_grid"):
+        kw["forcing"] = _forcing()
+        _run(dd=True, tile_grid="nonsense", **kw)
 
 
 def test_dd_requires_gridded_current():
