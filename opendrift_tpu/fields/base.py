@@ -207,6 +207,35 @@ class BaseReader:
             result[v] = np.asarray(out[v])
         return result
 
+    def sample_at(self, lon, lat, time, variables=None, z=0.0):
+        """Host convenience: sample ``variables`` at arbitrary positions
+        and one time; numpy in, numpy dict out.  The standalone-reader
+        analogue of the reference's ``get_variables_interpolated``
+        (reference basereader/variables.py:860-918); positions outside
+        coverage return NaN."""
+        import jax
+
+        if variables is None:
+            variables = list(self.variables)
+        variables = list(variables)
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float32)).ravel()
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float32)).ravel()
+        zv = np.broadcast_to(np.asarray(z, dtype=np.float32),
+                             lon.shape).ravel()
+        self.set_run_epoch(time)
+        self.prepare()
+        dev = self.device_state(time, time)
+
+        @jax.jit
+        def run(lonv, latv, zvv):
+            vals, covers = self.sample(dev, variables, jnp.float32(0.0),
+                                       lonv, latv, zvv)
+            return {v: jnp.where(covers, vals[v], jnp.nan)
+                    for v in variables}, covers
+        out, covers = jax.device_get(
+            run(jnp.asarray(lon), jnp.asarray(lat), jnp.asarray(zv)))
+        return {v: np.asarray(out[v]) for v in variables}
+
     def set_run_epoch(self, epoch):
         """Record the run's t=0 (a datetime); samplers convert relative t."""
         self._run_epoch = epoch

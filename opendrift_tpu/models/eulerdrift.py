@@ -39,6 +39,80 @@ def utm_proj4(lon, lat):
     return (f"+proj=utm +zone={zone}{south} +ellps=WGS84 +units=m")
 
 
+def vec_nearest(X, xp):
+    """Index of the element of ``X`` nearest each ``xp`` (reference:
+    eulerdrift/interp.py:4-19)."""
+    xp = np.atleast_1d(xp)
+    return np.argmin(np.abs(np.asarray(X)[:, None] - xp), axis=0)
+
+
+def grad2d(f, dx, dy):
+    """Smoothed first derivatives (Gaussian-derivative filter, sigma=1)
+    of a 2D field (reference: eulerdrift/diff.py:6-10 ``grad2d``)."""
+    from scipy import ndimage
+    f = np.asarray(f)
+    return (ndimage.gaussian_filter1d(f, sigma=1, axis=0, order=1,
+                                      mode="constant", cval=0.0) / dx,
+            ndimage.gaussian_filter1d(f, sigma=1, axis=1, order=1,
+                                      mode="constant", cval=0.0) / dy)
+
+
+class Reader:
+    """Eulerdrift reader interface: ``read_grid(grid, var, t)`` returns
+    one array per variable, shaped like the grid (reference:
+    eulerdrift/readers.py:7-34)."""
+
+    def variables(self):
+        return []
+
+    def read_grid(self, grid, var, t):
+        raise NotImplementedError
+
+
+class ConstantReader(Reader):
+    """Constant fields (reference: eulerdrift/readers.py:37-62)."""
+
+    def __init__(self, consts):
+        self.consts = dict(consts)
+
+    def variables(self):
+        return list(self.consts)
+
+    def read_grid(self, grid, var, _):
+        for v in var:
+            assert v in self.consts, f"missing variable {v}"
+        return tuple(np.full(grid.shape, self.consts[v], np.float32)
+                     for v in var)
+
+    @staticmethod
+    def new_xy(x=0.5, y=0.5):
+        return ConstantReader({"x_sea_water_velocity": x,
+                               "y_sea_water_velocity": y})
+
+
+class OpendriftReader(Reader):
+    """Wrap any opendrift_tpu field reader as eulerdrift forcing
+    (reference: eulerdrift/readers.py:65-104 ``OpendriftReader``)."""
+
+    def __init__(self, reader):
+        logger.info("opendrift reader: %s (%s)", reader.name,
+                    ", ".join(reader.variables))
+        self.r = reader
+
+    def variables(self):
+        return list(self.r.variables)
+
+    def read_grid(self, grid, var, t):
+        env = self.r.sample_at(grid.lons.ravel(), grid.lats.ravel(),
+                               t, variables=list(var))
+        out = tuple(np.asarray(env[v], np.float32).reshape(grid.shape)
+                    for v in var)
+        for arr, name in zip(out, var):
+            if np.isnan(arr).any():
+                logger.warning("nan's in %s", name)
+        return out
+
+
 class EulerGrid:
     """Regular projected grid holding a scalar concentration field
     (reference: eulerdrift/grid.py:7-118 ``RegularGrid``)."""
@@ -89,6 +163,31 @@ class EulerGrid:
     def total_mass(self):
         return float(jax.jit(jnp.sum)(self.field)) * self.res ** 2
 
+    def center(self):
+        """(lon, lat) of the grid centre (reference: eulerdrift/
+        grid.py:100-108 ``center``)."""
+        ny, nx = self.shape
+        lon, lat = self.crs.inv(np, np.float64(self.x[nx // 2]),
+                                np.float64(self.y[ny // 2]))
+        return float(lon), float(lat)
+
+    def plot(self, ax=None, show=False, cmap="inferno"):
+        """Show the concentration field (reference: eulerdrift/
+        grid.py:110-118 ``plot``; matplotlib extent plot, no cartopy
+        dependency)."""
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots()
+        im = ax.imshow(np.asarray(self.field), origin="lower",
+                       extent=[self.x[0], self.x[-1],
+                               self.y[0], self.y[-1]], cmap=cmap)
+        plt.colorbar(im, ax=ax, orientation="horizontal")
+        ax.set_xlabel("easting [m]")
+        ax.set_ylabel("northing [m]")
+        if show:
+            plt.show()
+        return ax
+
 
 def _step_kernel(c, u, v, D, dx, dt):
     """One explicit convection-diffusion step; roll-based 5-point
@@ -131,20 +230,14 @@ class ExplSimulation:
     def _sample_uv(self, when):
         """Grid u/v at one time from the reader chain (or zeros)."""
         ny, nx = self.grid.shape
+        uv = ["x_sea_water_velocity", "y_sea_water_velocity"]
         for r in self.readers:
             if callable(r):  # plain function (lons, lats, t) -> (u, v)
                 return r(self.grid.lons, self.grid.lats, when)
-            try:
-                env = r.sample_grid(
-                    self.grid.lons, self.grid.lats, when,
-                    ["x_sea_water_velocity", "y_sea_water_velocity"])
-                return env[0], env[1]
-            except AttributeError:
-                u = r.interp_block("x_sea_water_velocity",
-                                   self.grid.lons, self.grid.lats, when)
-                v = r.interp_block("y_sea_water_velocity",
-                                   self.grid.lons, self.grid.lats, when)
-                return u, v
+            if isinstance(r, Reader):          # eulerdrift reader layer
+                return r.read_grid(self.grid, uv, when)
+            # bare opendrift_tpu field reader: wrap on the fly
+            return OpendriftReader(r).read_grid(self.grid, uv, when)
         return (np.zeros((ny, nx), np.float32),
                 np.zeros((ny, nx), np.float32))
 

@@ -63,3 +63,64 @@ def test_snapshot_history():
     assert hist.shape == (4, 48, 48)
     peaks = np.asarray(hist).max(axis=(1, 2))
     assert np.all(np.diff(peaks) < 0)  # monotone spreading
+
+
+def test_constant_reader_layer():
+    """Eulerdrift reader interface (reference eulerdrift/readers.py):
+    ConstantReader.new_xy forcing advects the blob like the callable."""
+    from opendrift_tpu.models.eulerdrift import ConstantReader
+
+    sim = ExplSimulation.new(lon0=5.0, lat0=60.0, res=10.0,
+                             shape=(80, 80), D=0.05)
+    r = ConstantReader.new_xy(x=0.5, y=0.0)
+    assert set(r.variables()) == {"x_sea_water_velocity",
+                                  "y_sea_water_velocity"}
+    sim.readers.append(r)
+    lon_c, lat_c = sim.grid.crs.inv(np, sim.grid.x[40], sim.grid.y[40])
+    sim.grid.source_gaussian_blob(float(lon_c), float(lat_c), A=1.0,
+                                  N=11, sigma=30.0)
+    c0 = np.asarray(sim.grid.field)
+    sim.integrate(dt=2.0, max_steps=100)
+    c1 = np.asarray(sim.grid.field)
+    # centre of mass moved east by ~u*t = 100 m = 10 cells
+    x_com0 = (c0.sum(0) * np.arange(80)).sum() / c0.sum()
+    x_com1 = (c1.sum(0) * np.arange(80)).sum() / c1.sum()
+    assert 8.0 < (x_com1 - x_com0) < 12.0
+
+
+def test_opendrift_reader_wraps_field_reader():
+    """OpendriftReader adapter (reference eulerdrift/readers.py:65):
+    samples an opendrift_tpu structured reader onto the Euler grid."""
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.eulerdrift import OpendriftReader
+    from opendrift_tpu.fields import ArrayReader
+
+    t0 = datetime(2021, 1, 1)
+    ny = nx = 16
+    uu = np.full((2, ny, nx), 0.3, np.float32)
+    vv = np.full((2, ny, nx), -0.2, np.float32)
+    fr = ArrayReader({"x_sea_water_velocity": uu,
+                      "y_sea_water_velocity": vv},
+                     x=np.linspace(4.0, 6.0, nx),
+                     y=np.linspace(59.5, 60.5, ny),
+                     times=[t0, t0 + timedelta(hours=6)])
+    sim = ExplSimulation.new(lon0=4.8, lat0=59.9, res=50.0,
+                             shape=(24, 24), D=0.05, t0=t0)
+    sim.readers.append(OpendriftReader(fr))
+    u, v = sim._sample_uv(t0)
+    assert u.shape == (24, 24)
+    np.testing.assert_allclose(u, 0.3, atol=1e-5)
+    np.testing.assert_allclose(v, -0.2, atol=1e-5)
+
+
+def test_grid_helpers():
+    from opendrift_tpu.models.eulerdrift import vec_nearest, grad2d
+
+    g = EulerGrid.new(lon0=5.0, lat0=60.0, res=10.0, shape=(40, 40))
+    lon_c, lat_c = g.center()
+    assert abs(lon_c - 5.0) < 0.1 and abs(lat_c - 60.0) < 0.1
+    assert vec_nearest(np.array([0.0, 1.0, 2.0]), 1.2)[0] == 1
+    f = np.zeros((9, 9)); f[4, 4] = 1.0
+    gy, gx = grad2d(f, 1.0, 1.0)
+    assert gy[3, 4] > 0 and gy[5, 4] < 0     # derivative across the peak
+    assert gx[4, 3] > 0 and gx[4, 5] < 0

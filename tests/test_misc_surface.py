@@ -126,3 +126,24 @@ def test_current_from_drifter_subtracts_stokes():
     lon_bad = lon.copy(); lon_bad[2] = np.nan
     r4 = CurrentFromDrifter(lon_bad, lat, times)
     assert len(r4._u) == 4
+
+
+def test_reader_sample_at():
+    """BaseReader.sample_at: host-side positions->values convenience
+    (the standalone analogue of reference get_variables_interpolated,
+    basereader/variables.py:860); outside coverage -> NaN."""
+    from datetime import datetime, timedelta
+    import numpy as np
+    from opendrift_tpu.fields import ArrayReader
+
+    t0 = datetime(2021, 1, 1)
+    ny = nx = 12
+    uu = np.full((2, ny, nx), 0.7, np.float32)
+    r = ArrayReader({"x_sea_water_velocity": uu},
+                    x=np.linspace(4.0, 5.0, nx),
+                    y=np.linspace(60.0, 61.0, ny),
+                    times=[t0, t0 + timedelta(hours=6)])
+    out = r.sample_at([4.5, 20.0], [60.5, 60.5], t0)
+    vals = out["x_sea_water_velocity"]
+    assert abs(vals[0] - 0.7) < 1e-5
+    assert np.isnan(vals[1])          # outside coverage
