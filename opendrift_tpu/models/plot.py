@@ -187,19 +187,41 @@ class PlottingMixin:
             plt.close(fig)
         return anim
 
-    def animation_profile(self, filename=None, fps=8, markersize=6):
+    def animation_profile(self, filename=None, fps=8, markersize=6,
+                          color=None, vmin=None, vmax=None, legend=None,
+                          cmap="viridis", legend_loc="best"):
         """Vertical-section animation (reference
-        basemodel/__init__.py:3255)."""
+        basemodel/__init__.py:3255).  ``color`` names a result variable
+        to colour markers by (e.g. 'specie'); with ``legend`` a list of
+        labels, integer colour values get a categorical legend like the
+        reference's radionuclide GUI profile."""
         import matplotlib.pyplot as plt
         from matplotlib import animation as manim
         lon = self.result["lon"].values
         z = self.result["z"].values
+        cvals = self.result[color].values if color else None
+        if cvals is not None:
+            if vmin is None:
+                vmin = np.nanmin(cvals)
+            if vmax is None:
+                vmax = np.nanmax(cvals)
         fig, ax = plt.subplots(figsize=(10, 5))
         ax.set_xlim(np.nanmin(lon) - 0.02, np.nanmax(lon) + 0.02)
         ax.set_ylim(min(np.nanmin(z) * 1.1, -1), 1)
         ax.set_xlabel("Longitude")
         ax.set_ylabel("Depth [m]")
-        scat = ax.scatter([], [], s=markersize, c="blue")
+        scat = ax.scatter([], [], s=markersize,
+                          **({"c": [], "cmap": cmap, "vmin": vmin,
+                              "vmax": vmax} if cvals is not None
+                             else {"c": "blue"}))
+        if legend and cvals is not None:
+            cm = plt.get_cmap(cmap)
+            span = max(float(vmax) - float(vmin), 1e-9)
+            handles = [plt.Line2D(
+                [], [], marker="o", linestyle="",
+                color=cm((i - float(vmin)) / span), label=lab)
+                for i, lab in enumerate(legend)]
+            ax.legend(handles=handles, loc=legend_loc)
         title = ax.set_title("")
         times = self.result.coords["time"]
 
@@ -207,6 +229,8 @@ class PlottingMixin:
             pts = np.column_stack([lon[:, ti], z[:, ti]])
             ok = np.isfinite(pts).all(axis=1)
             scat.set_offsets(pts[ok])
+            if cvals is not None:
+                scat.set_array(cvals[ok, ti])
             title.set_text(str(times[ti])[:19])
             return scat, title
 

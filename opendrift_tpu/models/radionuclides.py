@@ -9,6 +9,8 @@ vectorised categorical kernel, sediment sorption/desorption with
 moving-flag freezing, particle-size-dependent sinking, and resuspension.
 """
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +20,8 @@ from ..config import CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED, \
 from ..ops.speciation import speciation_step
 from ..ops import physics as ph
 from .oceandrift import OceanDrift, Lagrangian3DArray
+
+logger = logging.getLogger(__name__)
 
 G = 9.81
 
@@ -544,3 +548,87 @@ class RadionuclideDrift(OceanDrift):
             f.flush()
         finally:
             f.close()
+
+    # --------------------------------------------------- GUI post-processing
+    def gui_postproc(self, filename=None, pixelsize_m=200.0):
+        """GUI hook run after a simulation: log the final speciation and
+        save the concentration file (reference radionuclides.py:1559-1572
+        ``gui_postproc``)."""
+        import os
+        logger.info("Postprocessing radionuclides")
+        specie = np.asarray(self.result["specie"].values)[:, -1]
+        logger.info("Final speciation:")
+        for i, sp in enumerate(self.name_species):
+            logger.info("%32s: %6d", sp, int((specie == i).sum()))
+        if filename is None:
+            filename = os.path.join(os.path.expanduser("~"),
+                                    "conc_radio_gui.nc")
+        self.guipp_saveconcfile(filename, pixelsize_m=pixelsize_m)
+        return filename
+
+    def guipp_saveconcfile(self, filename, pixelsize_m=200.0,
+                           zlevels=None):
+        """Save the gridded concentration NetCDF (reference
+        radionuclides.py:1587-1619 ``guipp_saveconcfile``)."""
+        if zlevels is None:
+            zlevels = (-1.0, -10.0, -50.0)
+        self.write_netcdf_radionuclide_density_map(
+            filename, pixelsize_m=pixelsize_m, zlevels=tuple(zlevels),
+            horizontal_smoothing=True, smoothing_cells=1)
+        logger.info("Saved radionuclide concentration map to %s",
+                    filename)
+
+    def guipp_showanimationprofile(self, filename=None, **kwargs):
+        """Profile animation coloured by specie with a categorical
+        legend (reference radionuclides.py:1622-1628)."""
+        return self.animation_profile(
+            filename=filename, color="specie", vmin=0,
+            vmax=self.nspecies - 1,
+            legend=[self.specie_num2name(i)
+                    for i in range(self.nspecies)],
+            legend_loc=3, **kwargs)
+
+    def guipp_plotandsaveconc(self, filename, outfilename, zlayers=None,
+                              specie=None):
+        """Plot per-specie concentration maps from a saved density file
+        and write one PNG per (specie, layer, time) (reference
+        radionuclides.py:1635-1740 ``guipp_plotandsaveconc``; plain
+        matplotlib, no cartopy dependency)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from scipy.io import netcdf_file
+
+        if zlayers is None:
+            zlayers = [0]
+        if specie is None:
+            specie_arr = ["Total"] + list(self.name_species[:2])
+        else:
+            specie_arr = list(specie)
+        f = netcdf_file(filename, "r", mmap=False)
+        try:
+            dens = np.asarray(f.variables["density"][:])  # (t,s,z,lon,lat)
+            lon = np.asarray(f.variables["lon"][:])
+            lat = np.asarray(f.variables["lat"][:])
+        finally:
+            f.close()
+        written = []
+        for sp in specie_arr:
+            if sp == "Total":
+                field_t = dens.sum(axis=1)
+            else:
+                field_t = dens[:, self.specie_name2num(sp)]
+            for zi in zlayers:
+                for ti in range(field_t.shape[0]):
+                    fig, ax = plt.subplots()
+                    im = ax.pcolormesh(lon, lat, field_t[ti, zi].T,
+                                       cmap="CMRmap_r", shading="auto")
+                    plt.colorbar(im, ax=ax, label="elements")
+                    ax.set_title(f"{sp}  layer {zi}  frame {ti}")
+                    out = f"{outfilename}_{sp.replace(' ', '_')}" \
+                          f"_z{zi}_t{ti:03d}.png"
+                    fig.savefig(out, dpi=90)
+                    plt.close(fig)
+                    written.append(out)
+        logger.info("Wrote %d concentration plots", len(written))
+        return written

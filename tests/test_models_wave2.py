@@ -371,3 +371,36 @@ def test_radionuclide_speciation_legality():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="Illegal speciation"):
         o.transfer_rates_matrix()
+
+
+def test_radionuclide_gui_postproc(tmp_path):
+    """GUI post-processing hooks (reference radionuclides.py:1559-1740):
+    gui_postproc logs speciation + saves the concentration file;
+    guipp_plotandsaveconc renders PNGs from it; the profile animation
+    colours by specie with a categorical legend."""
+    import os
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models.radionuclides import RadionuclideDrift
+    from opendrift_tpu.fields.analytic import ConstantReader
+
+    o = RadionuclideDrift(loglevel=40)
+    o.add_reader(ConstantReader({
+        "x_sea_water_velocity": 0.3, "y_sea_water_velocity": 0.0,
+        "land_binary_mask": 0.0, "sea_water_temperature": 10.0,
+        "sea_water_salinity": 34.0,
+        "sea_floor_depth_below_sea_level": 20.0}))
+    o.set_config("radionuclide:isotope", "137Cs")
+    o.seed_elements(lon=4.0, lat=60.0, z=-2.0, number=120,
+                    time=datetime(2020, 1, 1))
+    o.run(duration=timedelta(hours=6), time_step=1800)
+    conc = tmp_path / "conc_radio_gui.nc"
+    out = o.gui_postproc(filename=str(conc), pixelsize_m=2000.0)
+    assert os.path.exists(out)
+    pngs = o.guipp_plotandsaveconc(
+        str(conc), str(tmp_path / "RadioConc"), zlayers=[0],
+        specie=["Total", "LMM"])
+    assert len(pngs) > 0 and all(os.path.exists(p) for p in pngs)
+    anim = o.guipp_showanimationprofile(
+        filename=str(tmp_path / "prof.gif"), fps=4)
+    assert os.path.exists(tmp_path / "prof.gif")
