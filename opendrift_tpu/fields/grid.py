@@ -122,17 +122,27 @@ class StructuredGridReader(BaseReader):
                              (latmin + latmax) / 2, (latmin + latmax) / 2,
                              latmax])
             xs, ys = self.lonlat2xy(lons, lats)
+            xs = np.asarray(xs, dtype=np.float64)
+            ys = np.asarray(ys, dtype=np.float64)
+            if not np.isfinite(xs).all() or not np.isfinite(ys).all():
+                # part of the extent is outside an invertible region
+                # (curvilinear hull): widen to the grid edge rather
+                # than shrink the subset
+                xs = np.concatenate([xs[np.isfinite(xs)],
+                                     [self.x[0], self.x[-1]]])
+                ys = np.concatenate([ys[np.isfinite(ys)],
+                                     [self.y[0], self.y[-1]]])
             dt_r = (self.time_step.total_seconds()
                     if self.time_step else 3600.0)
             halo_x = int(abs(max_speed * dt_r / self.delta_x)) + 2
             halo_y = int(abs(max_speed * dt_r / self.delta_y)) + 2
-            ix0 = int(np.clip((np.min(xs) - self.x[0]) / self.delta_x
+            ix0 = int(np.clip((np.nanmin(xs) - self.x[0]) / self.delta_x
                               - halo_x, 0, len(self.x) - 2))
-            ix1 = int(np.clip((np.max(xs) - self.x[0]) / self.delta_x
+            ix1 = int(np.clip((np.nanmax(xs) - self.x[0]) / self.delta_x
                               + halo_x + 2, ix0 + 2, len(self.x)))
-            iy0 = int(np.clip((np.min(ys) - self.y[0]) / self.delta_y
+            iy0 = int(np.clip((np.nanmin(ys) - self.y[0]) / self.delta_y
                               - halo_y, 0, len(self.y) - 2))
-            iy1 = int(np.clip((np.max(ys) - self.y[0]) / self.delta_y
+            iy1 = int(np.clip((np.nanmax(ys) - self.y[0]) / self.delta_y
                               + halo_y + 2, iy0 + 2, len(self.y)))
             new_ix, new_iy = slice(ix0, ix1), slice(iy0, iy1)
             if (new_ix, new_iy) != (self._ix, self._iy):

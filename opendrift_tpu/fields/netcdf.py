@@ -9,8 +9,12 @@ standard names with the alias table
 scale/offset-packed frames on demand.  Supports single files or a
 time-sorted list of files (MFDataset-style concatenation along time).
 
-Regular 1D coordinate grids only — curvilinear (2D lon/lat) grids are
-handled by the ROMS reader (fields/roms.py).
+Regular 1D coordinate grids are sampled directly; curvilinear (2D
+lon/lat) grids take the inverse-lookup path (the reference's 'fakeproj'
+slot, basereader/structured.py:46-119): a precomputed regular raster of
+fractional native indices is sampled bilinearly on device, so field
+values stay on the native grid.  ROMS C-grids keep their dedicated
+reader (fields/roms.py).
 """
 
 import logging
@@ -170,8 +174,16 @@ class NetCDFReader(StructuredGridReader):
         self._time_dim = time_name
 
         # ---- spatial coordinates
+        self._curvilinear = False
         (self._x_name, self._y_name, x, y,
          is_latlon) = self._find_xy(ds)
+        if self._curvilinear:
+            xv = ds.variables[self._x_name]
+            self._xdim = xv.dimensions[-1]
+            self._ydim = xv.dimensions[-2]
+        else:
+            self._xdim = ds.variables[self._x_name].dimensions[-1]
+            self._ydim = ds.variables[self._y_name].dimensions[-1]
 
         # ---- projection
         if proj4 is None:
@@ -198,8 +210,7 @@ class NetCDFReader(StructuredGridReader):
         self._sources = {}        # std -> (var name, has_z, invert_sign)
         self._var_has_z = {}
         self.variables = []
-        xdim = ds.variables[self._x_name].dimensions[-1]
-        ydim = ds.variables[self._y_name].dimensions[-1]
+        xdim, ydim = self._xdim, self._ydim
         for vname, var in ds.variables.items():
             if vname in (self._x_name, self._y_name, time_name,
                          self._z_name):
@@ -259,6 +270,8 @@ class NetCDFReader(StructuredGridReader):
         self.x = x + shift_x
         self.y = y + shift_y
         super().__init__()
+        if self._curvilinear:
+            self._build_inverse_lookup()
 
     # ------------------------------------------------------ autodetection
     def _find_time(self, ds):
@@ -290,9 +303,12 @@ class NetCDFReader(StructuredGridReader):
                 if std != "longitude":
                     yname = name
         if xname is None or yname is None:
+            found = self._find_xy_curvilinear(ds)
+            if found is not None:
+                return found
             raise ValueError(
-                f"{self.name}: no 1D x/y coordinates found (curvilinear "
-                f"grids need the ROMS/unstructured readers)")
+                f"{self.name}: no 1D x/y coordinates and no 2D lon/lat "
+                f"pair found")
         xv = ds.variables[xname]
         yv = ds.variables[yname]
         x = np.asarray(xv[:], dtype=np.float64)
@@ -305,6 +321,37 @@ class NetCDFReader(StructuredGridReader):
             if str(yv.attrs.get("units", "")) == "km":
                 y = y * 1000.0
         return xname, yname, x, y, is_latlon
+
+    def _find_xy_curvilinear(self, ds):
+        """Curvilinear grids: 2D lon/lat coordinate pair -> native index
+        axes.  The architectural slot of the reference's 'fakeproj'
+        fallback (reference basereader/structured.py:46-119: LinearND
+        inverse mapping of 2D lon/lat to fractional indices); here the
+        inverse map is precomputed once into regular lookup rasters that
+        the device samples bilinearly inside the fused kernel — field
+        data stays on the NATIVE grid (no regridding of values)."""
+        lon_name = lat_name = None
+        for name, var in ds.variables.items():
+            if var.ndim != 2:
+                continue
+            std = var.attrs.get("standard_name", "")
+            if lon_name is None and (std == "longitude"
+                                     or name in ("lon", "longitude")):
+                lon_name = name
+            if lat_name is None and (std == "latitude"
+                                     or name in ("lat", "latitude")):
+                lat_name = name
+        if lon_name is None or lat_name is None:
+            return None
+        lon2d = np.asarray(ds.variables[lon_name][:], dtype=np.float64)
+        lat2d = np.asarray(ds.variables[lat_name][:], dtype=np.float64)
+        self._curvilinear = True
+        self._lon2d, self._lat2d = lon2d, lat2d
+        nj, ni = lon2d.shape
+        logger.info("%s: curvilinear grid (%d x %d), building inverse "
+                    "index lookup", self.name, nj, ni)
+        return (lon_name, lat_name, np.arange(ni, dtype=np.float64),
+                np.arange(nj, dtype=np.float64), True)
 
     def _find_proj4(self, ds, is_latlon):
         # a grid_mapping variable referenced by any data variable
@@ -345,6 +392,118 @@ class NetCDFReader(StructuredGridReader):
         self._z_flip = False
         return None, None, True
 
+    # --------------------------------------------------- curvilinear path -
+    def _build_inverse_lookup(self, oversample=1.5, max_cells=4_000_000):
+        """Precompute regular lon/lat rasters of fractional native
+        indices (XI, YI) by evaluating one LinearND inverse map — done
+        once on the host; the device then recovers native indices with
+        two cheap bilinear raster lookups per position.  NaN outside
+        the grid hull -> position counts as not covered."""
+        from scipy.interpolate import LinearNDInterpolator
+
+        lon2d, lat2d = self._lon2d, self._lat2d
+        nj, ni = lon2d.shape
+        dlon = np.nanmedian(np.abs(np.diff(lon2d, axis=1)))
+        dlat = np.nanmedian(np.abs(np.diff(lat2d, axis=0)))
+        dlon = max(dlon / oversample, 1e-6)
+        dlat = max(dlat / oversample, 1e-6)
+        lon0, lon1 = float(np.nanmin(lon2d)), float(np.nanmax(lon2d))
+        lat0, lat1 = float(np.nanmin(lat2d)), float(np.nanmax(lat2d))
+        nlon = int((lon1 - lon0) / dlon) + 2
+        nlat = int((lat1 - lat0) / dlat) + 2
+        while nlon * nlat > max_cells:
+            nlon = max(nlon // 2, 2)
+            nlat = max(nlat // 2, 2)
+        glon = np.linspace(lon0, lon1, nlon)
+        glat = np.linspace(lat0, lat1, nlat)
+        JJ, II = np.meshgrid(np.arange(nj, dtype=np.float64),
+                             np.arange(ni, dtype=np.float64),
+                             indexing="ij")
+        pts = np.column_stack([lon2d.ravel(), lat2d.ravel()])
+        itp = LinearNDInterpolator(
+            pts, np.column_stack([II.ravel(), JJ.ravel()]))
+        GLon, GLat = np.meshgrid(glon, glat)
+        inv = itp(np.column_stack([GLon.ravel(), GLat.ravel()]))
+        self._lk_xi = inv[:, 0].reshape(nlat, nlon).astype(np.float32)
+        self._lk_yi = inv[:, 1].reshape(nlat, nlon).astype(np.float32)
+        self._lk_lon0, self._lk_dlon = glon[0], float(glon[1] - glon[0])
+        self._lk_lat0, self._lk_dlat = glat[0], float(glat[1] - glat[0])
+        # native cell size in metres: prepare() scales speeds into
+        # index units with this
+        dy_m = np.nanmedian(np.abs(np.diff(lat2d, axis=0))) * 111_320.0
+        dx_m = (np.nanmedian(np.abs(np.diff(lon2d, axis=1))) * 111_320.0
+                * max(np.cos(np.deg2rad(np.nanmean(lat2d))), 0.05))
+        self._min_cell_m = float(max(min(dx_m, dy_m), 1.0))
+        logger.info("%s: inverse lookup raster %d x %d (cell ~%.0f m)",
+                    self.name, nlat, nlon, self._min_cell_m)
+
+    def _lookup_indices(self, xp, lon, lat):
+        """Fractional native (xi, yi) from the inverse rasters, in
+        GLOBAL (unsubset) index space; NaN outside the grid hull.
+        ``xp`` = np (host) or jnp (traced device)."""
+        li = (lon - self._lk_lon0) / self._lk_dlon
+        lj = (lat - self._lk_lat0) / self._lk_dlat
+        nlat, nlon = self._lk_xi.shape
+        i0 = xp.clip(xp.floor(li), 0, nlon - 2).astype("int32")
+        j0 = xp.clip(xp.floor(lj), 0, nlat - 2).astype("int32")
+        fi = xp.clip(li - i0, 0.0, 1.0)
+        fj = xp.clip(lj - j0, 0.0, 1.0)
+        out = []
+        for R in (self._lk_xi, self._lk_yi):
+            R = xp.asarray(R)
+            r00 = R[j0, i0]
+            r01 = R[j0, i0 + 1]
+            r10 = R[j0 + 1, i0]
+            r11 = R[j0 + 1, i0 + 1]
+            out.append((r00 * (1 - fi) + r01 * fi) * (1 - fj)
+                       + (r10 * (1 - fi) + r11 * fi) * fj)
+        # positions outside the raster bounds are outside the grid
+        inside = (li >= 0) & (li <= nlon - 1) & (lj >= 0) & (lj <= nlat - 1)
+        nan = xp.full_like(out[0], xp.nan)
+        return (xp.where(inside, out[0], nan),
+                xp.where(inside, out[1], nan))
+
+    def _grid_indices(self, lon, lat):
+        if not self._curvilinear:
+            return super()._grid_indices(lon, lat)
+        import jax.numpy as jnp
+        xi, yi = self._lookup_indices(jnp, lon, lat)
+        return xi - self._ix.start, yi - self._iy.start
+
+    def lonlat2xy(self, lon, lat):
+        if not self._curvilinear:
+            return super().lonlat2xy(lon, lat)
+        return self._lookup_indices(np, np.asarray(lon, np.float64),
+                                    np.asarray(lat, np.float64))
+
+    def xy2lonlat(self, x, y):
+        if not self._curvilinear:
+            return super().xy2lonlat(x, y)
+        # bilinear sample of the 2D coordinate arrays at fractional
+        # native indices
+        nj, ni = self._lon2d.shape
+        xi = np.clip(np.asarray(x, np.float64), 0, ni - 1)
+        yi = np.clip(np.asarray(y, np.float64), 0, nj - 1)
+        i0 = np.clip(np.floor(xi).astype(int), 0, ni - 2)
+        j0 = np.clip(np.floor(yi).astype(int), 0, nj - 2)
+        fi, fj = xi - i0, yi - j0
+        out = []
+        for C in (self._lon2d, self._lat2d):
+            out.append((C[j0, i0] * (1 - fi) + C[j0, i0 + 1] * fi)
+                       * (1 - fj)
+                       + (C[j0 + 1, i0] * (1 - fi)
+                          + C[j0 + 1, i0 + 1] * fi) * fj)
+        return out[0], out[1]
+
+    def prepare(self, extent=None, start_time=None, end_time=None,
+                max_speed=None, **kw):
+        if self._curvilinear and max_speed is not None:
+            # axes are native indices: express the halo rule's speed in
+            # cells/s so the buffer formula stays dimensionally right
+            max_speed = max_speed / self._min_cell_m
+        super().prepare(extent=extent, start_time=start_time,
+                        end_time=end_time, max_speed=max_speed, **kw)
+
     # ----------------------------------------------------------- reading -
     def _read_frame(self, std, ti, zslice, yslice, xslice, member=0):
         if std == "land_binary_mask":
@@ -361,9 +520,9 @@ class NetCDFReader(StructuredGridReader):
                 idx.append(ii)
             elif self._z_name is not None and d == self._z_name:
                 idx.append(zslice)
-            elif d == ds.variables[self._y_name].dimensions[-1]:
+            elif d == self._ydim:
                 idx.append(yslice)
-            elif d == ds.variables[self._x_name].dimensions[-1]:
+            elif d == self._xdim:
                 idx.append(xslice)
             elif d == self._ens_dim:
                 idx.append(member)
