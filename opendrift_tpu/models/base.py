@@ -147,6 +147,14 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "__init__.py:270-326); 'rbg' uses the TPU hardware "
                 "generator — same statistics, faster, reproducible only "
                 "per backend"},
+            "general:profile_dir": {
+                "type": "str", "default": "",
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Capture a jax.profiler device trace of "
+                "the main loop into this directory (view with "
+                "TensorBoard/Perfetto); empty = off.  The device-level "
+                "counterpart of the hierarchical wall-clock timers "
+                "(reference timer.py)"},
             "general:time_step_minutes": {
                 "type": "float", "default": 60.0, "min": 1e-6, "max": 1e5,
                 "units": "minutes", "level": CONFIG_LEVEL_BASIC,
@@ -762,6 +770,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
 
         self.timer_end("preparing main loop")
         self.timer_start("main loop")
+        # device-level tracing: jax.profiler trace of the main loop
+        # (the TPU counterpart of the reference's wall-clock timers)
+        profile_dir = self.get_config("general:profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         frames = []
         frame_times = []
         # host RSS per output interval (reference samples psutil into
@@ -869,8 +882,13 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             flush(force=True)
             if writer is not None:
                 writer.abort_close()
+            if profile_dir:
+                jax.profiler.stop_trace()
             self.timer_end("main loop")
             raise
+        if profile_dir:
+            jax.profiler.stop_trace()
+            logger.info("jax.profiler trace written to %s", profile_dir)
         self.timer_end("main loop")
 
         self.timer_start("postprocessing")
