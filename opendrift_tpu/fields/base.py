@@ -38,6 +38,20 @@ VECTOR_PAIRS = [
      "sea_surface_wave_stokes_drift_y_velocity"),
 ]
 
+# (x, y, speed, to_direction) rows for the derived environment mappings
+# (reference basereader/consts.py:27 vector_pairs_xy)
+SPEED_DIRECTION_PAIRS = [
+    ("x_wind", "y_wind", "wind_speed", "wind_to_direction"),
+    ("sea_ice_x_velocity", "sea_ice_y_velocity", "sea_ice_speed",
+     "direction_of_sea_ice_velocity"),
+    ("x_sea_water_velocity", "y_sea_water_velocity", "sea_water_speed",
+     "sea_water_to_direction"),
+    ("sea_surface_wave_stokes_drift_x_velocity",
+     "sea_surface_wave_stokes_drift_y_velocity",
+     "sea_surface_wave_stokes_drift_speed",
+     "sea_surface_wave_stokes_drift_to_direction"),
+]
+
 # Physically plausible bounds per CF standard name, used to scrub corrupt
 # input (reference: opendrift/readers/basereader/consts.py:2-22 and the
 # masking in variables.py:630-668).
@@ -87,6 +101,74 @@ class BaseReader:
             self.name = type(self).__name__
         self.crs = crslib.from_proj4(self.proj4)
         self.is_lazy = False
+        self._setup_environment_mappings()
+
+    # ----------------------------------------- derived environment mappings
+    def _setup_environment_mappings(self):
+        """Auto-derive component/magnitude variables from what the
+        reader serves (reference basereader/variables.py:449-553 +
+        consts.py:27 ``vector_pairs_xy``): speed + to_direction ->
+        x/y components, components -> speed.  Derived names join
+        ``self.variables``; the environment layer fetches the sources
+        and evaluates the mapping on device."""
+        self._derived = {}
+        have = set(self.variables or [])
+        for x, y, speed, direction in SPEED_DIRECTION_PAIRS:
+            if speed in have and direction in have and x not in have:
+                # NOTE: the reference's active mapping assigns
+                # cos(direction) to the x component and sin to y
+                # (vector_from_speed_and_direction, variables.py:469-473)
+                # — reproduced verbatim for trajectory parity
+                self._derived[x] = ((speed, direction),
+                                    lambda v, s=speed, d=direction:
+                                    v[s] * jnp.cos(jnp.deg2rad(v[d])))
+                self._derived[y] = ((speed, direction),
+                                    lambda v, s=speed, d=direction:
+                                    v[s] * jnp.sin(jnp.deg2rad(v[d])))
+                self.variables = list(self.variables) + [x, y]
+            if x in have and y in have and speed not in have:
+                self._derived[speed] = ((x, y),
+                                        lambda v, a=x, b=y:
+                                        jnp.hypot(v[a], v[b]))
+                self.variables = list(self.variables) + [speed]
+
+    @property
+    def derived_variables(self):
+        """Names served by mappings rather than data (reference
+        ``Variables.derived_variables``)."""
+        return list(self._derived)
+
+    def activate_environment_mapping(self, name):
+        """Opt-in mappings (reference ``activate_environment_mapping``):
+        currently 'land_binary_mask_from_ocean_depth'
+        (variables.py:449-450, disabled by default there too)."""
+        if name != "land_binary_mask_from_ocean_depth":
+            raise ValueError(f"unknown environment mapping: {name}")
+        src = "sea_floor_depth_below_sea_level"
+        if src in (self.variables or []) \
+                and "land_binary_mask" not in self.variables:
+            self._derived["land_binary_mask"] = (
+                (src,), lambda v, s=src: (v[s] <= 0).astype(jnp.float32))
+            self.variables = list(self.variables) + ["land_binary_mask"]
+
+    def expand_derived(self, want):
+        """Split a request into (fetch list incl. sources, derived
+        names); identity when the reader has no mappings."""
+        if not self._derived:
+            return list(want), []
+        native = [v for v in want if v not in self._derived]
+        derived = [v for v in want if v in self._derived]
+        needed = dict.fromkeys(native)
+        for v in derived:
+            for s in self._derived[v][0]:
+                needed.setdefault(s)
+        return list(needed), derived
+
+    def apply_derived(self, vals, derived):
+        for v in derived:
+            sources, fn = self._derived[v]
+            vals[v] = fn(vals)
+        return vals
 
     # ------------------------------------------------------------------ API
     def xy2lonlat(self, x, y):
@@ -194,10 +276,14 @@ class BaseReader:
         latv = jnp.asarray([lat], dtype=jnp.float32)
         zv = jnp.asarray([z], dtype=jnp.float32)
 
+        fetch, derived = self.expand_derived(variables)
+
         @jax.jit
         def run(ts):
             def one(t):
-                vals, _ = self.sample(dev, variables, t, lonv, latv, zv)
+                vals, _ = self.sample(dev, fetch, t, lonv, latv, zv)
+                if derived:
+                    vals = self.apply_derived(vals, derived)
                 return {v: vals[v][0] for v in variables}
             return jax.vmap(one)(ts)
 
@@ -225,11 +311,14 @@ class BaseReader:
         self.set_run_epoch(time)
         self.prepare()
         dev = self.device_state(time, time)
+        fetch, derived = self.expand_derived(variables)
 
         @jax.jit
         def run(lonv, latv, zvv):
-            vals, covers = self.sample(dev, variables, jnp.float32(0.0),
+            vals, covers = self.sample(dev, fetch, jnp.float32(0.0),
                                        lonv, latv, zvv)
+            if derived:
+                vals = self.apply_derived(vals, derived)
             return {v: jnp.where(covers, vals[v], jnp.nan)
                     for v in variables}, covers
         out, covers = jax.device_get(

@@ -221,18 +221,23 @@ class Environment:
                     and reader.name in self.priority_list.get(v, [])]
             if not want:
                 continue
+            # derived mappings (speed/direction <-> components): fetch
+            # the source variables, evaluate the mapping on device
+            fetch, derived = reader.expand_derived(want)
             if block_ctx is not None and i == block_ctx[0]:
                 vals, covers = reader.sample_from_block(
-                    dev_state, block_ctx[1], t, lon, lat, want)
+                    dev_state, block_ctx[1], t, lon, lat, fetch)
                 covers = covers & block_ctx[2]
             elif member is not None and (
                     getattr(reader, "ensemble_size", 1) > 1
                     or getattr(reader, "needs_ids", False)):
-                vals, covers = reader.sample(dev_state, want, t, lon,
+                vals, covers = reader.sample(dev_state, fetch, t, lon,
                                              lat, z, member=member)
             else:
-                vals, covers = reader.sample(dev_state, want, t, lon,
+                vals, covers = reader.sample(dev_state, fetch, t, lon,
                                              lat, z)
+            if derived:
+                vals = reader.apply_derived(vals, derived)
             for v in want:
                 good = missing[v] & covers & jnp.isfinite(vals[v])
                 env[v] = jnp.where(good, vals[v], env[v])

@@ -300,3 +300,52 @@ def test_profiler_trace_capture(tmp_path):
     for root, _, files in os.walk(tmp_path / "trace"):
         found += files
     assert found, "no profiler trace files written"
+
+
+def test_environment_mapping_speed_direction():
+    """Derived environment mappings (reference basereader/
+    variables.py:449-553 + tests/readers/test_variables.py
+    test_environment_mapping): wind given as speed + to_direction
+    advects windage in that direction; components -> speed magnitude;
+    land-from-depth is opt-in."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields import ConstantReader
+
+    def drift(to_direction):
+        o = OceanDrift(loglevel=50)
+        r = ConstantReader({"wind_speed": 5.0,
+                            "wind_to_direction": to_direction,
+                            "land_binary_mask": 0.0})
+        assert "x_wind" in r.variables and "x_wind" in r.derived_variables
+        o.add_reader(r)
+        o.set_config("environment:fallback:x_sea_water_velocity", 0.0)
+        o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+        o.seed_elements(lon=4, lat=60, number=2, wind_drift_factor=0.02,
+                        time=datetime(2021, 1, 1))
+        o.run(steps=15, time_step=3600)
+        lon = o.result["lon"].values[:, -1].mean()
+        lat = o.result["lat"].values[:, -1].mean()
+        return lon, lat
+
+    # wind toward SW: drift SW (reference expects lon 3.932, lat 59.966
+    # with its default wind_drift_factor=0.02)
+    lon, lat = drift(225.0)
+    np.testing.assert_almost_equal(lon, 3.932, 2)
+    np.testing.assert_almost_equal(lat, 59.966, 2)
+    # toward NE: mirrored
+    lon, lat = drift(45.0)
+    np.testing.assert_almost_equal(lon, 4.068, 2)
+    np.testing.assert_almost_equal(lat, 60.034, 2)
+
+    # magnitude from components (active)
+    r = ConstantReader({"x_wind": 3.0, "y_wind": 4.0})
+    assert "wind_speed" in r.derived_variables
+    out = r.sample_at([4.0], [60.0], datetime(2021, 1, 1),
+                      variables=["x_wind"])
+    # land-from-depth mapping is opt-in (reference: disabled by default)
+    r2 = ConstantReader({"sea_floor_depth_below_sea_level": 0.0})
+    assert "land_binary_mask" not in r2.variables
+    r2.activate_environment_mapping("land_binary_mask_from_ocean_depth")
+    assert "land_binary_mask" in r2.derived_variables
