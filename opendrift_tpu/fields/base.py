@@ -136,7 +136,7 @@ class BaseReader:
     def derived_variables(self):
         """Names served by mappings rather than data (reference
         ``Variables.derived_variables``)."""
-        return list(self._derived)
+        return list(getattr(self, "_derived", {}))
 
     def activate_environment_mapping(self, name):
         """Opt-in mappings (reference ``activate_environment_mapping``):
@@ -154,7 +154,7 @@ class BaseReader:
     def expand_derived(self, want):
         """Split a request into (fetch list incl. sources, derived
         names); identity when the reader has no mappings."""
-        if not self._derived:
+        if not getattr(self, "_derived", None):
             return list(want), []
         native = [v for v in want if v not in self._derived]
         derived = [v for v in want if v in self._derived]

@@ -910,6 +910,12 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         """Model hook called after the run completes
         (reference basemodel/__init__.py post_run)."""
 
+    def set_mesh(self, devices):
+        """Restrict multi-device execution (particle sharding or domain
+        decomposition) to an explicit device subset — used by the
+        scaling harness; default is every visible device."""
+        self._mesh_devices = list(devices) if devices is not None else None
+
     def simulation_direction(self):
         """+1 forward, -1 backward (reference basemodel
         ``simulation_direction``)."""
@@ -1069,6 +1075,7 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 self, max_speed=max_speed, dt=dt,
                 capacity_factor=self.get_config(
                     "parallel:tile_capacity_factor"),
+                devices=getattr(self, "_mesh_devices", None),
                 tile_grid=self.get_config("parallel:tile_grid"))
             state_np = self._dd.bin_initial_state(
                 state_np, self._n_real_elements)
@@ -1093,7 +1100,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             logger.info("Domain decomposition over %d tiles", n_dev)
         elif n_dev > 1 and self.get_config("parallel:particle_sharding"):
             from ..parallel.mesh import particle_mesh, shard_state
-            self._mesh = particle_mesh()
+            self._mesh = particle_mesh(
+                getattr(self, "_mesh_devices", None))
             state = shard_state(state, self._mesh)
             logger.info("Sharding %d elements over %d devices",
                         state.capacity, n_dev)

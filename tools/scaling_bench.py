@@ -137,10 +137,73 @@ def bench_tiles(devices, n_per_device, n_steps):
             "per_device": round(rate / d), "alive": n_alive}
 
 
+def bench_engine_dd(devices, n_per_device, n_steps):
+    """ENGINE-integrated domain decomposition: the full OceanDrift step
+    (RK4 stage sampling, geodesic update, model physics) on tiled
+    gridded forcing inside one shard_map (parallel/tiled.py) — the
+    product path a user gets with parallel:domain_decomposition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields import ArrayReader
+
+    d = len(devices)
+    t0d = datetime(2021, 3, 1)
+    rows_per_tile, nx = 128, 128
+    ny = rows_per_tile * d
+    lon = np.linspace(0.0, 8.0, nx)
+    lat = np.linspace(55.0, 55.0 + 0.05 * ny, ny)
+    yy = np.linspace(0, 2 * np.pi, ny, dtype=np.float32)[None, :, None]
+    xx = np.linspace(0, 2 * np.pi, nx, dtype=np.float32)[None, None, :]
+    uu = np.broadcast_to(0.4 + 0.2 * np.sin(yy), (2, ny, nx)).astype(
+        np.float32)
+    vv = np.broadcast_to(0.5 * np.cos(xx), (2, ny, nx)).astype(np.float32)
+    N = n_per_device * d
+    o = OceanDrift(loglevel=50)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("drift:advection_scheme", "runge-kutta4")
+    o.set_config("drift:vertical_advection", False)
+    o.set_config("drift:stokes_drift", False)
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:horizontal_diffusivity", 1.0)
+    o.set_config("parallel:domain_decomposition", True)
+    o.set_config("parallel:tile_capacity_factor", 1.25)
+    o.set_mesh(devices)
+    o.add_reader(ArrayReader(
+        {"x_sea_water_velocity": uu, "y_sea_water_velocity": vv},
+        x=lon, y=lat, times=[t0d, t0d + timedelta(days=30)]))
+    rng = np.random.default_rng(0)
+    o.seed_elements(rng.uniform(0.5, 7.5, N), rng.uniform(
+        lat[5], lat[-5], N), number=N, time=t0d)
+    advance, _, state, base_key = o.prepare_run(dt=300.0, K=n_steps,
+                                                total_steps=n_steps * 4)
+    dd = o._dd
+    dev_states = dd.retile(o.env.build_device_states(
+        t0d, t0d + timedelta(seconds=300.0 * n_steps)))
+    key = jax.random.fold_in(base_key, 0)
+    t0 = jnp.float32(0.0)
+    out = advance(state, dev_states, t0, key)        # compile + warmup
+    checksum = jax.jit(lambda s: jnp.nansum(s.data["lon"]))
+    jax.device_get(checksum(out[0]))
+    holder = {"s": out[0]}
+
+    def run():
+        holder["s"], _ = advance(holder["s"], dev_states, t0, key)
+
+    elapsed = _timed(run, lambda: jax.device_get(checksum(holder["s"])))
+    rate = N * n_steps / elapsed
+    return {"mode": "engine", "devices": d, "particles": N,
+            "steps": n_steps, "particle_steps_per_s": round(rate),
+            "per_device": round(rate / d),
+            "slots_per_tile": dd.cap}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both",
-                    choices=["dp", "tiles", "both"])
+                    choices=["dp", "tiles", "engine", "both", "all"])
     ap.add_argument("--per-device", type=int, default=250_000)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--devices", default=None,
@@ -167,11 +230,18 @@ def main():
         while c <= len(all_devs):
             counts.append(c)
             c *= 2
-    modes = ["dp", "tiles"] if args.mode == "both" else [args.mode]
+    if args.mode == "both":
+        modes = ["dp", "tiles"]
+    elif args.mode == "all":
+        modes = ["dp", "tiles", "engine"]
+    else:
+        modes = [args.mode]
 
+    bench_of = {"dp": bench_dp, "tiles": bench_tiles,
+                "engine": bench_engine_dd}
     results = {m: [] for m in modes}
     for m in modes:
-        fn = bench_dp if m == "dp" else bench_tiles
+        fn = bench_of[m]
         for c in counts:
             r = fn(all_devs[:c], args.per_device, args.steps)
             r["functional_only"] = virtual_cpu
