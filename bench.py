@@ -118,6 +118,7 @@ def _mixing_rate():
 
 
 def main():
+    import sys
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -126,31 +127,54 @@ def main():
     except Exception:
         pass
 
+    def log(msg):
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    # each workload is independent: a failure (or a driver timeout that
+    # lands mid-extra-workload) must not cost the primary metric, so the
+    # primary JSON line is (re)printed as soon as each stage completes
+    log("workload A: honest 3D f32 multi-fetch RK4 ...")
     rate_honest = _steady_rate(_build_grid_sim(optimized=False),
                                N_GRID, GRID_STEPS)
-    rate_opt = _steady_rate(_build_grid_sim(optimized=True),
-                            N_GRID, GRID_STEPS)
-    rate_mix = _mixing_rate()
-
-    print(json.dumps({
+    result = {
         "metric": "particle-steps/s (2M elem, RK4 gridded 3D f32 "
                   "multi-fetch)",
         "value": round(rate_honest, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate_honest / BASELINE_GRID, 2),
-        "extra_metrics": [
+        "extra_metrics": [],
+    }
+    log(f"A done: {rate_honest:.3e}")
+
+    try:
+        log("workload B: optimized flagship config ...")
+        rate_opt = _steady_rate(_build_grid_sim(optimized=True),
+                                N_GRID, GRID_STEPS)
+        result["extra_metrics"].append(
             {"metric": "particle-steps/s (2M elem, RK4 gridded, "
                        "optimized: f16 rows, surface, single-fetch)",
              "value": round(rate_opt, 1),
              "unit": "particle-steps/s",
-             "vs_baseline": round(rate_opt / BASELINE_GRID, 2)},
+             "vs_baseline": round(rate_opt / BASELINE_GRID, 2)})
+        log(f"B done: {rate_opt:.3e}")
+    except Exception as exc:  # noqa: BLE001 — keep the primary metric
+        log(f"B failed: {exc}")
+
+    try:
+        log("workload C: mixing substeps ...")
+        rate_mix = _mixing_rate()
+        result["extra_metrics"].append(
             {"metric": "element-mixing-substeps/s (500k elem, RK4 + "
                        "Visser)",
              "value": round(rate_mix, 1),
              "unit": "substeps/s",
-             "vs_baseline": round(rate_mix / BASELINE_MIX, 2)},
-        ],
-    }))
+             "vs_baseline": round(rate_mix / BASELINE_MIX, 2)})
+        log(f"C done: {rate_mix:.3e}")
+    except Exception as exc:  # noqa: BLE001
+        log(f"C failed: {exc}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
