@@ -81,8 +81,13 @@ def _run_modes():
             {"x_sea_water_velocity": uu, "y_sea_water_velocity": vv},
             x=lon, y=lat, times=[t0, t0 + timedelta(hours=48)])
 
-    for mode, key in (("particle", "parallel:particle_sharding"),
-                      ("domain", "parallel:domain_decomposition")):
+    # domain2d: a 2 x 4 (Y x X) tile grid over the 2-process mesh — the
+    # Y-axis halo/migration ppermutes cross the process boundary while
+    # the X-axis ones stay intra-process
+    for mode, key, tile_grid in (
+            ("particle", "parallel:particle_sharding", None),
+            ("domain", "parallel:domain_decomposition", None),
+            ("domain2d", "parallel:domain_decomposition", "2x4")):
         o = OceanDrift(loglevel=50)
         o.set_config("environment:fallback:land_binary_mask", 0)
         o.set_config("drift:advection_scheme", "runge-kutta4")
@@ -90,6 +95,9 @@ def _run_modes():
         o.set_config("drift:stokes_drift", False)
         o.set_config("drift:vertical_mixing", False)
         o.set_config(key, True)
+        if tile_grid:
+            o.set_config("parallel:tile_grid", tile_grid)
+            o.set_config("parallel:tile_capacity_factor", 8.0)
         o.add_reader(forcing())
         o.seed_elements(4.0, 59.3, number=64, radius=4000, time=t0)
         o.run(steps=STEPS, time_step=900)
