@@ -15,6 +15,7 @@ reader = ConstantReader({"x_sea_water_velocity": 0.3,
 fwd = OceanDrift()
 fwd.add_reader(reader)
 fwd.set_config("general:use_auto_landmask", False)
+fwd.set_config("environment:fallback:land_binary_mask", 0)
 fwd.seed_elements(lon=4.0, lat=60.0, number=1,
                   time=datetime(2020, 1, 1))
 fwd.run(duration=timedelta(hours=12), time_step=600)
@@ -26,6 +27,7 @@ print(f"Observed position after 12 h: ({obs_lon:.4f}, {obs_lat:.4f})")
 back = OceanDrift()
 back.add_reader(reader)
 back.set_config("general:use_auto_landmask", False)
+back.set_config("environment:fallback:land_binary_mask", 0)
 back.seed_elements(lon=obs_lon, lat=obs_lat, number=1,
                    time=datetime(2020, 1, 1, 12))
 back.run(duration=timedelta(hours=12), time_step=-600)

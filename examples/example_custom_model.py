@@ -39,6 +39,7 @@ o.start_hour = 0.0  # simulation starts at midnight UTC
 o.add_reader(ConstantReader({"x_sea_water_velocity": 0.05,
                              "y_sea_water_velocity": 0.0}))
 o.set_config("general:use_auto_landmask", False)
+o.set_config("environment:fallback:land_binary_mask", 0)
 o.seed_elements(lon=4.0, lat=60.0, number=10, z=-50.0,
                 time=datetime(2020, 7, 1, 0, 0), swim_speed=0.005)
 o.run(duration=timedelta(hours=24), time_step=1800)

@@ -15,6 +15,7 @@ for obj in ("PIW-1", "LIFE-RAFT-DB-10"):  # person vs deep-ballast raft
         "x_sea_water_velocity": 0.1, "y_sea_water_velocity": 0.0,
         "x_wind": 12.0, "y_wind": 0.0}))
     o.set_config("general:use_auto_landmask", False)
+    o.set_config("environment:fallback:land_binary_mask", 0)
     keys = [p["key"] for p in o.leewayprop.values()]
     name = obj if obj in keys else keys[0]
     o.seed_elements(lon=2.0, lat=59.5, radius=100, number=500,

@@ -15,6 +15,7 @@ o.add_reader(ConstantReader({
     "sea_water_temperature": 12.0,
     "sea_surface_wave_significant_height": 2.0}))
 o.set_config("general:use_auto_landmask", False)
+o.set_config("environment:fallback:land_binary_mask", 0)
 
 o.set_config("seed:m3_per_hour", 50)
 o.seed_elements(lon=4.5, lat=60.0, radius=500, number=2000,

@@ -113,8 +113,14 @@ class BaseReader:
         and evaluates the mapping on device."""
         self._derived = {}
         have = set(self.variables or [])
+        # the reference registers vector_from_speed_and_direction only
+        # when the reader's y axis points north (variables.py:538-546):
+        # on a projected grid the derived components would bypass the
+        # sampler's vector rotation and come out in the wrong frame
+        y_is_north = getattr(self.crs, "is_latlon", False)
         for x, y, speed, direction in SPEED_DIRECTION_PAIRS:
-            if speed in have and direction in have and x not in have:
+            if speed in have and direction in have and x not in have \
+                    and y_is_north:
                 # NOTE: the reference's active mapping assigns
                 # cos(direction) to the x component and sin to y
                 # (vector_from_speed_and_direction, variables.py:469-473)

@@ -31,12 +31,15 @@ these helpers unconditionally.
 
 import logging
 import os
+import weakref
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_gather_cache = {}
+# keyed on the Mesh object itself (weakly, so a dead Mesh cannot alias a
+# new one through id() reuse and serve a stale out_sharding)
+_gather_cache = weakref.WeakKeyDictionary()
 
 
 def initialize(coordinator_address=None, num_processes=None,
@@ -193,12 +196,11 @@ def gather(tree, mesh):
     if not is_multihost():
         return jax.device_get(tree)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    key = id(mesh)
-    fn = _gather_cache.get(key)
+    fn = _gather_cache.get(mesh)
     if fn is None:
         fn = jax.jit(lambda x: x,
                      out_shardings=NamedSharding(mesh, P()))
-        _gather_cache[key] = fn
+        _gather_cache[mesh] = fn
     return jax.device_get(jax.tree_util.tree_map(
         lambda x: fn(x) if hasattr(x, "sharding") else x, tree))
 

@@ -129,10 +129,32 @@ class DDContext:
         self.cols = -(-nx // self.n_tx)
         dy = abs(primary.delta_y)
         dx = abs(primary.delta_x)
-        # grid spacing in metres (geographic grids have degree axes)
+        # grid spacing in metres. Three cases:
+        # * curvilinear readers: axes are native indices (delta == 1);
+        #   use the precomputed minimum cell dimension in metres
+        # * geographic grids: dy is 111320 m/deg; dx shrinks with
+        #   cos(lat) — use the subset's worst (highest-|lat|) row so
+        #   halo_x is never undersized on Arctic domains, floored so a
+        #   row touching the pole cannot blow the halo up unboundedly
+        # * projected grids: axes already in metres
         latlon = getattr(primary.crs, "is_latlon", False)
-        dy_m = dy * 111320.0 if latlon else dy
-        dx_m = dx * 111320.0 * 0.3 if latlon else dx  # high-lat slack
+        if getattr(primary, "_curvilinear", False):
+            cell_m = getattr(primary, "_min_cell_m", None)
+            if cell_m is None:
+                raise ValueError(
+                    "parallel:domain_decomposition on a curvilinear "
+                    "primary reader requires its minimum cell size "
+                    "(reader lacks _min_cell_m)")
+            dy_m = dy * cell_m
+            dx_m = dx * cell_m
+        elif latlon:
+            ys = np.asarray(primary.y, np.float64)[primary._iy]
+            max_abs_lat = min(89.0, float(np.max(np.abs(ys))))
+            coslat = max(math.cos(math.radians(max_abs_lat)), 0.02)
+            dy_m = dy * 111320.0
+            dx_m = dx * 111320.0 * coslat
+        else:
+            dy_m, dx_m = dy, dx
         # halo: the reference's buffer rule, doubled for RK stage
         # excursions + one unacknowledged-migration step of slack
         self.halo = int(math.ceil(2.0 * max_speed * abs(dt) / dy_m)) + 2

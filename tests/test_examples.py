@@ -1,6 +1,11 @@
-"""Gallery smoke tests: a fast subset of examples/ must stay runnable
-(the reference's example gallery is exercised by its doc build; here a
-subprocess run with the CPU backend stands in)."""
+"""Gallery tests: EVERY example in examples/ must stay runnable (the
+reference's gallery is exercised by its doc build; here each example
+runs as a subprocess on the CPU backend).
+
+The three compile-heavy examples (>30 s on the 2-core CI host) carry
+the ``slow`` marker so a quick pass can deselect them with
+``-m 'not slow'`` — but the default ``pytest tests`` run includes all.
+"""
 
 import os
 import subprocess
@@ -10,16 +15,17 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-FAST_EXAMPLES = ["example_basic.py"]
-# the rest of the gallery is compile-heavy on the 2-core CI host; opt in
-# with OPENDRIFT_TEST_ALL_EXAMPLES=1
-if os.environ.get("OPENDRIFT_TEST_ALL_EXAMPLES") == "1":
-    FAST_EXAMPLES = sorted(
-        f for f in os.listdir(os.path.join(REPO, "examples"))
-        if f.startswith("example_") and f.endswith(".py"))
+SLOW = {"example_constant_current.py", "example_double_gyre.py",
+        "example_rungekutta_norkyst.py"}
+
+ALL_EXAMPLES = sorted(
+    f for f in os.listdir(os.path.join(REPO, "examples"))
+    if f.startswith("example_") and f.endswith(".py"))
 
 
-@pytest.mark.parametrize("name", FAST_EXAMPLES)
+@pytest.mark.parametrize(
+    "name", [pytest.param(n, marks=pytest.mark.slow) if n in SLOW
+             else n for n in ALL_EXAMPLES])
 def test_example_runs(name):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -263,7 +263,7 @@ def test_chemical_density_map_and_summary(tmp_path):
         str(out), pixelsize_m=2000.0, zlevels=[-40.0, -10.0, -5.0],
         horizontal_smoothing=True, time_avg_conc=True)
     from scipy.io import netcdf_file
-    f = netcdf_file(str(out), "r")
+    f = netcdf_file(str(out), "r", mmap=False)
     conc = f.variables["concentration"][:]
     assert conc.shape[1] == o.nspecies
     assert conc.shape[2] == 3
@@ -297,7 +297,7 @@ def test_radionuclide_density_map_and_resuspension(tmp_path):
     o.write_netcdf_radionuclide_density_map(
         str(out), pixelsize_m=2000.0, zlevels=[-20.0, -5.0])
     from scipy.io import netcdf_file
-    f = netcdf_file(str(out), "r")
+    f = netcdf_file(str(out), "r", mmap=False)
     dens = f.variables["density"][:]
     assert dens.shape[1] == o.nspecies and dens.shape[2] == 2
     assert dens.sum() > 0
