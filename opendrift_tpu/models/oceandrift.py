@@ -402,9 +402,13 @@ class OceanDrift(OpenDriftSimulation):
             raise ValueError(f"Unknown diffusivity model: {model}")
         depth = jnp.abs(z)
         Kz = K_of(depth)
-        # dK/dz with z negative downward: dK/dz = -dK/d(depth)
-        dKdz = -(K_of(depth + delta) - K_of(jnp.maximum(depth - delta, 0.0))
-                 ) / (2.0 * delta)
+        # Returned in the reference's gradK convention, gradK = -dK/dz
+        # (z negative downward, so -dK/dz = +dK/d(depth)); the Visser
+        # update consumes it as z -= (gradK*dt - R*sigma), i.e. the
+        # deterministic drift is +dK/dz*dt, pushing elements toward
+        # higher K (reference oceandrift.py:503-531)
+        dKdz = (K_of(depth + delta) - K_of(jnp.maximum(depth - delta, 0.0))
+                ) / (2.0 * delta)
         return Kz, dKdz
 
     def _mixing_fast_path(self, ctx, model, ntimes, dt_mix, zmin, moving,

@@ -136,7 +136,7 @@ class OpenOil(OceanDrift):
                 "description": "Microbial degradation of oil mass"},
             "biodegradation:method": {
                 "type": "enum", "enum": ["Adcroft", "half_time"],
-                "default": "half_time", "level": CONFIG_LEVEL_ADVANCED,
+                "default": "Adcroft", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Biodegradation parameterisation"},
             "processes:update_oilfilm_thickness": {
                 "type": "bool", "default": False,

@@ -108,9 +108,11 @@ def _mix_loop(z, mv, w, wind, mld, zmin, elem, seed, *, ntimes, dt_mix,
         ).astype(jnp.float32) * jnp.float32(2.0 / 16777216.0) - 1.0
         depth = jnp.abs(z)
         Kz = K_of(depth)
-        # analytic central-difference dK/dz (z negative downward)
-        dKdz = -(K_of(depth + 0.5)
-                 - K_of(jnp.maximum(depth - 0.5, 0.0)))  # / (2*0.5)
+        # central-difference in the reference's gradK convention
+        # (gradK = -dK/dz = +dK/d(depth)); consumed as
+        # z -= (gradK*dt - R*sigma) so the drift is +dK/dz*dt
+        dKdz = (K_of(depth + 0.5)
+                - K_of(jnp.maximum(depth - 0.5, 0.0)))  # / (2*0.5)
         z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
         z = jnp.where(z >= 0.0, -z, z)                      # surface reflect
         z = jnp.where((z < zmin) & (mv == 1.0),
@@ -164,8 +166,8 @@ def _mix_loop_oil(z, diam, mv, wind, mld, zmin, p_ent, d_cand, zb,
 
         depth = jnp.abs(z)
         Kz = K_of(depth)
-        dKdz = -(K_of(depth + 0.5)
-                 - K_of(jnp.maximum(depth - 0.5, 0.0)))
+        dKdz = (K_of(depth + 0.5)
+                - K_of(jnp.maximum(depth - 0.5, 0.0)))
         z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
         z = jnp.where(z >= 0.0, -z, z)
         z = jnp.where((z < zmin) & (mv == 1.0), 2.0 * zmin - z, z)

@@ -31,7 +31,9 @@ def _jnp_reference(z, moving, w, wind, mld, zmin, key, ntimes, dt_mix,
         surface = zz == 0.0
         depth = jnp.abs(zz)
         Kz = K_of(depth)
-        dKdz = -(K_of(depth + 0.5) - K_of(jnp.maximum(depth - 0.5, 0.0)))
+        # gradK convention: -dK/dz = +dK/d(depth) (see
+        # models/oceandrift.py _diffusivity_at; sign fixed r3)
+        dKdz = K_of(depth + 0.5) - K_of(jnp.maximum(depth - 0.5, 0.0))
         R = 2.0 * jax.random.uniform(k, zz.shape, dtype=zz.dtype) - 1.0
         zz = zz - moving * (dKdz * dt_mix - R * jnp.sqrt(Kz * dt_mix * 6.0))
         zz = jnp.where(zz >= 0.0, -zz, zz)

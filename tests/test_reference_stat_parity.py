@@ -1,0 +1,140 @@
+"""Statistical / budget parity vs the ACTUAL reference OpenDrift for
+the stochastic rungs of the BASELINE config ladder (VERDICT r2 #1):
+
+- ``mixing_sundby_stat``: the reference's Visser random-walk inner loop
+  (reference oceandrift.py:397-571) with windspeed_Sundby1983
+  diffusivity.  RNG streams differ between engines (numpy vs
+  counter-based jax.random), so parity is over the final vertical
+  POPULATION of 3000 elements: mean/std/quantiles of z and the
+  fraction mixed below the mixed-layer cutoff.  Tolerances are ~4x the
+  between-run sampling noise of the reference itself (SE of the mean
+  ~0.27 m at n=3000).
+- ``openoil_budget_surface``: OpenOil surface weathering
+  (reference openoil.py:822-920 evaporation/emulsification,
+  :586-611 Adcroft biodegradation), deterministic physics but
+  stochastic per-element drift uncertainty (current 0.05 m/s, wind
+  0.5 m/s, reference openoil.py:497-498) — the mass budget is compared
+  step-by-step as a fraction of seeded mass; positions as cloud
+  centroid + spread.
+- ``leeway_stat``: Leeway downwind/crosswind drift with random
+  left/right orientation and jibing (reference leeway.py:430-494) —
+  compared via mean downwind/crosswind displacement, spread, and the
+  left/right split.
+
+Goldens regenerate with ``python tools/ref_runner.py --scenario <name>``
+(the reference's own run() under tools/refshims.py).
+
+Shared-code caveat: the reference-under-shims uses this repo's
+geodesy/PROJ (refshims), and the OpenOil golden derives oil properties
+through tools/build_oil_db.py on both sides (refshims adios_db shim) —
+these tests validate the *dynamics* (Visser walk, weathering ODEs,
+leeway kinematics), not the property-estimation or geodesy layers,
+which carry their own independent fixtures (test_geodesic.py,
+test_openoil.py).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import parity_compare  # noqa: E402
+
+
+def _load(name):
+    path = os.path.join(parity_compare.GOLDENS, f"ref_traj_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden for {name} not generated")
+    return parity_compare.load_golden(name)
+
+
+def test_vertical_mixing_statistics_match_reference():
+    golden, cfg = _load("mixing_sundby_stat")
+    o = parity_compare.RUNNERS["mixing_sundby_stat"](cfg)
+    z_r = np.asarray(golden["z"], np.float64)[:, -1]
+    z_o = np.asarray(o.result["z"], np.float64)[:, -1]
+    assert z_o.shape == z_r.shape
+    # moments of the final vertical distribution
+    assert abs(z_o.mean() - z_r.mean()) < 1.5, (z_o.mean(), z_r.mean())
+    assert abs(z_o.std() - z_r.std()) < 1.0, (z_o.std(), z_r.std())
+    for q in (5, 25, 50, 75, 95):
+        assert abs(np.percentile(z_o, q) - np.percentile(z_r, q)) < 2.5, q
+    # fraction mixed below the MLD cutoff (the K-cliff region whose
+    # handling is the hard part of the Visser loop)
+    f_r = (z_r < -cfg["mld"]).mean()
+    f_o = (z_o < -cfg["mld"]).mean()
+    assert abs(f_o - f_r) < 0.06, (f_o, f_r)
+
+
+def test_openoil_weathering_budget_matches_reference():
+    from opendrift_tpu.utils.geodesic import inverse_np
+
+    golden, cfg = _load("openoil_budget_surface")
+    o = parity_compare.RUNNERS["openoil_budget_surface"](cfg)
+    res = o.result
+    tot0 = np.nansum(np.asarray(golden["mass_oil"], np.float64), axis=0)[0]
+    # summed mass budget per output step, as fraction of seeded mass
+    for var, tol in (("mass_oil", 0.01), ("mass_evaporated", 0.01),
+                     ("mass_biodegraded", 0.005)):
+        g = np.nansum(np.asarray(golden[var], np.float64), axis=0)
+        m = np.nansum(np.asarray(res[var], np.float64), axis=0)
+        n = min(len(g), len(m))
+        rel = np.abs(m[:n] - g[:n]) / tot0
+        assert rel.max() < tol, (var, rel.max())
+    # emulsion state
+    for var, tol in (("water_fraction", 0.02), ("oil_film_thickness", 1e-4)):
+        g = np.nanmean(np.asarray(golden[var], np.float64), axis=0)[-1]
+        m = np.nanmean(np.asarray(res[var], np.float64), axis=0)[-1]
+        assert abs(m - g) < tol, (var, m, g)
+    g = np.nanmean(np.asarray(golden["viscosity"], np.float64), axis=0)[-1]
+    m = np.nanmean(np.asarray(res["viscosity"], np.float64), axis=0)[-1]
+    assert abs(m - g) / g < 0.05, ("viscosity", m, g)
+    # positions: per-element drift uncertainty is an independent RNG
+    # stream on each side, so compare the element CLOUD
+    lon_r = np.asarray(golden["lon"], np.float64)[:, -1]
+    lat_r = np.asarray(golden["lat"], np.float64)[:, -1]
+    lon_o = np.asarray(res["lon"], np.float64)[:, -1]
+    lat_o = np.asarray(res["lat"], np.float64)[:, -1]
+    _, _, d = inverse_np(lat_r.mean(), lon_r.mean(),
+                         lat_o.mean(), lon_o.mean())
+    assert float(d) < 200.0, float(d)   # ~6x SE of the 200-element mean
+    _, _, sp_r = inverse_np(np.full_like(lat_r, 60.0),
+                            np.full_like(lon_r, 4.5), lat_r, lon_r)
+    _, _, sp_o = inverse_np(np.full_like(lat_o, 60.0),
+                            np.full_like(lon_o, 4.5), lat_o, lon_o)
+    assert abs(sp_o.mean() - sp_r.mean()) < 200.0
+    assert abs(sp_o.std() - sp_r.std()) / sp_r.std() < 0.3
+
+
+def test_leeway_statistics_match_reference():
+    from opendrift_tpu.utils.geodesic import inverse_np
+
+    golden, cfg = _load("leeway_stat")
+    o = parity_compare.RUNNERS["leeway_stat"](cfg)
+
+    def cloud(lon, lat):
+        az, _, dist = inverse_np(np.full(lon.shape[0], 59.5),
+                                 np.full(lon.shape[0], 2.0),
+                                 lat[:, -1], lon[:, -1])
+        dx = dist * np.sin(np.deg2rad(az))   # downwind (wind is +x)
+        dy = dist * np.cos(np.deg2rad(az))   # crosswind
+        return dx, dy
+
+    dx_r, dy_r = cloud(np.asarray(golden["lon"], np.float64),
+                       np.asarray(golden["lat"], np.float64))
+    dx_o, dy_o = cloud(np.asarray(o.result["lon"], np.float64),
+                       np.asarray(o.result["lat"], np.float64))
+    # mean downwind drift within 3% of the reference's
+    assert abs(dx_o.mean() - dx_r.mean()) / dx_r.mean() < 0.03
+    # crosswind mean is ~0 (left/right symmetric); bound in metres
+    assert abs(dy_o.mean() - dy_r.mean()) < 800.0
+    # spreads (leeway sigma + orientation split) within 10%
+    assert abs(dx_o.std() - dx_r.std()) / dx_r.std() < 0.10
+    assert abs(dy_o.std() - dy_r.std()) / dy_r.std() < 0.10
+    # left/right orientation split is 50/50 +- sampling noise
+    f_r = (dy_r < 0).mean()
+    f_o = (dy_o < 0).mean()
+    assert abs(f_o - f_r) < 0.05, (f_o, f_r)

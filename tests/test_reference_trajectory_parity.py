@@ -35,10 +35,16 @@ import parity_compare  # noqa: E402
 TOLERANCES = {
     "double_gyre_euler": (1e-3, 1e-3),
     "double_gyre_rk4": (1e-3, 1e-3),
+    "double_gyre_rk2": (1e-3, 1e-3),
     "constant_wind_euler": (50.0, 25.0),
     "arctic20_euler": (60.0, 20.0),
     "arctic20_rk4": (60.0, 20.0),
+    "arctic20_backward": (60.0, 20.0),
+    "arctic20_3d_euler": (60.0, 20.0),
 }
+
+# 3D scenario: max |z_ref - z_ours| at any output step [m]
+DZ_TOLERANCES = {"arctic20_3d_euler": 0.05}
 
 
 def _golden_available(name):
@@ -60,3 +66,5 @@ def test_trajectory_matches_reference(name):
     assert stats["finite_mismatch"] == 0, stats
     assert stats["max_m"] < max_tol, stats
     assert stats["final_mean_m"] < final_tol, stats
+    if name in DZ_TOLERANCES:
+        assert stats["max_dz_m"] < DZ_TOLERANCES[name], stats

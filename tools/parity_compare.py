@@ -84,12 +84,141 @@ def run_arctic20(cfg):
     return o
 
 
+def run_arctic20_backward(cfg):
+    from datetime import timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.netcdf import NetCDFReader
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:advection_scheme", cfg["scheme"])
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", False)
+    r = NetCDFReader(cfg["file"])
+    o.add_reader(r)
+    # the reference flips element IDs on backward runs (reference
+    # basemodel/__init__.py:2056-2063), so golden row 0 is the LAST
+    # seed point; seed in reverse to align rows
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"])[::-1],
+                    lat=np.asarray(cfg["seed_lat"])[::-1],
+                    time=r.times[-1])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=abs(cfg["time_step"]))
+    return o
+
+
+def run_arctic20_3d(cfg):
+    from datetime import timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.netcdf import NetCDFReader
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:advection_scheme", cfg["scheme"])
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", True)
+    o.set_config("environment:fallback:upward_sea_water_velocity",
+                 cfg["w_fallback"])
+    r = NetCDFReader(cfg["file"])
+    o.add_reader(r)
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    z=np.asarray(cfg["seed_z"]),
+                    time=r.times[0])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step"])
+    return o
+
+
+def run_mixing_sundby(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("environment:fallback:x_wind", cfg["wind_u"])
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:sea_floor_depth_below_sea_level",
+                 cfg["seafloor"])
+    o.set_config("environment:fallback:ocean_mixed_layer_thickness",
+                 cfg["mld"])
+    o.set_config("drift:vertical_mixing", True)
+    o.set_config("vertical_mixing:diffusivitymodel",
+                 "windspeed_Sundby1983")
+    o.set_config("vertical_mixing:timestep", cfg["dt_mix"])
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 6, 1),
+                    wind_drift_factor=np.zeros(n),
+                    terminal_velocity=np.zeros(n))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
+def run_openoil_budget(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OpenOil
+
+    o = OpenOil(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("environment:fallback:x_wind", cfg["wind_u"])
+    o.set_config("environment:fallback:y_wind", cfg["wind_v"])
+    o.set_config("environment:fallback:x_sea_water_velocity", cfg["u"])
+    o.set_config("environment:fallback:y_sea_water_velocity", cfg["v"])
+    o.set_config("environment:fallback:sea_water_temperature", cfg["sst"])
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("processes:dispersion", False)
+    o.set_config("processes:evaporation", True)
+    o.set_config("processes:emulsification", True)
+    o.set_config("processes:biodegradation", True)
+    o.set_config("seed:m3_per_hour", cfg["m3_per_hour"])
+    n = cfg["n"]
+    o.seed_elements(lon=4.5, lat=60.0, radius=0, number=n,
+                    time=datetime(2022, 5, 1), oil_type=cfg["oil_type"],
+                    wind_drift_factor=np.full(n, cfg["wind_drift_factor"]))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
+def run_leeway(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import Leeway
+
+    o = Leeway(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("environment:fallback:x_wind", cfg["wind_u"])
+    o.set_config("environment:fallback:y_wind", cfg["wind_v"])
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+    o.seed_elements(lon=2.0, lat=59.5, radius=0, number=cfg["n"],
+                    time=datetime(2021, 3, 1),
+                    object_type=cfg["object_type"])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
 RUNNERS = {
     "double_gyre_euler": run_double_gyre,
     "double_gyre_rk4": run_double_gyre,
+    "double_gyre_rk2": run_double_gyre,
     "constant_wind_euler": run_constant_wind,
     "arctic20_euler": run_arctic20,
     "arctic20_rk4": run_arctic20,
+    "arctic20_backward": run_arctic20_backward,
+    "arctic20_3d_euler": run_arctic20_3d,
+    "mixing_sundby_stat": run_mixing_sundby,
+    "openoil_budget_surface": run_openoil_budget,
+    "leeway_stat": run_leeway,
 }
 
 
@@ -112,7 +241,7 @@ def compare(name, o, golden):
     last = both[:, -1]
     _, _, dist_last = inverse_np(lat_r[:, -1][last], lon_r[:, -1][last],
                                  lat_o[:, -1][last], lon_o[:, -1][last])
-    return {
+    out = {
         "shape_ref": lon_r.shape, "shape_our": lon_o.shape,
         "finite_mismatch": int((np.isfinite(lon_r) != np.isfinite(lon_o)).sum()),
         "max_m": float(np.max(dist)) if dist.size else np.nan,
@@ -120,6 +249,13 @@ def compare(name, o, golden):
         "final_max_m": float(np.max(dist_last)) if dist_last.size else np.nan,
         "final_mean_m": float(np.mean(dist_last)) if dist_last.size else np.nan,
     }
+    if "z" in golden and "z" in o.result:
+        z_r = np.asarray(golden["z"], np.float64)[:, :nt]
+        z_o = np.asarray(o.result["z"].values, np.float64)[:, :nt]
+        dz = np.abs(z_r - z_o)[both]
+        out["max_dz_m"] = float(np.max(dz)) if dz.size else np.nan
+        out["mean_dz_m"] = float(np.mean(dz)) if dz.size else np.nan
+    return out
 
 
 def main():

@@ -120,9 +120,10 @@ ARCTIC20 = os.path.join(
     REF, "tests/test_data/2Feb2016_Nordic_sigma_3d/Arctic20_1to5Feb_2016.nc")
 
 
-def load_arctic20_surface():
-    """Decode the Arctic20 z-level subset (surface layer u/v) with our
-    own NetCDF parser; returns (proj4, x_m, y_m, times, fields)."""
+def load_arctic20_surface(keep_z=False):
+    """Decode the Arctic20 z-level subset (u/v, surface layer by
+    default; ``keep_z=True`` keeps all 17 z levels) with our own NetCDF
+    parser; returns (proj4, x_m, y_m, times, fields[, zlevels])."""
     from opendrift_tpu.utils import ncio
 
     ds = ncio.NCFile(ARCTIC20)
@@ -143,28 +144,26 @@ def load_arctic20_surface():
         arr = raw.astype(np.float64) * sf + ao
         if fv is not None:
             arr[raw == fv] = np.nan
-        fields[std] = arr[:, 0, :, :]  # surface layer
+        fields[std] = arr if keep_z else arr[:, 0, :, :]
+    if keep_z:
+        # z negative down (reference reader convention)
+        zlevels = -np.asarray(ds.variables["depth"][:], np.float64)
+        return proj4, xs, ys, times, fields, zlevels
     return proj4, xs, ys, times, fields
 
 
-def scenario_arctic20(scheme):
-    """Gridded Arctic20 polar-stereographic forcing through the
-    reference's own StructuredReader/ReaderBlock stack (block fetch,
-    NaN expansion, time blending, vector rotation), served by an
-    in-memory concrete reader — the gridded rung of the BASELINE
-    config ladder (reference example_rungekutta_norkyst.py pattern)."""
-    from opendrift.models.oceandrift import OceanDrift
+def _make_array_reader(proj4, x, y, times, fields, zlevels=None):
+    """Concrete structured reader over in-memory numpy arrays.
+
+    Plays the role of reference reader_netCDF_CF_generic.py for a
+    pre-decoded dataset: get_variables returns index-subset arrays
+    ([t,y,x] 2D fields or [t,z,y,x] with ``zlevels``); all
+    interpolation happens in the reference's own ReaderBlock
+    (reference interpolation/structured.py:107)."""
     from opendrift.readers.basereader.structured import StructuredReader
 
     class ArrayStructuredReader(StructuredReader):
-        """Concrete structured reader over in-memory numpy arrays.
-
-        Plays the role of reference reader_netCDF_CF_generic.py for
-        a pre-decoded dataset: get_variables returns index-subset
-        arrays; all interpolation happens in the reference's own
-        ReaderBlock (reference interpolation/structured.py:107)."""
-
-        def __init__(self, proj4, x, y, times, fields):
+        def __init__(self):
             self.proj4 = proj4
             self.proj = None
             self.name = "array_structured"
@@ -180,7 +179,7 @@ def scenario_arctic20(scheme):
             self.time_step = self.times[1] - self.times[0]
             self._fields = fields
             self.variables = list(fields.keys())
-            self.zlevels = None
+            self.zlevels = zlevels
             super().__init__()
 
         def get_variables(self, requested_variables, time=None,
@@ -201,11 +200,22 @@ def scenario_arctic20(scheme):
                              + self.buffer)
             variables = {"time": nearest_time,
                          "x": self.x[ix0:ix1], "y": self.y[iy0:iy1],
-                         "z": None}
+                         "z": zlevels}
             for var in requested_variables:
-                variables[var] = self._fields[var][indx_nearest,
-                                                   iy0:iy1, ix0:ix1]
+                arr = self._fields[var][indx_nearest]
+                variables[var] = arr[..., iy0:iy1, ix0:ix1]
             return variables
+
+    return ArrayStructuredReader()
+
+
+def scenario_arctic20(scheme):
+    """Gridded Arctic20 polar-stereographic forcing through the
+    reference's own StructuredReader/ReaderBlock stack (block fetch,
+    NaN expansion, time blending, vector rotation), served by an
+    in-memory concrete reader — the gridded rung of the BASELINE
+    config ladder (reference example_rungekutta_norkyst.py pattern)."""
+    from opendrift.models.oceandrift import OceanDrift
 
     proj4, xs, ys, times, fields = load_arctic20_surface()
 
@@ -214,7 +224,7 @@ def scenario_arctic20(scheme):
     o.set_config("drift:advection_scheme", scheme)
     o.set_config("drift:vertical_mixing", False)
     o.set_config("drift:vertical_advection", False)
-    r = ArrayStructuredReader(proj4, xs, ys, times, fields)
+    r = _make_array_reader(proj4, xs, ys, times, fields)
     o.add_reader(r)
     nseed = 40
     lon = np.linspace(9.0, 16.0, nseed)
@@ -232,12 +242,193 @@ def scenario_arctic20(scheme):
     return out
 
 
+def scenario_arctic20_backward():
+    """Backward run: seed at the END of the Arctic20 window, negative
+    time step (reference basemodel/__init__.py:2056-2063 flips IDs and
+    reverses release comparisons)."""
+    from opendrift.models.oceandrift import OceanDrift
+
+    proj4, xs, ys, times, fields = load_arctic20_surface()
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("drift:advection_scheme", "euler")
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", False)
+    r = _make_array_reader(proj4, xs, ys, times, fields)
+    o.add_reader(r)
+    nseed = 40
+    lon = np.linspace(9.0, 16.0, nseed)
+    lat = np.linspace(70.0, 72.5, nseed)
+    o.seed_elements(lon=lon, lat=lat, time=times[-1])
+    result = o.run(duration=timedelta(hours=50), time_step=-1800,
+                   time_step_output=1800)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "arctic20_surface",
+        "scheme": "euler", "time_step": -1800, "duration_s": 50 * 3600,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "file": ARCTIC20,
+    })
+    return out
+
+
+def scenario_arctic20_3d():
+    """3D z-level forcing: u/v on all 17 Arctic20 depth levels,
+    vertical advection ON with a constant sinking w so elements sweep
+    through the z axis while drifting — exercises the reference's
+    vertical block interpolation (Linear1DInterpolator,
+    interpolators.py:153-201) and vertical_advection
+    (oceandrift.py:315-350), deterministic (mixing off)."""
+    from opendrift.models.oceandrift import OceanDrift
+
+    proj4, xs, ys, times, fields, zlevels = \
+        load_arctic20_surface(keep_z=True)
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("drift:advection_scheme", "euler")
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", True)
+    w = -3.0e-4     # m/s, downward
+    o.set_config("environment:fallback:upward_sea_water_velocity", w)
+    r = _make_array_reader(proj4, xs, ys, times, fields, zlevels=zlevels)
+    o.add_reader(r)
+    nseed = 40
+    lon = np.linspace(9.0, 16.0, nseed)
+    lat = np.linspace(70.0, 72.5, nseed)
+    z0 = np.linspace(-3.0, -40.0, nseed)
+    o.seed_elements(lon=lon, lat=lat, z=z0, time=times[0])
+    result = o.run(duration=timedelta(hours=50), time_step=1800,
+                   time_step_output=1800)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "arctic20_3d",
+        "scheme": "euler", "time_step": 1800, "duration_s": 50 * 3600,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "seed_z": z0.tolist(), "w_fallback": w,
+        "file": ARCTIC20,
+    })
+    return out
+
+
+def scenario_mixing_sundby():
+    """Vertical-mixing STATISTICAL parity: the reference's Visser
+    random-walk inner loop (oceandrift.py:397-571) with
+    windspeed_Sundby1983 diffusivity under constant wind — RNG streams
+    differ between engines, so the golden stores the full final z
+    population for moment/histogram comparison, not trajectories."""
+    from opendrift.models.oceandrift import OceanDrift
+
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("environment:fallback:x_wind", 10.0)
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:sea_floor_depth_below_sea_level",
+                 120.0)
+    o.set_config("environment:fallback:ocean_mixed_layer_thickness", 40.0)
+    o.set_config("drift:vertical_mixing", True)
+    o.set_config("vertical_mixing:diffusivitymodel", "windspeed_Sundby1983")
+    o.set_config("vertical_mixing:timestep", 60.0)
+    n = 3000
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -20.0), time=datetime(2021, 6, 1),
+                    wind_drift_factor=np.zeros(n),
+                    terminal_velocity=np.zeros(n))
+    result = o.run(duration=timedelta(hours=6), time_step=1800)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "constant",
+        "wind_u": 10.0, "mld": 40.0, "seafloor": 120.0,
+        "scheme": "euler", "time_step": 1800, "duration_s": 6 * 3600,
+        "dt_mix": 60.0, "n": n, "seed_z": -20.0,
+    })
+    return out
+
+
+def scenario_openoil_budget():
+    """OpenOil surface weathering mass budget, deterministic: vertical
+    mixing/dispersion OFF so all elements stay in the surface slick and
+    the budget follows the evaporation pseudo-component ODE
+    (reference openoil.py:822-853), emulsification water uptake
+    (:855-920) and biodegradation half-lives (:559-611) exactly.
+    Golden stores positions AND the per-step summed mass budget."""
+    from opendrift.models.openoil import OpenOil
+
+    o = OpenOil(loglevel=30)
+    _common_config(o)
+    o.set_config("environment:fallback:x_wind", 8.0)
+    o.set_config("environment:fallback:y_wind", 2.0)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.15)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.05)
+    o.set_config("environment:fallback:sea_water_temperature", 14.0)
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("processes:dispersion", False)
+    o.set_config("processes:evaporation", True)
+    o.set_config("processes:emulsification", True)
+    o.set_config("processes:biodegradation", True)
+    o.set_config("seed:m3_per_hour", 80.0)
+    n = 200
+    o.seed_elements(lon=4.5, lat=60.0, radius=0, number=n,
+                    time=datetime(2022, 5, 1), oil_type="STATFJORD",
+                    wind_drift_factor=np.full(n, 0.03))
+    result = o.run(duration=timedelta(hours=24), time_step=900,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    for var in ("mass_oil", "mass_evaporated", "mass_biodegraded",
+                "water_fraction", "viscosity", "density",
+                "oil_film_thickness"):
+        out[var] = np.asarray(result[var].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "OpenOil", "oil_type": "STATFJORD",
+        "wind_u": 8.0, "wind_v": 2.0, "u": 0.15, "v": 0.05,
+        "sst": 14.0, "m3_per_hour": 80.0, "n": n,
+        "wind_drift_factor": 0.03,
+        "scheme": "euler", "time_step": 900, "duration_s": 24 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
+def scenario_leeway():
+    """Leeway STATISTICAL parity: downwind/crosswind leeway with random
+    left/right orientation and jibing (reference leeway.py:430-494) —
+    per-element RNG differs between engines, so the golden stores the
+    final element cloud for moment comparison (mean downwind drift,
+    crosswind spread, left/right split)."""
+    from opendrift.models.leeway import Leeway
+
+    o = Leeway(loglevel=30)
+    _common_config(o)
+    o.set_config("environment:fallback:x_wind", 12.0)
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+    n = 2000
+    o.seed_elements(lon=2.0, lat=59.5, radius=0, number=n,
+                    time=datetime(2021, 3, 1), object_type=26)
+    result = o.run(duration=timedelta(hours=12), time_step=600,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "Leeway", "object_type": 26,
+        "wind_u": 12.0, "wind_v": 0.0, "n": n,
+        "time_step": 600, "duration_s": 12 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
 SCENARIOS = {
     "double_gyre_euler": lambda: scenario_double_gyre("euler"),
     "double_gyre_rk4": lambda: scenario_double_gyre("runge-kutta4"),
+    "double_gyre_rk2": lambda: scenario_double_gyre("runge-kutta"),
     "constant_wind_euler": scenario_constant_wind,
     "arctic20_euler": lambda: scenario_arctic20("euler"),
     "arctic20_rk4": lambda: scenario_arctic20("runge-kutta4"),
+    "arctic20_backward": scenario_arctic20_backward,
+    "arctic20_3d_euler": scenario_arctic20_3d,
+    "mixing_sundby_stat": scenario_mixing_sundby,
+    "openoil_budget_surface": scenario_openoil_budget,
+    "leeway_stat": scenario_leeway,
 }
 
 

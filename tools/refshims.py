@@ -150,23 +150,34 @@ def _as_label(value):
 
 def _index_of(coord_values, label, method=None):
     label = _as_label(label)
+    # backward runs build a DEscending time coordinate
+    # (reference basemodel/__init__.py:2083-2135 with negative step);
+    # searchsorted needs ascending, so flip and map indices back
+    n = len(coord_values)
+    descending = n > 1 and coord_values[-1] < coord_values[0]
+    sorted_vals = coord_values[::-1] if descending else coord_values
+
+    def _map(i):
+        return (n - 1 - i) if descending else i
+
     if np.ndim(label) > 0:
         labels = np.asarray(label)
-        idx = np.searchsorted(coord_values, labels)
-        return idx
+        idx = np.searchsorted(sorted_vals, labels)
+        return _map(idx) if descending else idx
     if method == "backfill":
-        return int(np.searchsorted(coord_values, label, side="left"))
+        i = int(np.searchsorted(sorted_vals, label, side="left"))
+        return _map(i)
     if method in (None, "nearest"):
-        idx = int(np.searchsorted(coord_values, label, side="left"))
+        idx = int(np.searchsorted(sorted_vals, label, side="left"))
         if method is None:
-            if idx >= len(coord_values) or coord_values[idx] != label:
+            if idx >= n or sorted_vals[idx] != label:
                 raise KeyError(label)
-            return idx
-        if idx > 0 and (idx == len(coord_values)
-                        or abs(coord_values[idx - 1] - label)
-                        <= abs(coord_values[idx] - label)):
-            return idx - 1
-        return idx
+            return _map(idx)
+        if idx > 0 and (idx == n
+                        or abs(sorted_vals[idx - 1] - label)
+                        <= abs(sorted_vals[idx] - label)):
+            return _map(idx - 1)
+        return _map(idx)
     raise NotImplementedError(f"sel method {method}")
 
 
@@ -510,10 +521,21 @@ class _Dataset:
         for dim, sl in indexers.items():
             coord = dict.__getitem__(out._coords, dim).values
             if isinstance(sl, slice):
-                lo = 0 if sl.start is None else int(
-                    np.searchsorted(coord, _as_label(sl.start), "left"))
-                hi = len(coord) if sl.stop is None else int(
-                    np.searchsorted(coord, _as_label(sl.stop), "right"))
+                n = len(coord)
+                descending = n > 1 and coord[-1] < coord[0]
+                if descending:
+                    # label slice on a DEscending axis (backward runs):
+                    # start is the larger label, stop the smaller
+                    rev = coord[::-1]
+                    lo = 0 if sl.start is None else n - int(
+                        np.searchsorted(rev, _as_label(sl.start), "right"))
+                    hi = n if sl.stop is None else n - int(
+                        np.searchsorted(rev, _as_label(sl.stop), "left"))
+                else:
+                    lo = 0 if sl.start is None else int(
+                        np.searchsorted(coord, _as_label(sl.start), "left"))
+                    hi = n if sl.stop is None else int(
+                        np.searchsorted(coord, _as_label(sl.stop), "right"))
                 out = out._subset(dim, slice(lo, hi))
             else:
                 out = out._subset(dim, _index_of(coord, sl))
@@ -549,6 +571,157 @@ def _build_xarray():
 
 
 # --------------------------------------------------------------------
+# adios_db (NOAA oil database computations)
+# --------------------------------------------------------------------
+
+def _build_adios_db():
+    """Shim of the ``adios_db`` surface the reference's OpenOil touches
+    (reference adios/oil.py:27-30, openoil.py:97-98): Oil.from_py_json,
+    gnome_oil.make_gnome_oil, physical_properties.Density/
+    KinematicViscosity, estimations.oil_water_surface_tension_from_api.
+
+    The derivations delegate to tools/build_oil_db.py — the same
+    from-scratch GNOME/ADIOS estimation formulas that produced
+    opendrift_tpu's bundled oil DB.  NOTE the shared-code caveat: oil
+    *property* estimation is therefore identical on both sides of the
+    parity comparison by construction; what the goldens validate is the
+    weathering DYNAMICS (evaporation ODE, emulsification, budget
+    bookkeeping), not the upstream property estimation.
+    """
+    import build_oil_db as bdb
+
+    adios_db = types.ModuleType("adios_db")
+
+    class _Meta:
+        def __init__(self, rec, ok):
+            self.gnome_suitable = ok
+            self.name = rec.get("metadata", {}).get("name")
+
+    class _ShimAdiosOil:
+        """Holds the raw ADIOS JSON record + our derived properties."""
+
+        def __init__(self, rec):
+            self.data = rec
+            try:
+                self.derived = _derive(rec)
+                ok = self.derived is not None
+            except Exception:
+                self.derived = None
+                ok = False
+            self.metadata = _Meta(rec, ok)
+
+        @classmethod
+        def from_py_json(cls, rec):
+            return cls(rec)
+
+        def validate(self):
+            return []
+
+    def _derive(rec):
+        """Raw ADIOS record -> reduced gnome-oil dict (build_oil_db
+        pipeline, one oil)."""
+        ss = rec.get("sub_samples")
+        if not ss:
+            return None
+        props = ss[0].get("physical_properties", {})
+        dens = bdb.extract_density(props)
+        api = bdb._get_api(rec, dens[0] if dens else None)
+        if dens is None and api is not None:
+            sg = 141.5 / (api + 131.5)
+            dens = (sg * 999.016, 288.15)
+        if dens is None:
+            return None
+        cuts = ss[0].get("distillation_data", {}).get("cuts", [])
+        comp = bdb.components_from_cuts(cuts, api)
+        if comp is None:
+            return None
+        mass_fraction, bp = comp
+        viscs = bdb.extract_viscosities(props)
+        kvis_ref, kvis_t = viscs[0] if viscs else (50e-6, 288.15)
+        mw = bdb.molecular_weight_from_bp(bp)
+        return {
+            "api": api if api is not None else -999.0,
+            "density_ref": dens[0], "density_ref_temp": dens[1],
+            "kvis_ref": kvis_ref, "kvis_ref_temp": kvis_t,
+            "kvis_k": bdb.visc_temperature_coeff(viscs),
+            "mass_fraction": np.asarray(mass_fraction),
+            "boiling_point": np.asarray(bp),
+            # reference noaa_oil_weathering.py:27 divides by 1000
+            # ("database is in g/mol"); ours derives kg/mol
+            "molecular_weight": np.asarray(mw) * 1000.0,
+            "bullwinkle_time": None,
+            "bullwinkle_fraction": bdb.bullwinkle_estimate(api),
+            "emulsion_water_fraction_max": bdb.extract_emulsion_max(rec),
+        }
+
+    def make_gnome_oil(oil):
+        if oil.derived is None:
+            raise ValueError("oil not gnome-suitable under shim")
+        return dict(oil.derived)
+
+    class Density:
+        def __init__(self, oil):
+            self._d = oil.derived
+
+        def at_temp(self, t, unit="K"):
+            t = np.asarray(t, np.float64)
+            if unit in ("C", "degC"):
+                t = t + 273.15
+            k_rho = 8.0e-4   # thermal expansion, GNOME approximation
+            return self._d["density_ref"] / (
+                1.0 + k_rho * (t - self._d["density_ref_temp"]))
+
+    class KinematicViscosity:
+        def __init__(self, oil):
+            self._d = oil.derived
+
+        def at_temp(self, t, temp_units="K", unit=None):
+            tu = temp_units if unit is None else unit
+            t = np.asarray(t, np.float64)
+            if tu in ("C", "degC"):
+                t = t + 273.15
+            return self._d["kvis_ref"] * np.exp(
+                self._d["kvis_k"]
+                * (1.0 / t - 1.0 / self._d["kvis_ref_temp"]))
+
+    def oil_water_surface_tension_from_api(api):
+        api = float(api) if api and api > 0 else 30.0
+        return max(1e-3, 0.001 * (39.0 - 0.2571 * api))
+
+    models = types.ModuleType("adios_db.models")
+    models_oil = types.ModuleType("adios_db.models.oil")
+    models_oil_oil = types.ModuleType("adios_db.models.oil.oil")
+    models_oil_oil.Oil = _ShimAdiosOil
+    computation = types.ModuleType("adios_db.computation")
+    gnome_mod = types.ModuleType("adios_db.computation.gnome_oil")
+    gnome_mod.make_gnome_oil = make_gnome_oil
+    pp = types.ModuleType("adios_db.computation.physical_properties")
+    pp.Density = Density
+    pp.KinematicViscosity = KinematicViscosity
+    est = types.ModuleType("adios_db.computation.estimations")
+    est.oil_water_surface_tension_from_api = \
+        oil_water_surface_tension_from_api
+
+    adios_db.models = models
+    models.oil = models_oil
+    models_oil.oil = models_oil_oil
+    adios_db.computation = computation
+    computation.gnome_oil = gnome_mod
+    computation.physical_properties = pp
+    computation.estimations = est
+    for name, mod in [
+            ("adios_db", adios_db), ("adios_db.models", models),
+            ("adios_db.models.oil", models_oil),
+            ("adios_db.models.oil.oil", models_oil_oil),
+            ("adios_db.computation", computation),
+            ("adios_db.computation.gnome_oil", gnome_mod),
+            ("adios_db.computation.physical_properties", pp),
+            ("adios_db.computation.estimations", est)]:
+        sys.modules[name] = mod
+    return adios_db
+
+
+# --------------------------------------------------------------------
 # misc stubs
 # --------------------------------------------------------------------
 
@@ -566,6 +739,8 @@ def install():
         sys.modules["pyproj"] = _build_pyproj()
     if "xarray" not in sys.modules:
         sys.modules["xarray"] = _build_xarray()
+    if "adios_db" not in sys.modules:
+        _build_adios_db()
 
     class _RoaringLandmask:
         @staticmethod
