@@ -201,3 +201,217 @@ def test_dd_requires_gridded_current():
     o.seed_elements(4.0, 60.0, number=8, time=T0)
     with pytest.raises(ValueError, match="domain_decomposition"):
         o.run(steps=2, time_step=600)
+
+
+# ---------------------------------------------------------------------------
+# Full-physics hardening (VERDICT r2 #3): the docstring claims of tiled.py
+# — 3D z-level forcing, profile vertical mixing, stranding, secondary
+# readers on other grids, real file readers, backward stepping — each
+# validated against the replicated single-grid gold.
+# ---------------------------------------------------------------------------
+
+def _forcing_3d(ny=96, nx=40, u_surface=0.35, u_deep=0.05, with_K=False):
+    """3D z-level forcing: u decays with depth so trajectory depends on
+    element z; optionally serves a diffusivity profile."""
+    lon = np.linspace(2.0, 6.0, nx)
+    lat = np.linspace(59.0, 60.2, ny)
+    depths = np.array([0.0, 5.0, 10.0, 20.0, 40.0], np.float64)
+    nz = len(depths)
+    uu = np.empty((2, nz, ny, nx), np.float32)
+    for k, d in enumerate(depths):
+        uu[:, k] = u_surface + (u_deep - u_surface) * d / depths[-1]
+    vv = np.full((2, nz, ny, nx), 0.35, np.float32)
+    data = {"x_sea_water_velocity": uu, "y_sea_water_velocity": vv}
+    if with_K:
+        K = np.empty((2, nz, ny, nx), np.float32)
+        for k, d in enumerate(depths):
+            K[:, k] = 0.02 * max(1.0 - d / 30.0, 0.0) + 1e-5
+        data["ocean_vertical_diffusivity"] = K
+    return ArrayReader(data, x=lon, y=lat, depths=depths,
+                       times=[T0, T0 + timedelta(hours=48)])
+
+
+def _run_3d(dd, steps=32, mixing=False, number=64):
+    o = OceanDrift(loglevel=50)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("drift:advection_scheme", "euler")
+    o.set_config("drift:stokes_drift", False)
+    o.set_config("parallel:domain_decomposition", dd)
+    o.set_config("drift:vertical_advection", True)
+    o.set_config("environment:fallback:upward_sea_water_velocity", -2e-4)
+    if mixing:
+        o.set_config("drift:vertical_mixing", True)
+        o.set_config("vertical_mixing:diffusivitymodel", "environment")
+        o.set_config(
+            "environment:fallback:sea_floor_depth_below_sea_level", 60.0)
+    else:
+        o.set_config("drift:vertical_mixing", False)
+    o.add_reader(_forcing_3d(with_K=mixing))
+    z0 = np.linspace(-1.0, -35.0, number)
+    o.seed_elements(np.full(number, 4.0), np.full(number, 59.2),
+                    z=z0, number=number, radius=0, time=T0)
+    o.run(steps=steps, time_step=900)
+    return o
+
+
+def test_dd_3d_zlevel_matches_gold():
+    """Depth-sheared 3D forcing + vertical advection under DD: the MZ
+    retile path must reproduce the replicated z-interpolated fields."""
+    gold = _run_3d(dd=False)
+    tiled = _run_3d(dd=True)
+    np.testing.assert_allclose(tiled.result["lon"].values,
+                               gold.result["lon"].values, atol=2e-5)
+    np.testing.assert_allclose(tiled.result["lat"].values,
+                               gold.result["lat"].values, atol=2e-5)
+    np.testing.assert_allclose(tiled.result["z"].values,
+                               gold.result["z"].values, atol=1e-3)
+    # the shear must actually matter: deep seeds moved less far east
+    lon = tiled.result["lon"].values
+    assert lon[0, -1] - lon[0, 0] > lon[-1, -1] - lon[-1, 0] + 0.02
+
+
+def test_dd_profile_mixing_statistics():
+    """Profile-based ('environment') vertical mixing inside the DD
+    shard_map: per-tile RNG decorrelates, so parity with the replicated
+    run is statistical over the final z population."""
+    tiled = _run_3d(dd=True, mixing=True, number=512)
+    gold = _run_3d(dd=False, mixing=True, number=512)
+    z_t = tiled.result["z"].values[:, -1]
+    z_g = gold.result["z"].values[:, -1]
+    assert np.isfinite(z_t).all()
+    assert abs(z_t.mean() - z_g.mean()) < 2.0, (z_t.mean(), z_g.mean())
+    assert abs(z_t.std() - z_g.std()) < 2.0, (z_t.std(), z_g.std())
+
+
+def test_dd_stranding_against_raster():
+    """Stranding against the bundled coastline raster (a replicated
+    ContinuousReader running inside the shard_map): deterministic, so
+    DD must match the replicated gold bit-for-status."""
+    from opendrift_tpu.fields.landmask import GlobalLandmask
+
+    def build(dd):
+        o = OceanDrift(loglevel=50)
+        ny, nx = 80, 40
+        lon = np.linspace(15.5, 19.5, nx)
+        lat = np.linspace(69.0, 70.4, ny)
+        uu = np.full((2, ny, nx), 0.8, np.float32)
+        vv = np.full((2, ny, nx), 0.3, np.float32)
+        o.set_config("parallel:domain_decomposition", dd)
+        o.set_config("drift:stokes_drift", False)
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("general:coastline_action", "stranding")
+        o.set_config("general:use_auto_landmask", False)
+        o.add_reader(ArrayReader(
+            {"x_sea_water_velocity": uu, "y_sea_water_velocity": vv},
+            x=lon, y=lat, times=[T0, T0 + timedelta(hours=72)]))
+        o.add_reader(GlobalLandmask())
+        o.seed_elements(np.linspace(16.2, 16.8, 48),
+                        np.linspace(69.3, 69.9, 48),
+                        number=48, radius=0, time=T0)
+        o.run(steps=48, time_step=1800)
+        return o
+
+    gold = build(dd=False)
+    tiled = build(dd=True)
+    st_g = gold.result["status"].values
+    st_t = tiled.result["status"].values
+    assert (st_g == st_t).all()
+    assert (st_g[:, -1] == 1).any()      # some actually stranded
+    np.testing.assert_allclose(tiled.result["lon"].values,
+                               gold.result["lon"].values, atol=2e-5)
+    np.testing.assert_allclose(tiled.result["lat"].values,
+                               gold.result["lat"].values, atol=2e-5)
+
+
+def test_dd_secondary_coarse_wind_reader():
+    """A second structured reader on a DIFFERENT (coarser) grid serving
+    wind stays replicated while the current grid is tiled; windage must
+    match the replicated gold."""
+    def build(dd):
+        o = OceanDrift(loglevel=50)
+        o.set_config("environment:fallback:land_binary_mask", 0)
+        o.set_config("drift:stokes_drift", False)
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("parallel:domain_decomposition", dd)
+        o.add_reader(_forcing())
+        wlon = np.linspace(1.0, 7.0, 8)
+        wlat = np.linspace(58.5, 60.7, 10)
+        wx = np.broadcast_to(
+            np.linspace(4.0, 8.0, 10)[None, :, None],
+            (2, 10, 8)).astype(np.float32)   # wind varies with lat
+        wy = np.full((2, 10, 8), -2.0, np.float32)
+        o.add_reader(ArrayReader(
+            {"x_wind": wx, "y_wind": wy}, x=wlon, y=wlat,
+            times=[T0, T0 + timedelta(hours=48)], name="coarse_wind"))
+        o.seed_elements(4.0, 59.2, number=64, radius=4000, time=T0,
+                        wind_drift_factor=0.03)
+        o.run(steps=32, time_step=900)
+        return o
+
+    gold = build(dd=False)
+    tiled = build(dd=True)
+    np.testing.assert_allclose(tiled.result["lon"].values,
+                               gold.result["lon"].values, atol=2e-5)
+    np.testing.assert_allclose(tiled.result["lat"].values,
+                               gold.result["lat"].values, atol=2e-5)
+    # wind must have acted (eastward windage on top of u=0.25)
+    assert (gold.result["lon"].values[:, -1]
+            > gold.result["lon"].values[:, 0] + 0.05).all()
+
+
+def test_dd_roms_file_reader(test_data_dir):
+    """Real ROMS file (Nordic sigma subset) as the tiled primary."""
+    import os
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    path = os.path.join(test_data_dir, "2Feb2016_Nordic_sigma_3d",
+                        "Nordic_subset.nc")
+
+    def build(dd):
+        o = OceanDrift(loglevel=50)
+        o.set_config("environment:fallback:land_binary_mask", 0)
+        o.set_config("general:use_auto_landmask", False)
+        o.set_config("drift:stokes_drift", False)
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("drift:vertical_mixing", False)
+        o.set_config("parallel:domain_decomposition", dd)
+        r = ROMSReader(path)
+        o.add_reader(r)
+        o.seed_elements(np.linspace(12.2, 13.8, 24),
+                        np.linspace(67.7, 68.2, 24),
+                        number=24, radius=0, time=r.times[0])
+        o.run(steps=16, time_step=1800)
+        return o
+
+    gold = build(dd=False)
+    tiled = build(dd=True)
+    np.testing.assert_allclose(tiled.result["lon"].values,
+                               gold.result["lon"].values, atol=5e-5)
+    np.testing.assert_allclose(tiled.result["lat"].values,
+                               gold.result["lat"].values, atol=5e-5)
+
+
+def test_dd_backward_run_matches_gold():
+    """Backward time stepping under DD (negative dt reverses the halo
+    safety reasoning: same magnitude, so the same sizing holds).  The
+    seed clump straddles a tile boundary, so the southbound migration
+    wave needs the documented capacity headroom knob."""
+    def build(dd):
+        o = OceanDrift(loglevel=50)
+        o.set_config("environment:fallback:land_binary_mask", 0)
+        o.set_config("drift:stokes_drift", False)
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("parallel:domain_decomposition", dd)
+        o.set_config("parallel:tile_capacity_factor", 8.0)
+        o.add_reader(_forcing())
+        o.seed_elements(4.5, 59.9, number=64, radius=4000,
+                        time=T0 + timedelta(hours=10))
+        o.run(steps=32, time_step=-900)
+        return o
+
+    gold = build(dd=False)
+    tiled = build(dd=True)
+    np.testing.assert_allclose(tiled.result["lon"].values,
+                               gold.result["lon"].values, atol=2e-5)
+    np.testing.assert_allclose(tiled.result["lat"].values,
+                               gold.result["lat"].values, atol=2e-5)
