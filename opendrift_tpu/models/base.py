@@ -273,6 +273,14 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "description": "Flush the outfile every this many output "
                 "steps during the run (crash-safe incremental export); "
                 "0 writes only at the end"},
+            "export:sharded": {
+                "type": "bool", "default": False,
+                "level": CONFIG_LEVEL_ADVANCED,
+                "description": "Multi-host runs: every process writes its "
+                "addressable slots to <outfile>.pNNN.nc (O(local) per "
+                "host instead of gathering every snapshot to every "
+                "host); merge offline with tools/concat_shards.py. "
+                "Single-process runs ignore this"},
         })
 
     def _add_seed_configs(self):
@@ -759,6 +767,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.time_step_output = timedelta(seconds=K * dt)
         self.steps_calculation = steps
 
+        # sharded output needs per-slot IDs in every snapshot (slots
+        # migrate under DD; particle sharding needs them for the concat)
+        self._want_id_in_snapshot = bool(
+            outfile is not None and self.get_config("export:sharded"))
+
         advance, final_snap, state, base_key = self.prepare_run(
             dt, K, export_variables=export_variables,
             total_steps=steps)
@@ -794,25 +807,52 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         # (reference export_buffer_length, basemodel/__init__.py:2390)
         writer = None
         flushed = 0
+        # sharded multi-host output (export:sharded): every process
+        # writes its addressable slots' raw frames to <outfile>.pNNN.nc
+        # — O(local) per host per output step instead of gathering the
+        # global snapshot to every host (the reference analogue is the
+        # per-worker files + concat of its multiprocessing recipe,
+        # reference examples/example_long_multiprocessing.py:16-50);
+        # merge with tools/concat_shards.py
+        sharded_out = False
         if outfile is not None:
-            # multi-host: one process owns the output file
             from ..parallel import multihost
-            if multihost.is_multihost() and not multihost.is_primary():
+            sharded_out = bool(self.get_config("export:sharded")) \
+                and multihost.is_multihost()
+            if multihost.is_multihost() and not multihost.is_primary() \
+                    and not sharded_out:
                 outfile = None
         buffer_length = self.get_config("export:buffer_length") or 0
-        if outfile is not None and buffer_length > 0:
+        if outfile is not None and sharded_out:
+            from ..export.io_netcdf import ShardWriter
+            from ..parallel import multihost
+            n_total = getattr(self, "_n_real_elements", None) \
+                or int(state.data["lon"].shape[0])
+            rank = multihost.process_index()
+            self._shard_outfile = f"{outfile}.p{rank:03d}.nc"
+            writer = None      # created lazily at first frame (needs
+            buffer_length = max(buffer_length, 1)  # the local slot count)
+        elif outfile is not None and buffer_length > 0:
             from ..export.io_netcdf import IncrementalWriter
             n_out = getattr(self, "_n_real_elements", None) \
                 or int(state.data["lon"].shape[0])
             writer = IncrementalWriter(outfile, n_out)
 
         def flush(force=False):
-            nonlocal flushed
+            nonlocal flushed, writer
+            if sharded_out and writer is None and frames:
+                from ..export.io_netcdf import ShardWriter
+                from ..parallel import multihost
+                writer = ShardWriter(
+                    self._shard_outfile, int(frames[0]["lon"].shape[0]),
+                    n_total, multihost.process_index(),
+                    multihost.process_count())
             if writer is None:
                 return
             pending = frames[flushed:]
             if pending and (force or len(pending) >= buffer_length):
-                n_real = getattr(self, "_n_real_elements", None)
+                n_real = None if sharded_out \
+                    else getattr(self, "_n_real_elements", None)
                 writer.append(
                     [{n: (v[..., :n_real] if n_real else v)
                       for n, v in f.items()} for f in pending],
@@ -821,6 +861,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         dd = getattr(self, "_dd", None)
 
         def get_frame(snap):
+            if sharded_out:
+                # O(local): only this process's addressable slots
+                from ..parallel import multihost
+                f, _ = multihost.local_rows(snap)
+                return f
             if dd is not None:
                 f = dd.gather(snap)
             elif self._mesh is not None:
@@ -830,9 +875,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 f = jax.device_get(snap)
             if dd is not None:
                 export = self.export_variables
+                # export=None means "all element variables" (including
+                # ID, like the non-DD snapshot)
                 f = dd.reorder_frame(
                     f, self._n_real_elements,
-                    keep_id=export is not None and "ID" in export)
+                    keep_id=export is None or "ID" in export)
             return f
         # multi-host: replicated inputs must be explicit global arrays
         # (single-process: _mh_global is the identity)
@@ -892,12 +939,16 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
         self.timer_end("main loop")
 
         self.timer_start("postprocessing")
-        self.result = self._assemble_result(frames, frame_times)
+        # sharded output: self.result holds this process's LOCAL slots
+        # (with an ID variable); the canonical global file comes from
+        # tools/concat_shards.py over all <outfile>.pNNN.nc shards
+        self.result = self._assemble_result(frames, frame_times,
+                                            trim=not sharded_out)
         if outfile is not None:
             if writer is not None:
                 flush(force=True)
                 writer.finalize(self.result)
-            else:
+            elif not sharded_out:
                 from ..export.io_netcdf import write_result
                 write_result(self.result, outfile)
         self.timer_end("postprocessing")
@@ -1476,7 +1527,8 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             # domain decomposition: slots move with migration, so the
             # host re-indexes every frame by element ID
             always = ("lon", "lat", "z", "status") + \
-                (("ID",) if dd is not None else ())
+                (("ID",) if dd is not None
+                 or getattr(self, "_want_id_in_snapshot", False) else ())
             for name in self.ElementType.variables:
                 if export is None or name in export or name in always:
                     snap[name] = state.data[name]
@@ -1590,23 +1642,19 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             "Subclasses must define an update(ctx) method")
 
     # --------------------------------------------------- result assembly --
-    def _assemble_result(self, frames, frame_times):
+    def _assemble_result(self, frames, frame_times, trim=True):
+        from ..export.io_netcdf import valid_mask
         T = len(frames)
         names = list(frames[0].keys())
-        n_real = getattr(self, "_n_real_elements", None)
+        n_real = getattr(self, "_n_real_elements", None) if trim else None
         stacked = {n: np.stack([f[n][..., :n_real] if n_real else f[n]
                                 for f in frames], axis=-1)
                    for n in names}  # (N, T)
         status = stacked["status"]
-        released = status >= ACTIVE
-        dead = status > ACTIVE
         # valid: active frames plus the first dead frame (the reference
         # records deactivated elements once, at the output step covering
         # their deactivation, basemodel/__init__.py:2390-2396)
-        first_dead = np.zeros_like(dead)
-        first_dead[:, 0] = dead[:, 0]
-        first_dead[:, 1:] = dead[:, 1:] & ~dead[:, :-1]
-        valid = (status == ACTIVE) | first_dead
+        valid = valid_mask(status, ACTIVE)
 
         variables = {}
         for n in names:

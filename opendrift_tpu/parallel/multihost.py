@@ -21,9 +21,9 @@ needs:
   touches only its rows of the forcing file).
 * :func:`gather` — bring a sharded array back to every host (jit
   identity to a fully-replicated layout, then ``device_get``).  O(global
-  size) per host: right for trajectory snapshots (elements are small),
-  wrong for huge fields — production output should instead write
-  per-host shards (docs/parallel.md).
+  size) per host: right for small snapshots, wrong at the 10M x N-host
+  scale — there, use ``export:sharded`` output, which goes through
+  :func:`local_rows` (O(local) per host) + tools/concat_shards.py.
 
 Everything degrades to a no-op on a single process, so engine code calls
 these helpers unconditionally.
@@ -211,3 +211,55 @@ def sync(name="barrier"):
         return
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)
+
+
+def _local_unique_rows(x):
+    """(indices, data) of the unique global rows addressable locally."""
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    idx = np.concatenate([
+        np.arange(s.index[0].start or 0,
+                  s.index[0].stop if s.index[0].stop is not None
+                  else (s.index[0].start or 0) + s.data.shape[0])
+        for s in shards])
+    data = np.concatenate([np.asarray(s.data) for s in shards])
+    uniq, first = np.unique(idx, return_index=True)
+    return uniq, data[first]
+
+
+def local_rows(tree):
+    """Per-process LOCAL rows of a pytree of per-element arrays —
+    the sharded-output counterpart of :func:`gather`: O(local), each
+    process touches only the slots its devices own.
+
+    The reference slot set comes from the most finely sharded leaf;
+    replicated leaves (every row addressable, e.g. env variables
+    computed outside the shard_map) are subset to those same slots so
+    every array in the result has identical row order.
+
+    Returns (local_tree, global_offsets)."""
+    import jax
+
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if hasattr(x, "addressable_shards")
+              and getattr(x, "ndim", 0) >= 1]
+    offsets = None
+    for x in leaves:
+        idx, _ = _local_unique_rows(x)
+        if offsets is None or idx.size < offsets.size:
+            offsets = idx
+    if offsets is None:        # host arrays only (single process)
+        return jax.tree_util.tree_map(np.asarray, tree), None
+
+    def pick(x):
+        if not hasattr(x, "addressable_shards"):
+            arr = np.asarray(x)
+            return arr[offsets] if arr.ndim >= 1 \
+                and arr.shape[0] > offsets.size else arr
+        idx, data = _local_unique_rows(x)
+        if idx.size == offsets.size:
+            return data
+        pos = np.searchsorted(idx, offsets)
+        return data[pos]
+
+    return jax.tree_util.tree_map(pick, tree), offsets

@@ -569,7 +569,10 @@ class DDContext:
         still sampled exactly; beyond it, it degrades to the uncovered-
         position semantics (fallback values / missing-data deactivation).
         """
-        ids = np.asarray(frame.pop("ID"))
+        order = list(frame)          # keep ID's original position so
+        ids = np.asarray(frame.pop("ID"))  # plain and sharded output
+        if not keep_id:                    # agree on variable order
+            order.remove("ID")
         valid = (ids > 0) & (ids <= n_real)
         if "lon" in frame and "status" in frame and self.cap:
             act = valid & (np.asarray(frame["status"]) == ACTIVE)
@@ -584,8 +587,11 @@ class DDContext:
                     "buffers full) — raise parallel:tile_capacity_factor",
                     n_transit)
         out = {}
-        for name, v in frame.items():
-            v = np.asarray(v)
+        for name in order:
+            if name == "ID":
+                out["ID"] = np.arange(1, n_real + 1, dtype=ids.dtype)
+                continue
+            v = np.asarray(frame[name])
             if np.issubdtype(v.dtype, np.floating):
                 a = np.full(n_real, np.nan, v.dtype)
             elif name == "status":
@@ -594,6 +600,4 @@ class DDContext:
                 a = np.zeros(n_real, v.dtype)
             a[ids[valid] - 1] = v[valid]
             out[name] = a
-        if keep_id:
-            out["ID"] = np.arange(1, n_real + 1, dtype=ids.dtype)
         return out

@@ -3,13 +3,21 @@ forcing (BASELINE.md: '10M-particle NorKyst RK4 drift run ... measured
 at 1 chip').  Reports steady-state particle-steps/s on the attached
 device, excluding one-time XLA compilation.
 
-Usage: python tools/flagship_run.py [n_million] [n_steps] [single_fetch]
+Usage: python tools/flagship_run.py [n_million] [n_steps] [mode]
+
+mode:
+  honest     (default) full-3D float32 packed rows, multi-fetch RK4
+             stages, particles spread over the top 20 m so the z-axis
+             gathers stay live — the BASELINE north-star configuration
+  optimized  f16 forcing rows + surface-truncated z extent +
+             single-fetch RK stages + block coastline bisection —
+             legitimate for pure surface drift, reported separately
+  0          legacy alias for 'honest' (round-2 CLI compatibility)
 """
 
 import os
 import sys
 import time
-from datetime import timedelta
 
 import numpy as np
 
@@ -20,10 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     n_million = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    # single-fetch RK stages on by default (pass 0 to disable): stage
-    # velocities re-evaluate the held corner block, 4 gathers/step
-    # instead of 4 per stage; checksum-identical on this configuration
-    single_fetch = not (len(sys.argv) > 3 and sys.argv[3] == "0")
+    mode = sys.argv[3] if len(sys.argv) > 3 else "honest"
+    if mode == "0":
+        mode = "honest"
+    if mode not in ("honest", "optimized"):
+        raise SystemExit(f"unknown mode {mode!r}: honest | optimized")
+    optimized = mode == "optimized"
     N = int(n_million * 1e6)
 
     import jax
@@ -37,35 +47,36 @@ def main():
     from opendrift_tpu.models import OceanDrift
     from opendrift_tpu.fields.roms import ROMSReader
 
-    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"device: {jax.devices()[0]}  mode: {mode}", flush=True)
     nordic = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
               "Nordic_subset.nc")
     o = OceanDrift(loglevel=30)
     reader = ROMSReader(nordic)
-    # half-precision forcing rows: gathers are random-access-bandwidth
-    # bound, f16 rows double sampling throughput (~1e-3 rel. forcing
-    # error, below the source files' own int16 packing)
-    reader.packed_dtype = "float16"
+    if optimized:
+        # half-precision forcing rows: gathers are random-access-
+        # bandwidth bound, f16 rows double sampling throughput (~1e-3
+        # rel. forcing error, below the source's own int16 packing)
+        reader.packed_dtype = "float16"
     o.add_reader(reader)
     o.set_config("general:use_auto_landmask", False)
     o.set_config("drift:advection_scheme", "runge-kutta4")
     o.set_config("drift:vertical_advection", False)
     o.set_config("drift:horizontal_diffusivity", 10.0)
-    # surface-only run: truncating the forcing at 0 m is EXACT (all
-    # elements stay at z=0) and collapses the packed z-extent to one
-    # level — the duplicate z1 gathers CSE away, halving sampling cost
-    o.set_config("drift:truncate_ocean_model_below_m", 0.0)
-    if single_fetch:
+    if optimized:
+        # surface-only run: truncating the forcing at 0 m is EXACT
+        # (all elements stay at z=0) and collapses the packed z-extent
+        # to one level — the duplicate z1 gathers CSE away
+        o.set_config("drift:truncate_ocean_model_below_m", 0.0)
         o.set_config("drift:advection_single_fetch", True)
         # stranding bisection probes re-read the held corner block —
         # zero extra gathers (vs one full-fleet mask gather per probe)
         o.set_config("general:coastline_bisection", "block")
-        print("single-fetch RK enabled (block bisection)", flush=True)
 
     rng = np.random.default_rng(0)
     lon = rng.uniform(13.0, 14.5, N)
     lat = rng.uniform(66.9, 67.8, N)
-    o.seed_elements(lon=lon, lat=lat, time=reader.times[0])
+    z = None if optimized else rng.uniform(-20.0, 0.0, N)
+    o.seed_elements(lon=lon, lat=lat, z=z, time=reader.times[0])
 
     dt = 900
     K = 10  # steps fused per device call
@@ -93,7 +104,7 @@ def main():
     wall = time.perf_counter() - t0
     rate = N * n_intervals * K / wall
     print(f"{N/1e6:.0f}M particles x {n_intervals * K} RK4 steps "
-          f"(steady state) in {wall:.1f} s -> "
+          f"({mode}, steady state) in {wall:.1f} s -> "
           f"{rate/1e6:.2f} M particle-steps/s/chip", flush=True)
     finite = np.isfinite(lon_last).mean()
     print(f"finite fraction at end: {finite:.4f}", flush=True)

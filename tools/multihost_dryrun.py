@@ -108,6 +108,60 @@ def _run_modes():
               flush=True)
 
 
+def _run_output_checks():
+    """Sharded trajectory output (VERDICT r2 #5): under
+    ``OPENDRIFT_DRYRUN_OUTDIR``, run the same configuration twice per
+    scaling mode — once with the plain gather-to-primary writer, once
+    with ``export:sharded`` (every process writes its addressable
+    slots) — so the parent can concat the shards and compare
+    bit-for-bit against the plain file."""
+    import os as _os
+    outdir = _os.environ.get("OPENDRIFT_DRYRUN_OUTDIR")
+    if not outdir:
+        return
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import jax
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields import ArrayReader
+
+    t0 = datetime(2021, 3, 1)
+    multi = jax.process_count() > 1
+    tag = "mh" if multi else "gold"
+
+    def forcing(ny=96, nx=32):
+        lon = np.linspace(2.0, 6.0, nx)
+        lat = np.linspace(59.0, 60.2, ny)
+        uu = np.full((2, ny, nx), 0.25, np.float32)
+        vv = np.broadcast_to(
+            np.linspace(0.2, 0.6, ny, dtype=np.float32)[None, :, None],
+            (2, ny, nx)).copy()
+        return ArrayReader(
+            {"x_sea_water_velocity": uu, "y_sea_water_velocity": vv},
+            x=lon, y=lat, times=[t0, t0 + timedelta(hours=48)])
+
+    for mode, key in (("particle", "parallel:particle_sharding"),
+                      ("domain", "parallel:domain_decomposition")):
+        for sharded in ((False, True) if multi else (False,)):
+            o = OceanDrift(loglevel=50)
+            o.set_config("environment:fallback:land_binary_mask", 0)
+            o.set_config("drift:advection_scheme", "runge-kutta4")
+            o.set_config("drift:vertical_advection", False)
+            o.set_config("drift:stokes_drift", False)
+            o.set_config("drift:vertical_mixing", False)
+            o.set_config(key, True)
+            if sharded:
+                o.set_config("export:sharded", True)
+            o.add_reader(forcing())
+            o.seed_elements(4.0, 59.3, number=64, radius=4000, time=t0)
+            suffix = "sharded" if sharded else "plain"
+            o.run(steps=STEPS, time_step=900,
+                  outfile=_os.path.join(outdir,
+                                        f"{tag}_{mode}_{suffix}.nc"))
+            print(f"OUTPUT {tag} {mode} {suffix} written", flush=True)
+
+
 def child_main(process_id, num_processes):
     from opendrift_tpu.parallel import multihost
     multihost.initialize(num_processes=num_processes,
@@ -118,6 +172,7 @@ def child_main(process_id, num_processes):
         f"expected {DEVS_PER_PROC * num_processes} global devices, " \
         f"got {len(jax.devices())}"
     _run_modes()
+    _run_output_checks()
     multihost.sync("dryrun-done")
     print("CHILD OK", flush=True)
 
@@ -132,9 +187,14 @@ def _checksums(stdout):
 
 
 def parent_main():
+    import tempfile
+
     with socket.socket() as s:      # free port for the coordinator
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+
+    outdir = tempfile.mkdtemp(prefix="od_dryrun_out_")
+    os.environ["OPENDRIFT_DRYRUN_OUTDIR"] = outdir
 
     gold = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--gold"],
@@ -179,6 +239,47 @@ def parent_main():
             assert rel < 1e-5, \
                 (f"mode {mode}: process {i} checksum {sums[mode]} != "
                  f"gold {g} (rel {rel:.2e})")
+    # ---- sharded-output check: concat the per-process shards and
+    # compare BIT-FOR-BIT with the plain (gather-to-primary) file of
+    # the identical 2-process run, and allclose with the 1-process gold
+    import glob as _glob
+
+    import numpy as np
+    sys.path.insert(0, REPO)
+    from tools.concat_shards import concat_shards
+    from opendrift_tpu.export.io_netcdf import read_result
+
+    for mode in ("particle", "domain"):
+        shards = sorted(_glob.glob(
+            os.path.join(outdir, f"mh_{mode}_sharded.nc.p*.nc")))
+        assert len(shards) == NPROC, \
+            f"expected {NPROC} shards for {mode}, found {shards}"
+        merged = os.path.join(outdir, f"merged_{mode}.nc")
+        concat_shards(shards, merged)
+        plain = os.path.join(outdir, f"mh_{mode}_plain.nc")
+        with open(merged, "rb") as a, open(plain, "rb") as b:
+            if a.read() == b.read():
+                print(f"SHARDS {mode}: merged == plain (bit-for-bit)",
+                      flush=True)
+            else:
+                rm = read_result(merged)
+                rp = read_result(plain)
+                for name in rp.variables:
+                    np.testing.assert_array_equal(
+                        rm.variables[name].values,
+                        rp.variables[name].values, err_msg=name)
+                raise SystemExit(
+                    f"SHARDS {mode}: data identical but file bytes "
+                    f"differ — attr/layout drift between ShardWriter "
+                    f"and write_result")
+        gold_file = os.path.join(outdir, f"gold_{mode}_plain.nc")
+        rm = read_result(merged)
+        rg = read_result(gold_file)
+        np.testing.assert_allclose(
+            rm.variables["lon"].values, rg.variables["lon"].values,
+            atol=2e-5, err_msg=f"{mode}: merged vs 1-process gold")
+    print("SHARDED OUTPUT OK (concat(p*.nc) == plain multi-host file, "
+          "allclose vs 1-process gold)")
     print(f"MULTIHOST DRYRUN OK ({NPROC} processes x {DEVS_PER_PROC} "
           f"devices == 1 process x {DEVS_PER_PROC * NPROC} devices)")
 
@@ -193,6 +294,7 @@ if __name__ == "__main__":
         import jax
         jax.config.update("jax_platforms", "cpu")
         _run_modes()
+        _run_output_checks()
     elif args.process_id is not None:
         child_main(args.process_id, args.num_processes)
     else:
