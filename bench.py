@@ -58,7 +58,7 @@ def _steady_rate(o, n_particles, n_steps, dt=900.0, K=10):
     return n_particles * n_intervals * K / wall
 
 
-def _build_grid_sim(optimized):
+def _build_grid_sim(optimized, n=N_GRID):
     import numpy as np
     from opendrift_tpu.models import OceanDrift
     from opendrift_tpu.fields.roms import ROMSReader
@@ -79,9 +79,9 @@ def _build_grid_sim(optimized):
         o.set_config("drift:advection_single_fetch", True)
         o.set_config("general:coastline_bisection", "block")
     rng = np.random.default_rng(0)
-    lon = rng.uniform(13.0, 14.5, N_GRID)
-    lat = rng.uniform(66.9, 67.8, N_GRID)
-    z = None if optimized else rng.uniform(-20.0, 0.0, N_GRID)
+    lon = rng.uniform(13.0, 14.5, n)
+    lat = rng.uniform(66.9, 67.8, n)
+    z = None if optimized else rng.uniform(-20.0, 0.0, n)
     o.seed_elements(lon=lon, lat=lat, z=z, time=reader.times[0])
     return o
 
@@ -160,6 +160,25 @@ def main():
         log(f"B done: {rate_opt:.3e}")
     except Exception as exc:  # noqa: BLE001 — keep the primary metric
         log(f"B failed: {exc}")
+
+    try:
+        # the BASELINE north star is specified AT 10M elements: same
+        # honest configuration as A, 10M particles, fewer steady
+        # intervals to fit the bench budget (tools/flagship_run.py
+        # measures the long-form number)
+        log("workload D: honest 3D RK4 at 10M elements ...")
+        n10 = 10_000_000
+        rate_10m = _steady_rate(_build_grid_sim(optimized=False, n=n10),
+                                n10, 20)
+        result["extra_metrics"].append(
+            {"metric": "particle-steps/s (10M elem, RK4 gridded 3D f32 "
+                       "multi-fetch — north-star scale)",
+             "value": round(rate_10m, 1),
+             "unit": "particle-steps/s",
+             "vs_baseline": round(rate_10m / BASELINE_GRID, 2)})
+        log(f"D done: {rate_10m:.3e}")
+    except Exception as exc:  # noqa: BLE001
+        log(f"D failed: {exc}")
 
     try:
         log("workload C: mixing substeps ...")

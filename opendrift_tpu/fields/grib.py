@@ -1,10 +1,14 @@
-"""GRIB2 forcing reader on the from-scratch parser (utils/grib2.py).
+"""GRIB forcing reader on the from-scratch parsers (utils/grib2.py,
+utils/grib1.py).
 
 Counterpart of the reference's pygrib-based reader (reference:
 opendrift/readers/reader_grib.py:1-220) but wider: the reference
 supports only lat-lon GRIBs; this one also reads polar-stereographic
-and Lambert grids with simple or JPEG2000 packing, feeding the same
-packed structured device kernel as every other reader.
+and Lambert grids with simple or JPEG2000 packing, and both edition 2
+and edition 1 (simple packing, the operational core), feeding the same
+packed structured device kernel as every other reader.  Editions are
+detected per message from the indicator section, so mixed-edition
+files work.
 """
 
 import logging
@@ -12,9 +16,24 @@ import logging
 import numpy as np
 
 from .grid import StructuredGridReader
+from ..utils.grib1 import Grib1File
 from ..utils.grib2 import Grib2File
 
 logger = logging.getLogger(__name__)
+
+
+def _open_messages(path):
+    """Messages of either edition (a file may contain both)."""
+    msgs = []
+    err = []
+    for cls in (Grib2File, Grib1File):
+        try:
+            msgs.extend(cls(path).messages)
+        except ValueError as e:
+            err.append(str(e))
+    if not msgs:
+        raise ValueError("; ".join(err))
+    return msgs
 
 
 class GribReader(StructuredGridReader):
@@ -24,7 +43,7 @@ class GribReader(StructuredGridReader):
         self.name = name or str(files[0])
         msgs = []
         for f in files:
-            msgs.extend(Grib2File(f).messages)
+            msgs.extend(_open_messages(f))
         if variable_map:
             for m in msgs:
                 if m.parameter_key in variable_map:

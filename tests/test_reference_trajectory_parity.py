@@ -19,6 +19,15 @@ to O(10 m) over ~100 km of drift.  The analytic double-gyre scenarios
 (micrometre domain) agree to ~1e-5 m; gridded/constant runs are bounded
 at 50-60 m total — ~5e-4 of the path length, far below any physical
 signal.
+
+Shared-code caveat: the reference-under-shims uses THIS repo's
+geodesy/PROJ as its pyproj (tools/refshims.py:40-131), so a systematic
+error in utils/geodesic.py would cancel out of these comparisons.
+Mitigation: the geodesy layer carries its own shim-independent
+published fixtures — Flinders Peak, equatorial arc, quarter meridian,
+pole crossing, near-antipodal envelope (tests/test_geodesic.py) — and
+local curvature-radius checks, so the shared code is independently
+pinned to external truth.
 """
 
 import os
