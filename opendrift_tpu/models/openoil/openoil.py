@@ -343,18 +343,26 @@ class OpenOil(OceanDrift):
                     jnp.where(start, wf_new, d["water_fraction"]))
 
     def disperse_noaa(self, ctx):
-        """Natural dispersion (reference openoil.py:792-815)."""
+        """Natural dispersion (reference openoil.py:612-641, the
+        PyGnome formulation): dissipation from Hs (parameterised from
+        wind when no wave field), a CONSTANT breaking-wave fraction of
+        0.02 (the reference hard-codes it here, independent of its
+        dynamic wave_breaking_fraction used for entrainment), Roy's
+        viscosity constant — applied to EVERY active element
+        regardless of depth, exactly as the reference does."""
         d = ctx.state.data
-        dt = ctx.params["dt"]
-        c_disp = ph.wave_energy_dissipation(
-            ctx.significant_wave_height(), ctx.sea_water_density()) ** 0.57 \
-            * ph.wave_breaking_fraction(ctx.wind_speed(), ctx.wave_period())
+        dt = abs(ctx.params["dt"])
+        rho_sw = 1028.0          # reference's constant, not ctx density
+        hs = ctx.significant_wave_height()
+        hs = jnp.where(hs == 0.0, 0.0246 * ctx.wind_speed() ** 2, hs)
+        dissipation = 0.0034 * rho_sw * 9.81 * hs ** 2
+        c_disp = dissipation ** 0.57 * 0.02
         C_Roy = 2400.0 * jnp.exp(
             -73.682 * jnp.sqrt(d["viscosity"] / d["density"]))
         v_entrain = 3.9e-8
         q_disp = C_Roy * c_disp * v_entrain / d["density"]
         frac = jnp.clip(q_disp * dt * d["density"], 0.0, 0.99)
-        frac = jnp.where(ctx.active & (d["z"] == 0.0), frac, 0.0)
+        frac = jnp.where(ctx.active, frac, 0.0)
         loss = frac * d["mass_oil"]
         new = dict(ctx.state.data)
         new["mass_components"] = d["mass_components"] * (1.0 - frac)[None, :]

@@ -138,3 +138,57 @@ def test_leeway_statistics_match_reference():
     f_r = (dy_r < 0).mean()
     f_o = (dy_o < 0).mean()
     assert abs(f_o - f_r) < 0.05, (f_o, f_r)
+
+
+def test_openoil_full_weathering_budget_matches_reference():
+    """FULL weathering (dispersion + wave entrainment + Visser mixing
+    with resurfacing): statistical parity on the mass budget and
+    emulsion state.
+
+    The vertical DISTRIBUTION is compared only loosely: the reference's
+    OpenOil.update_terminal_velocity subtracts 273.15 from the already-
+    Celsius water temperature (reference openoil.py:975; the
+    environment layer converts Kelvin inputs to Celsius upstream,
+    environment.py:829), so its UNESCO seawater density evaluates at
+    -260 C to a NEGATIVE value (~-12700 kg/m3) and its kinematic
+    viscosity goes negative — pushing every droplet into the high-
+    Reynolds rise branch at size-independent speed.  This build keeps
+    the physical formulas at the true temperature, so small droplets
+    rise slower and the depth profiles legitimately differ.  The
+    budget, emulsification and droplet-spectrum checks below are
+    insensitive to that reference defect; the z checks bound the
+    envelope rather than demanding agreement with it.
+    """
+    golden, cfg = _load("openoil_full_stat")
+    o = parity_compare.RUNNERS["openoil_full_stat"](cfg)
+    res = o.result
+    tot_g = np.nansum(np.asarray(golden["mass_oil"], np.float64),
+                      axis=0)[0]
+    tot_o = np.nansum(np.asarray(res["mass_oil"], np.float64), axis=0)[0]
+    for var, tol in (("mass_oil", 0.06), ("mass_evaporated", 0.04),
+                     ("mass_dispersed", 0.05)):
+        g = np.nansum(np.asarray(golden[var], np.float64), axis=0)[-1]
+        m = np.nansum(np.asarray(res[var], np.float64), axis=0)[-1]
+        assert abs(m / tot_o - g / tot_g) < tol, (var, m / tot_o,
+                                                  g / tot_g)
+    # dispersion must dominate at wind 10 (the reference's 58%)
+    assert np.nansum(np.asarray(res["mass_dispersed"]), axis=0)[-1] \
+        / tot_o > 0.45
+    # emulsion state
+    wf_g = np.nanmean(np.asarray(golden["water_fraction"])[:, -1])
+    wf_o = np.nanmean(np.asarray(res["water_fraction"], np.float64)[:, -1])
+    assert abs(wf_o - wf_g) < 0.03
+    # submerged droplet spectrum (median within 2x — both sides draw
+    # from the same Johansen 2015 lognormal family)
+    dg = np.asarray(golden["diameter"])[:, -1]
+    do = np.asarray(res["diameter"], np.float64)[:, -1]
+    zg = np.asarray(golden["z"])[:, -1]
+    zo = np.asarray(res["z"], np.float64)[:, -1]
+    med_g = np.median(dg[(zg < 0) & (dg > 0)])
+    med_o = np.median(do[(zo < 0) & (do > 0)])
+    assert 0.5 < med_o / med_g < 2.0, (med_o, med_g)
+    # vertical envelope: a substantial fraction entrained below the
+    # surface on both sides; bulk of the cloud in the top ~60 m
+    assert 0.1 < (zo == 0).mean() < 0.7
+    assert -40.0 < np.nanmean(zo) < -5.0
+    assert np.nanpercentile(zo, 5) > -80.0

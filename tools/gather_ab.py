@@ -29,6 +29,18 @@ CHUNK = 1024       # elements per grid step (B/C)
 NBUF = 8           # DMA pipeline depth (B)
 
 
+def _pad128(packed):
+    """Mosaic tiles the lane dimension to 128: both Pallas variants need
+    the row width padded (HBM slices and VMEM blocks of a (R, 24) table
+    are rejected / silently padded to (R, 128))."""
+    import jax.numpy as jnp
+    R, C = packed.shape
+    if C % 128 == 0:
+        return packed
+    pad = 128 * ((C + 127) // 128) - C
+    return jnp.pad(packed, ((0, 0), (0, pad)))
+
+
 def _pallas_dma_gather(packed, idx):
     """Variant B: per-row async DMA, NBUF-deep pipeline."""
     import jax
@@ -36,9 +48,12 @@ def _pallas_dma_gather(packed, idx):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    packed = _pad128(packed)
     R, C = packed.shape
+    N0 = idx.shape[0]
+    if N0 % CHUNK:
+        idx = jnp.pad(idx, (0, CHUNK - N0 % CHUNK))
     N = idx.shape[0]
-    assert N % CHUNK == 0
 
     def kernel(idx_ref, packed_ref, out_ref):
         def body(sem):
@@ -54,10 +69,12 @@ def _pallas_dma_gather(packed, idx):
             jax.lax.fori_loop(0, NBUF, warm, None)
 
             def loop(e, _):
+                # wait slot e%NBUF first, THEN reuse it for e+NBUF —
+                # at most one outstanding copy per semaphore slot
+                get_dma(e).wait()
                 @pl.when(e + NBUF < CHUNK)
                 def _start():
                     get_dma(e + NBUF).start()
-                get_dma(e).wait()
                 return _
             jax.lax.fori_loop(0, CHUNK, loop, None)
         pl.run_scoped(body, pltpu.SemaphoreType.DMA((NBUF,)))
@@ -73,10 +90,11 @@ def _pallas_dma_gather(packed, idx):
         out_specs=pl.BlockSpec((CHUNK, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C), packed.dtype),
     )(idx, packed)
+    return out[:N0]
 
 
 def _pallas_vmem_gather(packed, idx):
@@ -86,9 +104,12 @@ def _pallas_vmem_gather(packed, idx):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    packed = _pad128(packed)
     R, C = packed.shape
+    N0 = idx.shape[0]
+    if N0 % CHUNK:
+        idx = jnp.pad(idx, (0, CHUNK - N0 % CHUNK))
     N = idx.shape[0]
-    assert N % CHUNK == 0
 
     def kernel(idx_ref, packed_ref, out_ref):
         def loop(e, _):
@@ -108,10 +129,13 @@ def _pallas_vmem_gather(packed, idx):
         out_specs=pl.BlockSpec((CHUNK, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C), packed.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(idx, packed)
+    return out[:N0]
 
 
 def _bench(fn, *args, reps=5):
@@ -164,7 +188,9 @@ def main():
         print(f"B pallas_dma    : FAILED {type(e).__name__}: "
               f"{str(e)[:200]}", flush=True)
 
-    if R * C * 4 <= 100 * 2**20:
+    # the VMEM table block is double-buffered and 128-lane padded; the
+    # default scoped-vmem limit is 16 MB
+    if R * 128 * 4 * 2 <= 16 * 2**20:
         try:
             t = _bench(_pallas_vmem_gather, packed, idx)
             print(f"C pallas_vmem   : {t*1e3:8.2f} ms  "

@@ -188,6 +188,33 @@ def run_openoil_budget(cfg):
     return o
 
 
+def run_openoil_full(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OpenOil
+
+    o = OpenOil(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("environment:fallback:x_wind", cfg["wind_u"])
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:x_sea_water_velocity", cfg["u"])
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:sea_water_temperature", cfg["sst"])
+    o.set_config("environment:fallback:sea_floor_depth_below_sea_level",
+                 cfg["seafloor"])
+    o.set_config("drift:vertical_mixing", True)
+    o.set_config("vertical_mixing:timestep", cfg["dt_mix"])
+    o.set_config("processes:dispersion", True)
+    o.set_config("processes:evaporation", True)
+    o.set_config("processes:emulsification", True)
+    o.set_config("seed:m3_per_hour", cfg["m3_per_hour"])
+    o.seed_elements(lon=4.5, lat=60.0, radius=0, number=cfg["n"],
+                    time=datetime(2022, 5, 1), oil_type=cfg["oil_type"])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
 def run_leeway(cfg):
     from datetime import datetime, timedelta
     from opendrift_tpu.models import Leeway
@@ -218,6 +245,7 @@ RUNNERS = {
     "arctic20_3d_euler": run_arctic20_3d,
     "mixing_sundby_stat": run_mixing_sundby,
     "openoil_budget_surface": run_openoil_budget,
+    "openoil_full_stat": run_openoil_full,
     "leeway_stat": run_leeway,
 }
 

@@ -388,6 +388,49 @@ def scenario_openoil_budget():
     return out
 
 
+def scenario_openoil_full():
+    """OpenOil FULL weathering, statistical: dispersion, wave
+    entrainment + droplet spectra and the Visser loop with oil
+    resurfacing all ON (reference openoil.py:1000-1172 entrainment,
+    :792-815 dispersion, oceandrift.py:397-571 mixing).  Per-element
+    RNG differs between engines, so the golden stores the summed mass
+    budget and the final z population for statistical comparison."""
+    from opendrift.models.openoil import OpenOil
+
+    o = OpenOil(loglevel=30)
+    _common_config(o)
+    o.set_config("environment:fallback:x_wind", 10.0)
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.1)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:sea_water_temperature", 13.0)
+    o.set_config("environment:fallback:sea_floor_depth_below_sea_level",
+                 200.0)
+    o.set_config("drift:vertical_mixing", True)
+    o.set_config("vertical_mixing:timestep", 60.0)
+    o.set_config("processes:dispersion", True)
+    o.set_config("processes:evaporation", True)
+    o.set_config("processes:emulsification", True)
+    o.set_config("seed:m3_per_hour", 80.0)
+    n = 500
+    o.seed_elements(lon=4.5, lat=60.0, radius=0, number=n,
+                    time=datetime(2022, 5, 1), oil_type="STATFJORD")
+    result = o.run(duration=timedelta(hours=12), time_step=900,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    for var in ("mass_oil", "mass_evaporated", "mass_dispersed",
+                "water_fraction", "viscosity", "diameter"):
+        out[var] = np.asarray(result[var].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "OpenOil", "oil_type": "STATFJORD",
+        "wind_u": 10.0, "u": 0.1, "sst": 13.0, "seafloor": 200.0,
+        "m3_per_hour": 80.0, "n": n, "dt_mix": 60.0,
+        "scheme": "euler", "time_step": 900, "duration_s": 12 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
 def scenario_leeway():
     """Leeway STATISTICAL parity: downwind/crosswind leeway with random
     left/right orientation and jibing (reference leeway.py:430-494) —
@@ -428,6 +471,7 @@ SCENARIOS = {
     "arctic20_3d_euler": scenario_arctic20_3d,
     "mixing_sundby_stat": scenario_mixing_sundby,
     "openoil_budget_surface": scenario_openoil_budget,
+    "openoil_full_stat": scenario_openoil_full,
     "leeway_stat": scenario_leeway,
 }
 
