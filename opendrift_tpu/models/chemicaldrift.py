@@ -308,18 +308,22 @@ class ChemicalDrift(OceanDrift):
                 "units": "m", "level": CONFIG_LEVEL_ADVANCED,
                 "description": "Gaussian std added to particle diameter"},
             "seed:LMM_fraction": {
-                "type": "float", "default": 1.0, "min": 0, "max": 1,
+                "type": "float", "default": 0.1, "min": 0, "max": 1,
                 "level": CONFIG_LEVEL_ESSENTIAL,
-                "description": "Fraction seeded dissolved"},
+                "description": "Fraction seeded dissolved (reference "
+                "default 0.1, chemicaldrift.py:156)"},
             "seed:particle_fraction": {
-                "type": "float", "default": 0.0, "min": 0, "max": 1,
+                "type": "float", "default": 0.9, "min": 0, "max": 1,
                 "level": CONFIG_LEVEL_ESSENTIAL,
-                "description": "Fraction seeded SPM-bound"},
+                "description": "Fraction seeded SPM-bound (reference "
+                "default 0.9, chemicaldrift.py:159)"},
         })
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._set_config_default("drift:vertical_mixing", True)
+        self._set_config_default("drift:vertical_mixing_at_surface",
+                                 True)  # reference :352
         self.register_status("sedimented")
 
     @property
@@ -743,7 +747,18 @@ class ChemicalDrift(OceanDrift):
         k_S = k_S * self.tempcorr(
             self.get_config("chemical:transformations:DeltaH_kSt"), T,
             self.get_config("chemical:transformations:Tref_kSt"))
-        k = jnp.where(in_sed, k_S, k_W)
+        # the water rate applies ONLY to dissolved + DOM-bound species;
+        # SPM-bound elements do not degrade at all in the reference
+        # (W mask = lmm + humcol, chemicaldrift.py:1702-1711; S mask =
+        # srev + ssrev, :1719-1728)
+        lmm = self.specie_name2num("LMM")
+        in_water = d["specie"] == lmm
+        try:
+            hum = self.specie_name2num("Humic colloid")
+            in_water = in_water | (d["specie"] == hum)
+        except (KeyError, ValueError):
+            pass
+        k = jnp.where(in_sed, k_S, jnp.where(in_water, k_W, 0.0))
         frac = jnp.where(ctx.active, 1.0 - jnp.exp(-k * dt), 0.0)
         lost = d["mass"] * frac
         ctx.set_var("mass", d["mass"] - lost)

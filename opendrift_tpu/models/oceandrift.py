@@ -8,6 +8,8 @@ vertical mixing.  The mixing inner loop — the reference's dominant hot loop
 ``lax.fori_loop`` fused into the step kernel with counter-based RNG.
 """
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -19,6 +21,8 @@ from ..config import CONFIG_LEVEL_BASIC, CONFIG_LEVEL_ADVANCED, \
     CONFIG_LEVEL_ESSENTIAL
 from ..ops import physics as ph
 from .base import OpenDriftSimulation
+
+logger = logging.getLogger(__name__)
 
 
 class Lagrangian3DArray(LagrangianArray):
@@ -369,7 +373,7 @@ class OceanDrift(OpenDriftSimulation):
         z = jnp.maximum(z, zmin)
         ctx.set_var("z", z)
 
-    def _diffusivity_at(self, ctx, z, Kprof, gradK):
+    def _diffusivity_at(self, ctx, z, Kprof, gradK, model=None):
         """Diffusivity and gradient at element depth.
 
         For profile-based models: nearest-level lookup like the reference's
@@ -378,8 +382,9 @@ class OceanDrift(OpenDriftSimulation):
         central-difference gradient (equivalent, cheaper than building the
         dynamic-length profile of the reference, oceandrift.py:431-455).
         """
-        model = self.get_config("vertical_mixing:diffusivitymodel")
-        if model in ("environment", "constant"):
+        if model is None:
+            model = self.get_config("vertical_mixing:diffusivitymodel")
+        if Kprof is not None:
             zlev = ctx.zlevels
             h = float(zlev[0] - zlev[1])  # uniform spacing, positive
             L = zlev.shape[0]
@@ -459,8 +464,19 @@ class OceanDrift(OpenDriftSimulation):
         model = self.get_config("vertical_mixing:diffusivitymodel")
         Kprof = gradK = None
         if model == "environment":
-            Kprof = ctx.profiles["ocean_vertical_diffusivity"]
-        elif model == "constant":
+            # the reference uses reader profiles only when a reader
+            # actually serves the variable; with a fallback-only
+            # diffusivity it switches to windspeed_Large1994
+            # (reference oceandrift.py:432-445).  Here the decision is
+            # static (reader-serving vs fallback is known host-side)
+            if self.env.priority_list.get("ocean_vertical_diffusivity"):
+                Kprof = ctx.profiles["ocean_vertical_diffusivity"]
+            else:
+                logger.debug("diffusivitymodel 'environment' with no "
+                             "reader-served diffusivity: using "
+                             "windspeed_Large1994 (reference parity)")
+                model = "windspeed_Large1994"
+        if model == "constant":
             fb = self.env.fallback_values.get("ocean_vertical_diffusivity",
                                               0.0)
             Kprof = jnp.full((ctx.zlevels.shape[0],) + d["z"].shape, fb)
@@ -492,7 +508,8 @@ class OceanDrift(OpenDriftSimulation):
             # reference oceandrift.py:509-512)
             w = self.terminal_velocity_inner(ctx, z, Tprof, Sprof,
                                              mix=mix)
-            Kz, dKdz = self._diffusivity_at(ctx, z, Kprof, gradK)
+            Kz, dKdz = self._diffusivity_at(ctx, z, Kprof, gradK,
+                                            model=model)
             R = 2.0 * jax.random.uniform(key, z.shape, dtype=z.dtype) - 1.0
             # Visser random walk: z -= moving*(dK/dz*dt - R*sqrt(6 K dt))
             # (reference oceandrift.py:521-531, r=1/3)

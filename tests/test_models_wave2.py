@@ -136,6 +136,12 @@ def test_radionuclide_speciation():
     o.set_config("environment:fallback:land_binary_mask", 0)
     o.set_config("seed:LMM_fraction", 0.5)
     o.set_config("seed:particle_fraction", 0.5)
+    # keep constant-K mixing so particles reach the seabed: with a
+    # fallback-only diffusivity the 'environment' model now switches to
+    # windspeed_Large1994 like the reference (oceandrift.py:432-445) —
+    # zero wind here would mean no mixing at all
+    o.set_config("vertical_mixing:diffusivitymodel", "constant")
+    o.set_config("environment:fallback:ocean_vertical_diffusivity", 1e-4)
     o.add_reader(_env(sea_water_temperature=8.0, sea_water_salinity=34.0,
                       sea_floor_depth_below_sea_level=30.0))
     o.seed_elements(2.0, 60.0, z=-20.0, number=400, time=T0)

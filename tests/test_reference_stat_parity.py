@@ -192,3 +192,53 @@ def test_openoil_full_weathering_budget_matches_reference():
     assert 0.1 < (zo == 0).mean() < 0.7
     assert -40.0 < np.nanmean(zo) < -5.0
     assert np.nanpercentile(zo, 5) > -80.0
+
+
+def test_pelagicegg_statistics_match_reference():
+    """PelagicEggDrift: Sundby/Vikebo egg buoyancy balancing the Visser
+    walk — with fallback-only diffusivity both engines switch to
+    windspeed_Large1994 (reference oceandrift.py:432-445); parity over
+    the final vertical population of 1000 eggs."""
+    golden, cfg = _load("pelagicegg_stat")
+    o = parity_compare.RUNNERS["pelagicegg_stat"](cfg)
+    z_r = np.asarray(golden["z"], np.float64)[:, -1]
+    z_o = np.asarray(o.result["z"], np.float64)[:, -1]
+    assert abs(z_o.mean() - z_r.mean()) < 2.5, (z_o.mean(), z_r.mean())
+    assert abs(z_o.std() - z_r.std()) < 2.0, (z_o.std(), z_r.std())
+    for q in (5, 25, 50, 75, 95):
+        assert abs(np.percentile(z_o, q) - np.percentile(z_r, q)) < 3.5, q
+
+
+def test_chemicaldrift_statistics_match_reference():
+    """ChemicalDrift (Phenanthrene, organics setup): species occupation
+    after 12 h of dynamic partitioning, degradation/volatilization
+    masses, and the vertical population of the SPM-bound plume."""
+    import collections
+
+    golden, cfg = _load("chemical_stat")
+    o = parity_compare.RUNNERS["chemical_stat"](cfg)
+    res = o.result
+    sp_r = np.asarray(golden["specie"])[:, -1].astype(int)
+    sp_o = np.asarray(res["specie"], np.float64)[:, -1].astype(int)
+    n = cfg["n"]
+    c_r = collections.Counter(sp_r)
+    c_o = collections.Counter(sp_o)
+    # occupation of each species within 5% of the fleet (seeded 10/90
+    # dissolved/SPM; the dynamics shift only a few % in 12 h)
+    for sp in set(c_r) | set(c_o):
+        assert abs(c_o.get(sp, 0) - c_r.get(sp, 0)) / n < 0.05, (
+            sp, c_o.get(sp, 0), c_r.get(sp, 0))
+    # masses: remaining within 0.5% of seeded; loss terms within 50%
+    # relative (they are 0.02-0.04% of the inventory — tiny absolute)
+    m_r = np.nansum(np.asarray(golden["mass"], np.float64)[:, -1])
+    m_o = np.nansum(np.asarray(res["mass"], np.float64)[:, -1])
+    assert abs(m_o - m_r) / m_r < 0.005
+    for var in ("mass_degraded", "mass_volatilized"):
+        g = np.nansum(np.asarray(golden[var], np.float64)[:, -1])
+        m = np.nansum(np.asarray(res[var], np.float64)[:, -1])
+        assert abs(m - g) / g < 0.5, (var, m, g)
+    # vertical plume (Large1994 mixing + SPM settling)
+    z_r = np.asarray(golden["z"], np.float64)[:, -1]
+    z_o = np.asarray(res["z"], np.float64)[:, -1]
+    assert abs(np.nanmean(z_o) - np.nanmean(z_r)) < 3.0
+    assert abs(np.nanstd(z_o) - np.nanstd(z_r)) < 3.0

@@ -215,6 +215,58 @@ def run_openoil_full(cfg):
     return o
 
 
+def run_pelagicegg(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import PelagicEggDrift
+
+    o = PelagicEggDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("environment:fallback:x_wind", cfg["wind_u"])
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:sea_water_temperature", cfg["sst"])
+    o.set_config("environment:fallback:sea_water_salinity", cfg["sss"])
+    o.set_config("environment:fallback:sea_floor_depth_below_sea_level",
+                 cfg["seafloor"])
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 4, 1),
+                    diameter=cfg["diameter"])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
+def run_chemical(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import ChemicalDrift
+
+    o = ChemicalDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    for k, v in (("x_wind", cfg["wind_u"]), ("y_wind", 0.0),
+                 ("x_sea_water_velocity", cfg["u"]),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_water_temperature", cfg["sst"]),
+                 ("sea_water_salinity", cfg["sss"]),
+                 ("sea_floor_depth_below_sea_level", cfg["seafloor"]),
+                 ("spm", cfg["spm"])):
+        o.set_config(f"environment:fallback:{k}", v)
+    o.set_config("chemical:transformations:degradation", True)
+    o.set_config("chemical:transformations:volatilization", True)
+    o.init_chemical_compound(cfg["compound"])
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 4, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
 def run_leeway(cfg):
     from datetime import datetime, timedelta
     from opendrift_tpu.models import Leeway
@@ -246,6 +298,8 @@ RUNNERS = {
     "mixing_sundby_stat": run_mixing_sundby,
     "openoil_budget_surface": run_openoil_budget,
     "openoil_full_stat": run_openoil_full,
+    "pelagicegg_stat": run_pelagicegg,
+    "chemical_stat": run_chemical,
     "leeway_stat": run_leeway,
 }
 

@@ -431,6 +431,77 @@ def scenario_openoil_full():
     return out
 
 
+def scenario_pelagicegg():
+    """PelagicEggDrift statistical parity: Sundby/Vikebo egg terminal
+    velocity (reference pelagicegg.py:100-179) balancing the Visser
+    mixing under wind — golden stores the final vertical population."""
+    from opendrift.models.pelagicegg import PelagicEggDrift
+
+    o = PelagicEggDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("environment:fallback:x_wind", 8.0)
+    o.set_config("environment:fallback:y_wind", 0.0)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.0)
+    o.set_config("environment:fallback:sea_water_temperature", 10.0)
+    o.set_config("environment:fallback:sea_water_salinity", 34.0)
+    o.set_config("environment:fallback:sea_floor_depth_below_sea_level",
+                 150.0)
+    n = 1000
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -30.0), time=datetime(2021, 4, 1),
+                    diameter=0.0014)
+    result = o.run(duration=timedelta(hours=12), time_step=1800,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "PelagicEggDrift", "wind_u": 8.0, "sst": 10.0,
+        "sss": 34.0, "seafloor": 150.0, "n": n, "seed_z": -30.0,
+        "diameter": 0.0014, "time_step": 1800,
+        "duration_s": 12 * 3600, "time_step_output": 3600,
+    })
+    return out
+
+
+def scenario_chemical():
+    """ChemicalDrift statistical parity: Phenanthrene partitioning
+    (dissolved/DOC/SPM species with transfer-rate matrices, reference
+    chemicaldrift.py:700-1100), degradation and volatilization under
+    constant forcing — golden stores species occupation, masses and
+    the vertical population."""
+    from opendrift.models.chemicaldrift import ChemicalDrift
+
+    o = ChemicalDrift(loglevel=30)
+    _common_config(o)
+    for k, v in (("x_wind", 5.0), ("y_wind", 0.0),
+                 ("x_sea_water_velocity", 0.05),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_water_temperature", 12.0),
+                 ("sea_water_salinity", 34.0),
+                 ("sea_floor_depth_below_sea_level", 60.0),
+                 ("spm", 5.0)):
+        o.set_config(f"environment:fallback:{k}", v)
+    o.set_config("chemical:transformations:degradation", True)
+    o.set_config("chemical:transformations:volatilization", True)
+    o.init_chemical_compound("Phenanthrene")
+    n = 800
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -5.0), time=datetime(2021, 4, 1))
+    result = o.run(duration=timedelta(hours=12), time_step=1800,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    for var in ("specie", "mass", "mass_degraded", "mass_volatilized"):
+        out[var] = np.asarray(result[var].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "ChemicalDrift", "compound": "Phenanthrene",
+        "wind_u": 5.0, "u": 0.05, "sst": 12.0, "sss": 34.0,
+        "seafloor": 60.0, "spm": 5.0, "n": n, "seed_z": -5.0,
+        "time_step": 1800, "duration_s": 12 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
 def scenario_leeway():
     """Leeway STATISTICAL parity: downwind/crosswind leeway with random
     left/right orientation and jibing (reference leeway.py:430-494) —
@@ -472,6 +543,8 @@ SCENARIOS = {
     "mixing_sundby_stat": scenario_mixing_sundby,
     "openoil_budget_surface": scenario_openoil_budget,
     "openoil_full_stat": scenario_openoil_full,
+    "pelagicegg_stat": scenario_pelagicegg,
+    "chemical_stat": scenario_chemical,
     "leeway_stat": scenario_leeway,
 }
 

@@ -287,11 +287,17 @@ class _DataArray:
 
     # -- reductions / arithmetic ---------------------------------------
     def min(self, skipna=True, dim=None):
-        vals = self.values
+        vals = np.asarray(self.values)
+        if not np.issubdtype(vals.dtype, np.number):
+            return _Scalar(sorted(vals.ravel().tolist())[0]
+                           if vals.size else vals)
         return _Scalar(np.nanmin(vals) if skipna else np.min(vals))
 
     def max(self, skipna=True, dim=None):
-        vals = self.values
+        vals = np.asarray(self.values)
+        if not np.issubdtype(vals.dtype, np.number):
+            return _Scalar(sorted(vals.ravel().tolist())[-1]
+                           if vals.size else vals)
         return _Scalar(np.nanmax(vals) if skipna else np.max(vals))
 
     def notnull(self):
@@ -411,6 +417,19 @@ class _Dataset:
             da.name = name
             da.coords = {d: dict.__getitem__(self._coords, d)
                          for d in da.dims if d in self._coords}
+        elif not isinstance(spec, tuple):
+            # bare scalar / list without dims (reference
+            # chemicaldrift.py:390-397 stores run metadata this way);
+            # kept OUT of data_vars so the min/max attr tracking of
+            # state_to_buffer (reference basemodel/__init__.py:2410)
+            # never reduces a string variable
+            vals = np.asarray(spec)
+            dims = tuple(f"dim_{name}_{i}" for i in range(vals.ndim))
+            da = _DataArray(vals, dims, {}, name=name)
+            if not hasattr(self, "_extra_vars"):
+                object.__setattr__(self, "_extra_vars", {})
+            self._extra_vars[name] = da
+            return
         else:
             dims, vals = spec[0], np.asarray(spec[1])
             attrs = spec[2] if len(spec) > 2 else {}
@@ -430,10 +449,14 @@ class _Dataset:
             return sub
         if name in self._vars:
             return self._vars[name]
+        extra = getattr(self, "_extra_vars", {})
+        if name in extra:
+            return extra[name]
         return dict.__getitem__(self._coords, name)
 
     def __contains__(self, name):
-        return name in self._vars or name in self._coords
+        return name in self._vars or name in self._coords \
+            or name in getattr(self, "_extra_vars", {})
 
     def __iter__(self):
         return iter(self._vars)
@@ -446,6 +469,12 @@ class _Dataset:
         coords = object.__getattribute__(self, "_coords")
         if name in vars_:
             return vars_[name]
+        try:
+            extra = object.__getattribute__(self, "_extra_vars")
+            if name in extra:
+                return extra[name]
+        except AttributeError:
+            pass
         if name in coords:
             return dict.__getitem__(coords, name)
         attrs = object.__getattribute__(self, "attrs")
