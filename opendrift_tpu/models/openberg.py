@@ -179,7 +179,9 @@ class OpenBerg(OpenDriftSimulation):
         ice_v = env["sea_ice_y_velocity"]
         ice_conc = env["sea_ice_area_fraction"]
         hs = env["sea_surface_wave_significant_height"]
-        wave_dir_to = (env["sea_surface_wave_from_direction"] + 180.0) % 360.0
+        # no wave field -> direction follows the wind (reference
+        # physics_methods.py:869-875 via ctx.wave_from_direction)
+        wave_dir_to = (ctx.wave_from_direction() + 180.0) % 360.0
 
         drag_ocean = 0.5 * RHO_WATER * d["water_form_drag_coef"] * Avo \
             + RHO_WATER * d["water_skin_drag_coef"] * Aho

@@ -222,6 +222,19 @@ class PhysicsContext:
             return wind_hs
         return jnp.where(jnp.max(hs) > 0, hs, wind_hs)
 
+    def wave_from_direction(self):
+        """Wave FROM direction [deg]; with no wave field (all-zero
+        sample, i.e. fallback-only forcing) the reference sets it equal
+        to the wind direction (reference physics_methods.py:869-875,
+        calculate_missing_environment_variables)."""
+        wd = self.environment.get("sea_surface_wave_from_direction")
+        wind_to = jnp.rad2deg(jnp.arctan2(self.environment["x_wind"],
+                                          self.environment["y_wind"]))
+        wind_from = (wind_to + 180.0) % 360.0
+        if wd is None:
+            return wind_from
+        return jnp.where(jnp.max(jnp.abs(wd)) > 0, wd, wind_from)
+
     def wave_period(self):
         """(reference physics_methods.py:918-944): prefer Tm02, then Tp,
         else Pierson-Moskowitz from wind."""

@@ -242,3 +242,30 @@ def test_chemicaldrift_statistics_match_reference():
     z_o = np.asarray(res["z"], np.float64)[:, -1]
     assert abs(np.nanmean(z_o) - np.nanmean(z_r)) < 3.0
     assert abs(np.nanstd(z_o) - np.nanstd(z_r)) < 3.0
+
+
+def test_shipdrift_statistics_match_reference():
+    """ShipDrift: wind + wave-spectrum forces with a random left/right
+    orientation draw (reference shipdrift.py:216-320) — cloud moments
+    parity over 1000 ships."""
+    from opendrift_tpu.utils.geodesic import inverse_np
+
+    golden, cfg = _load("shipdrift_stat")
+    o = parity_compare.RUNNERS["shipdrift_stat"](cfg)
+
+    def cloud(lon, lat):
+        az, _, dist = inverse_np(np.full(lon.shape[0], 60.0),
+                                 np.full(lon.shape[0], 4.0),
+                                 lat[:, -1], lon[:, -1])
+        return (dist * np.sin(np.deg2rad(az)),
+                dist * np.cos(np.deg2rad(az)))
+
+    dx_r, dy_r = cloud(np.asarray(golden["lon"], np.float64),
+                       np.asarray(golden["lat"], np.float64))
+    dx_o, dy_o = cloud(np.asarray(o.result["lon"], np.float64),
+                       np.asarray(o.result["lat"], np.float64))
+    assert abs(dx_o.mean() - dx_r.mean()) / dx_r.mean() < 0.03
+    assert abs(dy_o.mean() - dy_r.mean()) < 1000.0
+    assert abs(dx_o.std() - dx_r.std()) / dx_r.std() < 0.15
+    assert abs(dy_o.std() - dy_r.std()) / dy_r.std() < 0.15
+    assert abs((dy_o < 0).mean() - (dy_r < 0).mean()) < 0.08

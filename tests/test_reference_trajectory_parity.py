@@ -50,6 +50,10 @@ TOLERANCES = {
     "arctic20_rk4": (60.0, 20.0),
     "arctic20_backward": (60.0, 20.0),
     "arctic20_3d_euler": (60.0, 20.0),
+    # model-zoo deterministic rungs (25 h of drift each)
+    "windblow_euler": (30.0, 15.0),
+    "seaice_euler": (60.0, 40.0),
+    "openberg_det": (120.0, 60.0),   # iceberg force balance, 20 shapes
 }
 
 # 3D scenario: max |z_ref - z_ours| at any output step [m]

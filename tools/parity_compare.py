@@ -267,6 +267,94 @@ def run_chemical(cfg):
     return o
 
 
+def _set_fallbacks(o, vals):
+    for k, v in vals.items():
+        try:
+            o.set_config(f"environment:fallback:{k}", v)
+        except (ValueError, KeyError):
+            pass
+
+
+def run_windblow(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import WindBlow
+
+    o = WindBlow(loglevel=40)
+    _set_fallbacks(o, {"x_wind": cfg["wind_u"], "y_wind": cfg["wind_v"],
+                       "land_binary_mask": 0})
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    time=datetime(2021, 1, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
+def run_seaice(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import SeaIceDrift
+
+    o = SeaIceDrift(loglevel=40)
+    _set_fallbacks(o, {
+        "sea_ice_x_velocity": cfg["ice_u"],
+        "sea_ice_y_velocity": cfg["ice_v"],
+        "sea_ice_area_fraction": cfg["ice_conc"],
+        "x_sea_water_velocity": cfg["u"], "y_sea_water_velocity": 0.0,
+        "x_wind": cfg["wind_u"], "y_wind": 0.0,
+        "land_binary_mask": 0})
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    time=datetime(2021, 2, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
+def run_openberg(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OpenBerg
+
+    o = OpenBerg(loglevel=40)
+    _set_fallbacks(o, {
+        "horizontal_diffusivity": 0.0,   # deterministic force balance
+        "x_wind": cfg["wind_u"], "y_wind": cfg["wind_v"],
+        "x_sea_water_velocity": cfg["u"],
+        "y_sea_water_velocity": cfg["v"],
+        "sea_water_temperature": 2.0,
+        "sea_surface_wave_significant_height": 1.5,
+        "land_binary_mask": 0})
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    time=datetime(2021, 2, 1),
+                    sail=np.asarray(cfg["sail"]),
+                    draft=np.asarray(cfg["draft"]),
+                    length=np.asarray(cfg["length"]),
+                    width=np.asarray(cfg["length"]))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
+def run_shipdrift(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import ShipDrift
+
+    o = ShipDrift(loglevel=40)
+    _set_fallbacks(o, {
+        "x_wind": cfg["wind_u"], "y_wind": 0.0,
+        "x_sea_water_velocity": 0.0, "y_sea_water_velocity": 0.0,
+        "sea_surface_wave_significant_height": cfg["hs"],
+        "land_binary_mask": 0})
+    o.seed_elements(lon=4.0, lat=60.0, radius=0, number=cfg["n"],
+                    time=datetime(2021, 3, 1),
+                    length=cfg["length"], beam=cfg["beam"],
+                    height=cfg["height"], draft=cfg["draft"])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
 def run_leeway(cfg):
     from datetime import datetime, timedelta
     from opendrift_tpu.models import Leeway
@@ -300,6 +388,10 @@ RUNNERS = {
     "openoil_full_stat": run_openoil_full,
     "pelagicegg_stat": run_pelagicegg,
     "chemical_stat": run_chemical,
+    "windblow_euler": run_windblow,
+    "seaice_euler": run_seaice,
+    "openberg_det": run_openberg,
+    "shipdrift_stat": run_shipdrift,
     "leeway_stat": run_leeway,
 }
 

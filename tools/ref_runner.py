@@ -502,6 +502,143 @@ def scenario_chemical():
     return out
 
 
+def scenario_windblow():
+    """WindBlow: pure wind advection, deterministic trajectory parity
+    (reference windblow.py:22)."""
+    from opendrift.models.windblow import WindBlow
+
+    o = WindBlow(loglevel=30)
+    o.set_config("seed:ocean_only", False)
+    for k, v in (("x_wind", 9.0), ("y_wind", -3.0),
+                 ("land_binary_mask", 0)):
+        try:
+            o.set_config(f"environment:fallback:{k}", v)
+        except ValueError:
+            pass
+    n = 20
+    lon = np.linspace(3.0, 5.0, n)
+    lat = np.linspace(59.0, 61.0, n)
+    o.seed_elements(lon=lon, lat=lat, time=datetime(2021, 1, 1))
+    result = o.run(duration=timedelta(hours=25), time_step=900)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "WindBlow", "wind_u": 9.0, "wind_v": -3.0, "n": n,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "time_step": 900, "duration_s": 25 * 3600,
+    })
+    return out
+
+
+def scenario_seaice():
+    """SeaIceDrift: ice-velocity advection (Nordam ice-fraction rule),
+    deterministic (reference seaicedrift.py:22,
+    physics_methods.py:693-710)."""
+    from opendrift.models.seaicedrift import SeaIceDrift
+
+    o = SeaIceDrift(loglevel=30)
+    o.set_config("seed:ocean_only", False)
+    for k, v in (("sea_ice_x_velocity", 0.25),
+                 ("sea_ice_y_velocity", 0.1),
+                 ("sea_ice_area_fraction", 0.8),
+                 ("x_sea_water_velocity", 0.05),
+                 ("y_sea_water_velocity", 0.0),
+                 ("x_wind", 10.0), ("y_wind", 0.0),
+                 ("land_binary_mask", 0)):
+        try:
+            o.set_config(f"environment:fallback:{k}", v)
+        except ValueError:
+            pass
+    n = 20
+    lon = np.linspace(2.0, 6.0, n)
+    lat = np.linspace(69.0, 71.0, n)
+    o.seed_elements(lon=lon, lat=lat, time=datetime(2021, 2, 1))
+    result = o.run(duration=timedelta(hours=25), time_step=900)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "SeaIceDrift", "ice_u": 0.25, "ice_v": 0.1,
+        "ice_conc": 0.8, "u": 0.05, "wind_u": 10.0, "n": n,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "time_step": 900, "duration_s": 25 * 3600,
+    })
+    return out
+
+
+def scenario_openberg():
+    """OpenBerg: iceberg added-mass force balance (reference
+    openberg.py:163 advect_iceberg, incl. the no-acceleration analytic
+    solution) across a spread of iceberg geometries — deterministic
+    (no RNG in the default config)."""
+    from opendrift.models.openberg import OpenBerg
+
+    o = OpenBerg(loglevel=30)
+    o.set_config("seed:ocean_only", False)
+    # OpenBerg defaults horizontal_diffusivity to 100 m2/s (reference
+    # openberg.py:309) — zero it so the force balance is deterministic
+    o.set_config("environment:fallback:horizontal_diffusivity", 0.0)
+    for k, v in (("x_wind", 12.0), ("y_wind", 3.0),
+                 ("x_sea_water_velocity", 0.25),
+                 ("y_sea_water_velocity", -0.05),
+                 ("sea_water_temperature", 2.0),
+                 ("sea_surface_wave_significant_height", 1.5),
+                 ("land_binary_mask", 0)):
+        try:
+            o.set_config(f"environment:fallback:{k}", v)
+        except ValueError:
+            pass
+    n = 20
+    lon = np.linspace(2.0, 6.0, n)
+    lat = np.linspace(69.0, 71.0, n)
+    sail = np.linspace(8.0, 25.0, n)
+    draft = np.linspace(30.0, 120.0, n)
+    length = np.linspace(40.0, 150.0, n)
+    o.seed_elements(lon=lon, lat=lat, time=datetime(2021, 2, 1),
+                    sail=sail, draft=draft, length=length, width=length)
+    result = o.run(duration=timedelta(hours=25), time_step=900)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OpenBerg", "wind_u": 12.0, "wind_v": 3.0,
+        "u": 0.25, "v": -0.05, "n": n,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "sail": sail.tolist(), "draft": draft.tolist(),
+        "length": length.tolist(),
+        "time_step": 900, "duration_s": 25 * 3600,
+    })
+    return out
+
+
+def scenario_shipdrift():
+    """ShipDrift STATISTICAL parity: wind + wave-spectrum forces with a
+    random left/right orientation draw (reference shipdrift.py:216-320)
+    — golden stores the final cloud."""
+    from opendrift.models.shipdrift import ShipDrift
+
+    o = ShipDrift(loglevel=30)
+    o.set_config("seed:ocean_only", False)
+    for k, v in (("x_wind", 12.0), ("y_wind", 0.0),
+                 ("x_sea_water_velocity", 0.0),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_surface_wave_significant_height", 2.5),
+                 ("land_binary_mask", 0)):
+        try:
+            o.set_config(f"environment:fallback:{k}", v)
+        except ValueError:
+            pass
+    n = 1000
+    o.seed_elements(lon=4.0, lat=60.0, radius=0, number=n,
+                    time=datetime(2021, 3, 1),
+                    length=120.0, beam=18.0, height=22.0, draft=6.0)
+    result = o.run(duration=timedelta(hours=12), time_step=600,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "ShipDrift", "wind_u": 12.0, "hs": 2.5, "n": n,
+        "length": 120.0, "beam": 18.0, "height": 22.0, "draft": 6.0,
+        "time_step": 600, "duration_s": 12 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
 def scenario_leeway():
     """Leeway STATISTICAL parity: downwind/crosswind leeway with random
     left/right orientation and jibing (reference leeway.py:430-494) —
@@ -545,6 +682,10 @@ SCENARIOS = {
     "openoil_full_stat": scenario_openoil_full,
     "pelagicegg_stat": scenario_pelagicegg,
     "chemical_stat": scenario_chemical,
+    "windblow_euler": scenario_windblow,
+    "seaice_euler": scenario_seaice,
+    "openberg_det": scenario_openberg,
+    "shipdrift_stat": scenario_shipdrift,
     "leeway_stat": scenario_leeway,
 }
 
