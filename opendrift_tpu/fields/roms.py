@@ -180,8 +180,10 @@ class ROMSReader(StructuredGridReader):
                     len(self._s_rho), th_s, th_b or 0.0,
                     vstretching=int(vstr) if vstr else 1)
         hc = gvar("hc", required=False)
-        self._hc = float(hc) if hc is not None else 0.0
+        self._hc = float(np.ravel(hc)[0]) if hc is not None else 0.0
         vt = gvar("Vtransform", required=False)
+        if vt is not None:
+            vt = np.ravel(vt)[0]
         self._vtransform = int(vt) if vt is not None and np.isfinite(vt) \
             else 2
         self._n_sigma = len(self._s_rho) if self._s_rho is not None else 0

@@ -50,6 +50,9 @@ TOLERANCES = {
     "arctic20_rk4": (60.0, 20.0),
     "arctic20_backward": (60.0, 20.0),
     "arctic20_3d_euler": (60.0, 20.0),
+    # coastline interaction: strand step must match exactly
+    # (finite_mismatch==0); stranding points within ~raster-cell scale
+    "arctic20_stranding": (150.0, 60.0),
     # model-zoo deterministic rungs (25 h of drift each)
     "windblow_euler": (30.0, 15.0),
     "seaice_euler": (60.0, 40.0),
@@ -70,7 +73,7 @@ def test_trajectory_matches_reference(name):
     if not _golden_available(name):
         pytest.skip(f"golden for {name} not generated")
     golden, cfg = parity_compare.load_golden(name)
-    if name.startswith("arctic20") and not os.path.exists(cfg["file"]):
+    if "file" in cfg and not os.path.exists(cfg["file"]):
         pytest.skip("reference Arctic20 forcing file unavailable")
     o = parity_compare.RUNNERS[name](cfg)
     stats = parity_compare.compare(name, o, golden)

@@ -267,6 +267,28 @@ def run_chemical(cfg):
     return o
 
 
+def run_stranding(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.landmask import GlobalLandmask
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:x_sea_water_velocity", cfg["u"])
+    o.set_config("environment:fallback:y_sea_water_velocity", cfg["v"])
+    o.set_config("drift:advection_scheme", "euler")
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", False)
+    o.set_config("general:coastline_action", "stranding")
+    o.set_config("general:use_auto_landmask", False)
+    o.add_reader(GlobalLandmask())
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    time=datetime(2021, 3, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"])
+    return o
+
+
 def _set_fallbacks(o, vals):
     for k, v in vals.items():
         try:
@@ -388,6 +410,7 @@ RUNNERS = {
     "openoil_full_stat": run_openoil_full,
     "pelagicegg_stat": run_pelagicegg,
     "chemical_stat": run_chemical,
+    "arctic20_stranding": run_stranding,
     "windblow_euler": run_windblow,
     "seaice_euler": run_seaice,
     "openberg_det": run_openberg,

@@ -502,6 +502,39 @@ def scenario_chemical():
     return out
 
 
+def scenario_stranding():
+    """Coastline interaction parity: constant onshore current against
+    the bundled coastline raster.  The reference runs its OWN
+    reader_global_landmask + coastline_crossing bisection
+    (basemodel/__init__.py:81-134, :670-746), with the shimmed
+    roaring_landmask backed by the SAME raster the engine under test
+    uses — so the comparison pins the stranding dynamics (when, where
+    and in what state elements strand), not the coastline dataset."""
+    from opendrift.models.oceandrift import OceanDrift
+
+    o = OceanDrift(loglevel=30)
+    o.set_config("seed:ocean_only", False)
+    o.set_config("environment:fallback:x_sea_water_velocity", 0.8)
+    o.set_config("environment:fallback:y_sea_water_velocity", 0.05)
+    o.set_config("drift:advection_scheme", "euler")
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", False)
+    # NO land fallback: the reference auto-adds its global landmask,
+    # whose roaring backend the shim routes to the bundled raster
+    n = 30
+    lon = np.linspace(16.0, 16.8, n)
+    lat = np.linspace(69.25, 69.5, n)
+    o.seed_elements(lon=lon, lat=lat, time=datetime(2021, 3, 1))
+    result = o.run(duration=timedelta(hours=25), time_step=900)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "u": 0.8, "v": 0.05, "n": n,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "time_step": 900, "duration_s": 25 * 3600,
+    })
+    return out
+
+
 def scenario_windblow():
     """WindBlow: pure wind advection, deterministic trajectory parity
     (reference windblow.py:22)."""
@@ -682,6 +715,7 @@ SCENARIOS = {
     "openoil_full_stat": scenario_openoil_full,
     "pelagicegg_stat": scenario_pelagicegg,
     "chemical_stat": scenario_chemical,
+    "arctic20_stranding": scenario_stranding,
     "windblow_euler": scenario_windblow,
     "seaice_euler": scenario_seaice,
     "openberg_det": scenario_openberg,

@@ -772,15 +772,50 @@ def install():
         _build_adios_db()
 
     class _RoaringLandmask:
+        """Backed by opendrift_tpu's bundled coastline raster so the
+        reference's coastline machinery (reader_global_landmask +
+        coastline_crossing bisection, reference
+        basemodel/__init__.py:75-134) operates on the SAME land data as
+        the engine under test — stranding parity compares the
+        interaction dynamics, not the coastline dataset.  Outside the
+        raster's coverage everything is ocean (scenarios stay inside)."""
+
+        _data = None
+
+        @classmethod
+        def _load(cls):
+            if cls._data is None:
+                import os
+                path = os.path.join(
+                    os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                    "opendrift_tpu", "data", "coastline_mask.npz")
+                d = np.load(path)
+                shape = tuple(d["shape"])
+                mask = np.unpackbits(d["land"], axis=1)[:, :shape[1]]
+                cls._data = (mask.astype(bool), float(d["lon0"]),
+                             float(d["lat0"]), float(d["dlon"]),
+                             float(d["dlat"]))
+            return cls._data
+
         @staticmethod
         def new():
             return _RoaringLandmask()
 
-        def contains(self, x, y):
-            return np.zeros(np.shape(x), dtype=bool)
-
         def contains_many(self, x, y):
-            return np.zeros(np.shape(x), dtype=bool)
+            mask, lon0, lat0, dlon, dlat = self._load()
+            lon = np.atleast_1d(np.asarray(x, np.float64))
+            lat = np.atleast_1d(np.asarray(y, np.float64))
+            xi = np.round((lon - lon0) / dlon).astype(np.int64)
+            yi = np.round((lat - lat0) / dlat).astype(np.int64)
+            inside = ((xi >= 0) & (xi < mask.shape[1] - 1)
+                      & (yi >= 0) & (yi < mask.shape[0] - 1))
+            out = np.zeros(lon.shape, dtype=bool)
+            out[inside] = mask[yi[inside], xi[inside]]
+            return out
+
+        def contains(self, x, y):
+            return self.contains_many(x, y)
 
     _stub("roaring_landmask", RoaringLandmask=_RoaringLandmask)
 
