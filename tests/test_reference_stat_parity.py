@@ -269,3 +269,16 @@ def test_shipdrift_statistics_match_reference():
     assert abs(dx_o.std() - dx_r.std()) / dx_r.std() < 0.15
     assert abs(dy_o.std() - dy_r.std()) / dy_r.std() < 0.15
     assert abs((dy_o < 0).mean() - (dy_r < 0).mean()) < 0.08
+
+
+def test_eulerdrift_field_matches_reference():
+    """Auxiliary Eulerian advection-diffusion solver: after 360
+    explicit steps of constant advection + diffusion the concentration
+    FIELD matches the reference's ExplSimulation cell-for-cell
+    (deterministic; 1e-5 tolerance is ~20x the observed f32 drift)."""
+    golden, cfg = _load("eulerdrift_field")
+    ours = parity_compare.run_eulerdrift_field(cfg)
+    ref = np.asarray(golden["field"], np.float64)
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() < 1e-5
+    assert abs(ours.sum() - ref.sum()) < 1e-4   # mass conservation

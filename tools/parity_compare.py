@@ -267,6 +267,51 @@ def run_chemical(cfg):
     return o
 
 
+def run_eulerdrift_field(cfg):
+    """Returns our final concentration field TRANSPOSED into the
+    reference's [x, y] axis order (reference eulerdrift grid.py:18
+    'first dimension is easting').  The source patch is placed at the
+    index the reference's grid convention yields: its axes are
+    ``linspace(x0, x0 + N*res, N)`` — endpoint INCLUDED, so the actual
+    spacing is res*N/(N-1) (reference grid.py:71-72) — while the
+    solver stencils use ``res``; parity therefore lives in index
+    space."""
+    import jax.numpy as jnp
+    from jax import lax
+    from opendrift_tpu.models import eulerdrift as ed
+
+    ny, nx = cfg["shape"]
+    sim = ed.ExplSimulation.new(lon0=cfg["lon0"], lat0=cfg["lat0"],
+                                res=cfg["res"], shape=(ny, nx))
+    sim.readers.append(ed.ConstantReader.new_xy(cfg["u"], cfg["v"]))
+    sim.D = cfg["D"]
+    # reference index placement: the reference projects with the
+    # STANDARD UTM zone (here 32 by the Norway exception), not our
+    # grid's custom tmerc — indices must come from the same projection
+    from opendrift_tpu.utils import crs as crslib
+    zone = int((cfg["lon0"] + 180.0) // 6) + 1
+    if 56 <= cfg["lat0"] < 64 and 3 <= cfg["lon0"] < 12:
+        zone = 32
+    refp = crslib.from_proj4(f"+proj=utm +zone={zone} +north "
+                             "+ellps=WGS84 +datum=WGS84 +units=m")
+    x0, y0 = refp.fwd(np, np.float64(cfg["lon0"]),
+                      np.float64(cfg["lat0"]))
+    ref_x = np.linspace(float(x0), float(x0) + nx * cfg["res"], nx)
+    ref_y = np.linspace(float(y0), float(y0) + ny * cfg["res"], ny)
+    xs, ys = refp.fwd(np, np.float64(cfg["src_lon"]),
+                      np.float64(cfg["src_lat"]))
+    ix0 = int(np.argmin(np.abs(ref_x - xs)))
+    iy0 = int(np.argmin(np.abs(ref_y - ys)))
+    k = np.arange(cfg["N"]) - (cfg["N"] - 1) / 2.0
+    g = np.exp(-0.5 * (k * cfg["res"] / cfg["sigma"]) ** 2)
+    patch = np.outer(g, g)
+    # ref places grid[ix0:ix1, iy0:iy1] = X; ours is field[y, x]
+    sim.grid.field = lax.dynamic_update_slice(
+        sim.grid.field, jnp.asarray(patch.T, jnp.float32), (iy0, ix0))
+    sim.integrate(dt=cfg["dt"], max_steps=cfg["steps"])
+    return np.asarray(sim.grid.field, np.float64).T
+
+
 def run_stranding(cfg):
     from datetime import datetime, timedelta
     from opendrift_tpu.models import OceanDrift

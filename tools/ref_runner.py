@@ -502,6 +502,40 @@ def scenario_chemical():
     return out
 
 
+def scenario_eulerdrift():
+    """Auxiliary Eulerian advection-diffusion solver (reference
+    eulerdrift/simulation.py:229 ExplSimulation): explicit scheme on a
+    UTM grid, constant velocity + diffusion, identical explicit source
+    patch on both sides — golden stores the final concentration
+    FIELD."""
+    import opendrift.models.eulerdrift as ed
+
+    sim = ed.ExplSimulation.new(lon0=5.0, lat0=60.0, res=200.0,
+                                shape=(120, 120))
+    sim.readers.append(ed.ConstantReader.new_xy(0.2, 0.1))
+    sim.D = 5.0
+    # deterministic source patch placed by lower-left corner
+    k = np.arange(40) - 19.5
+    g = np.exp(-0.5 * (k * 200.0 / 600.0) ** 2)
+    patch = np.outer(g, g)
+    sim.source(5.05, 60.05, patch)
+    f0 = np.asarray(sim.grid.grid, np.float64).copy()
+    sim.integrate(dt=10.0, max_steps=360)
+    out = {
+        "field0": f0,
+        "field": np.asarray(sim.grid.grid, np.float64),
+        "lon": np.zeros((1, 1)), "lat": np.zeros((1, 1)),
+        "status": np.zeros((1, 1)), "time_s": np.zeros(1),
+    }
+    out["config"] = json.dumps({
+        "model": "eulerdrift", "lon0": 5.0, "lat0": 60.0, "res": 200.0,
+        "shape": [120, 120], "u": 0.2, "v": 0.1, "D": 5.0,
+        "src_lon": 5.05, "src_lat": 60.05, "N": 40, "sigma": 600.0,
+        "dt": 10.0, "steps": 360,
+    })
+    return out
+
+
 def scenario_stranding():
     """Coastline interaction parity: constant onshore current against
     the bundled coastline raster.  The reference runs its OWN
@@ -716,6 +750,7 @@ SCENARIOS = {
     "pelagicegg_stat": scenario_pelagicegg,
     "chemical_stat": scenario_chemical,
     "arctic20_stranding": scenario_stranding,
+    "eulerdrift_field": scenario_eulerdrift,
     "windblow_euler": scenario_windblow,
     "seaice_euler": scenario_seaice,
     "openberg_det": scenario_openberg,

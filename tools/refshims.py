@@ -828,7 +828,8 @@ def install():
 
     cartopy = _stub("cartopy")
     cartopy.crs = _stub("cartopy.crs", Mercator=object, PlateCarree=object,
-                        Stereographic=object)
+                        Stereographic=object,
+                        UTM=lambda *a, **k: None)
     class _GSHHSFeature:
         def __init__(self, *a, **kw):
             pass
@@ -872,6 +873,28 @@ def install():
     geojson.utils = _stub("geojson.utils")
     _stub("copernicusmarine")
     _stub("cmocean", cm=types.SimpleNamespace())
+
+    def _utm_from_latlon(lat, lon):
+        """Zone lookup only (the reference's eulerdrift srs.py uses just
+        the zone number); standard 6-degree zones with the Norway and
+        Svalbard exceptions."""
+        zone = int((float(lon) + 180.0) // 6) + 1
+        lat = float(lat)
+        lon = float(lon)
+        if 56 <= lat < 64 and 3 <= lon < 12:
+            zone = 32
+        if 72 <= lat < 84:
+            if 0 <= lon < 9:
+                zone = 31
+            elif 9 <= lon < 21:
+                zone = 33
+            elif 21 <= lon < 33:
+                zone = 35
+            elif 33 <= lon < 42:
+                zone = 37
+        return (None, None, zone, None)
+
+    _stub("utm", from_latlon=_utm_from_latlon)
 
     fields = {"asctime": {}, "levelname": {"color": "magenta"},
               "name": {}, "lineno": {}}
