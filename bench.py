@@ -24,6 +24,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline",
 """
 
 import json
+import os
 import time
 
 N_GRID = 2_000_000        # particles for workloads A/B
@@ -146,6 +147,23 @@ def main():
         "extra_metrics": [],
     }
     log(f"A done: {rate_honest:.3e}")
+
+    # regression guard: warn (in the JSON line) when the primary drops
+    # >5% below the committed last-known-good (VERDICT r3 weak #7)
+    try:
+        lkg_path = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_LKG.json")
+        with open(lkg_path) as f:
+            lkg = json.load(f)["primary"]
+        result["vs_last_known_good"] = round(rate_honest / lkg, 3)
+        if rate_honest < 0.95 * lkg:
+            result["regression_warning"] = (
+                f"primary {rate_honest:.3e} is "
+                f"{(1 - rate_honest / lkg) * 100:.1f}% below "
+                f"last-known-good {lkg:.3e} (BENCH_LKG.json)")
+            log(result["regression_warning"])
+    except Exception as exc:  # noqa: BLE001
+        log(f"no last-known-good comparison: {exc}")
 
     try:
         log("workload B: optimized flagship config ...")

@@ -154,17 +154,17 @@ def read_result(filename):
         f.close()
 
 
-def valid_mask(status, active=1):
+def valid_mask(status, active=None):
     """The reference's output validity rule: an element's frame is
     recorded while ACTIVE plus ONCE at the output step covering its
     deactivation (reference basemodel/__init__.py:2390-2396).
     ``status``: (N, T) int array; returns (N, T) bool."""
-    released = status >= active
+    if active is None:
+        from ..elements.elements import ACTIVE as active
     dead = status > active
     first_dead = np.zeros_like(dead)
     first_dead[:, 0] = dead[:, 0]
     first_dead[:, 1:] = dead[:, 1:] & ~dead[:, :-1]
-    del released
     return (status == active) | first_dead
 
 

@@ -929,6 +929,19 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             flush(force=True)
             if writer is not None:
                 writer.abort_close()
+            # reference parity: a failed run retains the steps computed
+            # so far as ``self.result`` for inspection (the reference
+            # ends gracefully keeping partial results, reference
+            # basemodel/__init__.py:2286-2304); we keep the stricter
+            # re-raise but assemble the in-memory partial result first
+            if frames:
+                try:
+                    self.result = self._assemble_result(
+                        frames, frame_times, trim=not sharded_out)
+                    self.mode = Mode.Result
+                except Exception:
+                    logger.exception(
+                        "could not assemble partial result after crash")
             if profile_dir:
                 jax.profiler.stop_trace()
             self.timer_end("main loop")

@@ -324,6 +324,8 @@ class ChemicalDrift(OceanDrift):
         self._set_config_default("drift:vertical_mixing", True)
         self._set_config_default("drift:vertical_mixing_at_surface",
                                  True)  # reference :352
+        self._set_config_default("drift:vertical_advection_at_surface",
+                                 True)  # reference chemicaldrift.py:353
         self.register_status("sedimented")
 
     @property

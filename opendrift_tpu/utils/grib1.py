@@ -126,7 +126,21 @@ class Grib1Message:
         self.ref_time = datetime(year, pds[13], pds[14], pds[15], pds[16])
         unit = pds[17]
         p1 = pds[18]
-        self.lead_seconds = p1 * _TIME_UNIT_SECONDS.get(unit, 3600)
+        p2 = pds[19]
+        tri = pds[20]          # time-range indicator, PDS octet 21
+        unit_s = _TIME_UNIT_SECONDS.get(unit, 3600)
+        if tri in (0, 113, 118, 123):   # forecast valid at ref + P1
+            lead = p1
+        elif tri == 1:                  # analysis/initialised at ref
+            lead = 0
+        elif tri in (2, 3, 4, 5):       # range/average/accumulation/
+            lead = p2                   # difference: valid at end P2
+        elif tri == 10:                 # P1 spans octets 19-20
+            lead = _u(pds, 18, 2)
+        else:
+            raise NotImplementedError(
+                f"GRIB1 time-range indicator {tri} not supported")
+        self.lead_seconds = lead * unit_s
         self.valid_time = self.ref_time + timedelta(
             seconds=self.lead_seconds)
         self.D = _sm(pds, 26, 2) if len(pds) >= 28 else 0
@@ -174,8 +188,15 @@ class Grib1Message:
             x1, y1 = p.fwd(np, np.float64(lo1), np.float64(la1))
             self.shape = (ny, nx)
             self.x = float(x1) + np.arange(nx) * dx
-            self.y = float(y1) + np.arange(ny) * dy
             self.scan_neg_j = not bool(scan & 0x40)
+            # (x1,y1) is the FIRST grid point.  With +j scanning it is
+            # the y minimum; with -j scanning (N->S rows) row j sits at
+            # y1 - j*dy.  values() flips rows to ascending y, so the
+            # axis must start at the last row's y1-(ny-1)*dy.
+            if self.scan_neg_j:
+                self.y = float(y1) - (ny - 1 - np.arange(ny)) * dy
+            else:
+                self.y = float(y1) + np.arange(ny) * dy
         else:
             raise NotImplementedError(
                 f"GRIB1 data representation type {rep} not supported "

@@ -115,8 +115,14 @@ class Grib2Message:
             x1, y1 = p.fwd(np, np.float64(lo1), np.float64(la1))
             self.shape = (ny, nx)
             self.x = float(x1) + np.arange(nx) * dx
-            self.y = float(y1) + np.arange(ny) * dy
             self.scan_neg_j = not bool(scan & 0x40)
+            # (x1,y1) is the FIRST grid point; with -j scanning row j
+            # sits at y1 - j*dy and values() flips rows to ascending y,
+            # so the axis must start at y1-(ny-1)*dy (see grib1.py).
+            if self.scan_neg_j:
+                self.y = float(y1) - (ny - 1 - np.arange(ny)) * dy
+            else:
+                self.y = float(y1) + np.arange(ny) * dy
         elif tmpl == 30:  # Lambert conformal
             nx = _u(s3, 30, 4)
             ny = _u(s3, 34, 4)
@@ -136,8 +142,14 @@ class Grib2Message:
             x1, y1 = p.fwd(np, np.float64(lo1), np.float64(la1))
             self.shape = (ny, nx)
             self.x = float(x1) + np.arange(nx) * dx
-            self.y = float(y1) + np.arange(ny) * dy
             self.scan_neg_j = not bool(scan & 0x40)
+            # (x1,y1) is the FIRST grid point; with -j scanning row j
+            # sits at y1 - j*dy and values() flips rows to ascending y,
+            # so the axis must start at y1-(ny-1)*dy (see grib1.py).
+            if self.scan_neg_j:
+                self.y = float(y1) - (ny - 1 - np.arange(ny)) * dy
+            else:
+                self.y = float(y1) + np.arange(ny) * dy
         else:
             raise NotImplementedError(
                 f"GRIB2 grid template 3.{tmpl} not supported")

@@ -287,3 +287,147 @@ def test_grib1_polar_stereo_and_bitmap(tmp_path):
     assert np.isnan(out[0, :3]).all()        # bitmap holes
     np.testing.assert_allclose(out[1:], field[1:], atol=1e-6)
     np.testing.assert_allclose(out[0, 3:], field[0, 3:], atol=1e-6)
+
+
+def test_grib1_polar_stereo_north_to_south_scan(tmp_path):
+    """-j scanned (N->S) polar-stereo: the first grid point is the y
+    MAXIMUM, so the ascending y axis must start at y1-(ny-1)*dy — a
+    translated axis would misplace the field by the domain height."""
+    import numpy as np
+    from datetime import datetime
+    from opendrift_tpu.utils import crs as crslib
+    from opendrift_tpu.utils.grib1 import Grib1File, ibm_float_bytes
+
+    def u(v, n):
+        return int(v).to_bytes(n, "big")
+
+    def sm(v, n):
+        raw = abs(int(v)) | ((1 << (8 * n - 1)) if v < 0 else 0)
+        return raw.to_bytes(n, "big")
+
+    nj, ni = 6, 8
+    field = np.arange(nj * ni, dtype=np.float64).reshape(nj, ni)
+    nbits = 8
+    R = float(field.min())
+    X = (field.ravel() - R).astype(np.int64)
+    bits = np.zeros((X.size, nbits), np.uint8)
+    for b in range(nbits):
+        bits[:, nbits - 1 - b] = (X >> b) & 1
+    packed = np.packbits(bits.ravel())
+    bds_body = (bytes([(-X.size * nbits) % 8 & 0x0F]) + sm(0, 2)
+                + ibm_float_bytes(R) + bytes([nbits]) + packed.tobytes())
+    bds = u(len(bds_body) + 3, 3) + bds_body
+
+    la1, lo1 = 72.0, 5.0                     # FIRST point = NW corner
+    dx = dy = 20000
+    gds_body = (bytes([0, 255, 5])
+                + u(ni, 2) + u(nj, 2)
+                + sm(round(la1 * 1000), 3) + sm(round(lo1 * 1000), 3)
+                + bytes([0x80])
+                + sm(58000, 3)               # LoV
+                + u(dx, 3) + u(dy, 3)
+                + bytes([0x00])              # north pole
+                + bytes([0x00])              # scan -j (N->S)
+                + bytes(4))
+    gds = u(len(gds_body) + 3, 3) + gds_body
+
+    pds_body = (bytes([2, 98, 1, 255]) + bytes([0x80])
+                + bytes([11, 1]) + u(0, 2)
+                + bytes([21, 11, 5, 0, 0])
+                + bytes([1, 0, 0, 0]) + u(0, 2) + bytes([0])
+                + bytes([21, 0]) + sm(0, 2))
+    pds = u(len(pds_body) + 3, 3) + pds_body
+    body = pds + gds + bds
+    msg = b"GRIB" + u(8 + len(body) + 4, 3) + bytes([1]) + body + b"7777"
+    path = tmp_path / "ps_ns.grib1"
+    path.write_bytes(msg)
+
+    m = Grib1File(str(path)).messages[0]
+    p = crslib.from_proj4(m.proj4)
+    x1, y1 = p.fwd(np, np.float64(lo1), np.float64(la1))
+    # ascending axis ending at the first grid point's projected y
+    assert np.all(np.diff(m.y) > 0)
+    np.testing.assert_allclose(m.y[-1], float(y1), rtol=1e-12)
+    np.testing.assert_allclose(m.y[0], float(y1) - (nj - 1) * dy,
+                               rtol=1e-12)
+    out = m.values()
+    # the value encoded at the first grid point (NW corner) must land
+    # at (x[0], y[-1]) after the row flip
+    np.testing.assert_allclose(out[-1, 0], field[0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 0], field[-1, 0], atol=1e-6)
+
+
+def test_grib1_time_range_indicators(tmp_path):
+    """TRI=10 takes P1 from two octets; TRI=4 (accumulation) is valid
+    at the END of the interval (P2); unsupported TRIs raise."""
+    import numpy as np
+    import pytest
+    from datetime import datetime, timedelta
+    from opendrift_tpu.utils.grib1 import Grib1File, Grib1Message
+
+    base = _encode_grib1_latlon(
+        np.ones((4, 5)) * 3.0, la1=70.0, la2=60.0, lo1=0.0, lo2=10.0,
+        param=11, ref_time=datetime(2021, 11, 5, 6), lead_hours=0)
+
+    def with_time(p1, p2, tri):
+        # PDS starts at offset 8; octets 19,20,21 are bytes 18,19,20
+        pds_off = 8 + 3
+        b = bytearray(base)
+        b[8 + 18] = p1
+        b[8 + 19] = p2
+        b[8 + 20] = tri
+        return bytes(b)
+
+    t0 = datetime(2021, 11, 5, 6)
+    m = Grib1Message("x", with_time(1, 44, 10), 0)   # P1P2 = 0x012C=300
+    assert m.valid_time == t0 + timedelta(hours=300)
+    m = Grib1Message("x", with_time(0, 6, 4), 0)     # accum over 0..6h
+    assert m.valid_time == t0 + timedelta(hours=6)
+    m = Grib1Message("x", with_time(12, 0, 0), 0)    # plain forecast
+    assert m.valid_time == t0 + timedelta(hours=12)
+    with pytest.raises(NotImplementedError):
+        Grib1Message("x", with_time(0, 0, 51), 0)
+
+
+def test_grib2_polar_stereo_north_to_south_scan():
+    """Same -j-scan axis rule for the GRIB2 template-20 path, checked
+    on a synthetic section-3 (template 3.20 parse path)."""
+    import numpy as np
+    from opendrift_tpu.utils import crs as crslib
+    from opendrift_tpu.utils.grib2 import Grib2Message
+
+    class _Shell(Grib2Message):
+        def __init__(self):
+            pass
+
+    nj, ni = 6, 8
+    la1, lo1 = 72.0, 5.0
+    dx = dy = 20000
+
+    def sec3(scan):
+        b = bytearray(72)
+        b[12:14] = int(20).to_bytes(2, "big")   # template 3.20
+        b[30:34] = int(ni).to_bytes(4, "big")
+        b[34:38] = int(nj).to_bytes(4, "big")
+        b[38:42] = int(la1 * 1e6).to_bytes(4, "big")
+        b[42:46] = int(lo1 * 1e6).to_bytes(4, "big")
+        b[47:51] = int(60 * 1e6).to_bytes(4, "big")   # LaD
+        b[51:55] = int(58 * 1e6).to_bytes(4, "big")   # LoV
+        b[55:59] = int(dx * 1e3).to_bytes(4, "big")
+        b[59:63] = int(dy * 1e3).to_bytes(4, "big")
+        b[63] = 0x00                         # north pole
+        b[64] = scan
+        return bytes(b)
+
+    m = _Shell()
+    m._sections = {3: sec3(0x00)}            # -j: N->S
+    m._parse_grid()
+    p = crslib.from_proj4(m.proj4)
+    x1, y1 = p.fwd(np, np.float64(lo1), np.float64(la1))
+    assert m.scan_neg_j
+    assert np.all(np.diff(m.y) > 0)
+    np.testing.assert_allclose(m.y[-1], float(y1), rtol=1e-12)
+    m2 = _Shell()
+    m2._sections = {3: sec3(0x40)}           # +j: S->N
+    m2._parse_grid()
+    np.testing.assert_allclose(m2.y[0], float(y1), rtol=1e-12)

@@ -8,7 +8,9 @@ domain decomposition).  This tool scatters every shard's slots by ID
 into the global (trajectory, time) arrays, applies the exact
 ``valid_mask`` rule the single-process writer uses, and writes a file
 bit-identical to what a single-process run with the same configuration
-would have produced (tests/test_sharded_output.py proves this).
+would have produced (tests/test_sharded_output.py proves the
+bit-for-bit claim in-suite; tools/multihost_dryrun.py re-proves it
+across a real 2-process run).
 
 The reference analogue: per-worker NetCDF files concatenated post-hoc
 (reference examples/example_long_multiprocessing.py:16-50).
