@@ -99,7 +99,10 @@ class BaseReader:
     def __init__(self):
         if self.name is None:
             self.name = type(self).__name__
-        self.crs = crslib.from_proj4(self.proj4)
+        # readers with a non-PROJ grid mapping (e.g. the ROMS
+        # curvilinear index CRS) set self.crs themselves pre-super()
+        if getattr(self, "crs", None) is None:
+            self.crs = crslib.from_proj4(self.proj4)
         self.is_lazy = False
         self._setup_environment_mappings()
 

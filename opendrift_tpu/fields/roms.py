@@ -36,9 +36,99 @@ ROMS_VARIABLE_MAP = {
     "Hsbl": "ocean_mixed_layer_thickness",
 }
 
+# the reference's fixed z-levels for sigma interpolation (positive-down
+# here; reference reader_ROMS_native.py:134-138) — using the same levels
+# keeps the vertical discretisation identical to the reference
 DEFAULT_DEPTHS = np.array(
-    [0.0, 2.0, 5.0, 10.0, 20.0, 30.0, 50.0, 75.0, 100.0, 150.0, 200.0,
-     300.0, 500.0, 1000.0, 2000.0, 3000.0], dtype=np.float32)
+    [0.0, 0.5, 1.0, 3.0, 5.0, 10.0, 25.0, 50.0, 75.0, 100.0, 150.0,
+     200.0, 250.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0, 900.0,
+     1000.0, 1500.0, 2000.0, 2500.0, 3000.0, 3500.0, 4000.0, 4500.0,
+     5000.0, 5500.0, 6000.0, 6500.0, 7000.0, 7500.0, 8000.0],
+    dtype=np.float32)
+
+
+def _bilin2(xp, arr, fi, fj):
+    """Bilinear sample of 2D ``arr`` at fractional (row fi, col fj);
+    generic over numpy/jax.numpy (``xp``).  Indices are clipped to the
+    grid; NaNs in arr propagate."""
+    a = xp.asarray(arr)
+    ny, nx = arr.shape
+    fi = xp.clip(fi, 0.0, ny - 1.0)
+    fj = xp.clip(fj, 0.0, nx - 1.0)
+    i0 = xp.clip(xp.floor(fi).astype(xp.int32), 0, ny - 2)
+    j0 = xp.clip(xp.floor(fj).astype(xp.int32), 0, nx - 2)
+    wi = fi - i0
+    wj = fj - j0
+    v00 = a[i0, j0]
+    v01 = a[i0, j0 + 1]
+    v10 = a[i0 + 1, j0]
+    v11 = a[i0 + 1, j0 + 1]
+    return ((1 - wi) * (1 - wj) * v00 + (1 - wi) * wj * v01
+            + wi * (1 - wj) * v10 + wi * wj * v11)
+
+
+class CurvilinearIndexCRS:
+    """The curvilinear grid's own 'projection': fwd maps lon/lat to
+    fractional (xi, eta) NATIVE grid indices by bilinear lookup in a
+    precomputed raster of the reference's fakeproj index interpolators
+    (reference structured.py:92-107 spl_x/spl_y), so the device sampler
+    gathers the native C-grid directly — no intermediate regrid.
+    Positions outside the curvilinear hull map to NaN (=> uncovered).
+    Vectors are pre-rotated to true east/north at load, so the grid
+    convergence seen by the sampler is zero."""
+
+    is_latlon = False
+
+    def __init__(self, ras_xi, ras_eta, lon0, lat0, dlon, dlat,
+                 lon_rho, lat_rho):
+        ras_xi = np.asarray(ras_xi, np.float32)
+        ras_eta = np.asarray(ras_eta, np.float32)
+        # inside-hull flag BEFORE filling, dilated one raster cell so
+        # hull-boundary nodes (the grid's own rho points) stay covered
+        from scipy.ndimage import binary_dilation, distance_transform_edt
+        inside = np.isfinite(ras_xi)
+        self._inside = binary_dilation(inside, iterations=1)
+        # fill outside-hull cells with the nearest finite index values:
+        # fwd stays finite everywhere (sampling clamps), and coverage
+        # is decided by the inside flag, not NaN propagation
+        if (~inside).any() and inside.any():
+            ind = distance_transform_edt(~inside, return_indices=True)[1]
+            ras_xi = ras_xi[ind[0], ind[1]]
+            ras_eta = ras_eta[ind[0], ind[1]]
+        self._ras_xi = ras_xi
+        self._ras_eta = ras_eta
+        self._lon0 = float(lon0)
+        self._lat0 = float(lat0)
+        self._dlon = float(dlon)
+        self._dlat = float(dlat)
+        self._lon_rho = np.asarray(lon_rho, np.float32)
+        self._lat_rho = np.asarray(lat_rho, np.float32)
+
+    def fwd(self, xp, lon, lat):
+        fi = (xp.asarray(lat) - self._lat0) / self._dlat
+        fj = (xp.asarray(lon) - self._lon0) / self._dlon
+        x = _bilin2(xp, self._ras_xi, fi, fj)
+        y = _bilin2(xp, self._ras_eta, fi, fj)
+        # outside the curvilinear hull -> NaN (=> uncovered downstream)
+        ins_arr = self._inside
+        ny, nx = ins_arr.shape
+        i0 = xp.clip(xp.round(xp.clip(fi, 0.0, ny - 1.0)
+                              ).astype(xp.int32), 0, ny - 1)
+        j0 = xp.clip(xp.round(xp.clip(fj, 0.0, nx - 1.0)
+                              ).astype(xp.int32), 0, nx - 1)
+        in_box = (fi >= -0.5) & (fi <= ny - 0.5) \
+            & (fj >= -0.5) & (fj <= nx - 0.5)
+        ins = xp.asarray(ins_arr)[i0, j0] & in_box
+        nan = xp.float32(np.nan)
+        return xp.where(ins, x, nan), xp.where(ins, y, nan)
+
+    def inv(self, xp, x, y):
+        lon = _bilin2(xp, self._lon_rho, xp.asarray(y), xp.asarray(x))
+        lat = _bilin2(xp, self._lat_rho, xp.asarray(y), xp.asarray(x))
+        return lon, lat
+
+    def convergence(self, xp, lon, lat):
+        return xp.zeros_like(xp.asarray(lon))
 
 
 def s_stretch(N, theta_s, theta_b, stagger="rho", vstretching=1):
@@ -147,6 +237,17 @@ class ROMSReader(StructuredGridReader):
         mask_rho = gvar("mask_rho", required=False)
         if mask_rho is None:
             mask_rho = np.ones_like(h)
+        # staggered masks: u/v points carry their own land masks
+        # (reference reader_ROMS_native.py:365-407); fall back to the
+        # rho mask when a subset file does not include them
+        mask_u = gvar("mask_u", required=False)
+        mask_v = gvar("mask_v", required=False)
+        self._mask_u = (np.nan_to_num(mask_u, nan=0.0) > 0.5
+                        if mask_u is not None and
+                        mask_u.shape == mask_rho.shape else None)
+        self._mask_v = (np.nan_to_num(mask_v, nan=0.0) > 0.5
+                        if mask_v is not None and
+                        mask_v.shape == mask_rho.shape else None)
         angle = gvar("angle", required=False)
         if angle is None:
             angle = np.zeros_like(h)
@@ -223,43 +324,69 @@ class ROMSReader(StructuredGridReader):
         self._var_has_z["land_binary_mask"] = False
         self._var_has_z["sea_floor_depth_below_sea_level"] = False
 
-        # ---- target regular lon/lat grid
-        ocean = self._mask
-        lo = lon_rho[ocean] if ocean.any() else lon_rho.ravel()
-        la = lat_rho[ocean] if ocean.any() else lat_rho.ravel()
-        # mean native spacing in degrees
-        dlon = np.median(np.abs(np.diff(lon_rho, axis=1)))
-        dlat = np.median(np.abs(np.diff(lat_rho, axis=0)))
-        step_lon = max(dlon, 1e-4) / refinement
-        step_lat = max(dlat, 1e-4) / refinement
-        nx = int((lon_rho.max() - lon_rho.min()) / step_lon) + 2
-        ny = int((lat_rho.max() - lat_rho.min()) / step_lat) + 2
-        nx = min(max(nx, 4), 2048)
-        ny = min(max(ny, 4), 2048)
-        self.x = np.linspace(lon_rho.min(), lon_rho.max(), nx)
-        self.y = np.linspace(lat_rho.min(), lat_rho.max(), ny)
-        self.proj4 = "+proj=latlong"
-
-        # ---- precompute barycentric regrid weights (once)
+        # ---- NATIVE-grid sampling in index space.  The device grid IS
+        # the curvilinear array: self.x/self.y are the (xi, eta) index
+        # axes, and the CRS maps lon/lat -> fractional native index via
+        # a fine raster of the reference's own fakeproj interpolators
+        # (LinearNDInterpolator over the rho points -> index fields,
+        # reference structured.py:92-107).  The device bilinear gather
+        # then reproduces the reference's Linear2DInterpolator exactly
+        # (interpolators.py:105-139) with no intermediate regrid.
+        from scipy.interpolate import LinearNDInterpolator
         from scipy.spatial import Delaunay
         pts = np.column_stack([lon_rho.ravel(), lat_rho.ravel()])
         self._tri = Delaunay(pts)
-        TX, TY = np.meshgrid(self.x, self.y)
-        targets = np.column_stack([TX.ravel(), TY.ravel()])
-        simplex = self._tri.find_simplex(targets)
-        self._outside = simplex < 0
-        simplex_c = np.where(self._outside, 0, simplex)
-        trans = self._tri.transform[simplex_c]
-        bary = np.einsum("nij,nj->ni", trans[:, :2, :],
-                         targets - trans[:, 2, :])
-        self._bary_w = np.concatenate(
-            [bary, 1.0 - bary.sum(axis=1, keepdims=True)], axis=1)
-        self._bary_idx = self._tri.simplices[simplex_c]
+        block_x, block_y = np.mgrid[0:self._xi, 0:self._eta]
+        block_x, block_y = block_x.T, block_y.T
+        spl_x = LinearNDInterpolator(
+            (lon_rho.ravel(), lat_rho.ravel()), block_x.ravel(),
+            fill_value=np.nan)
+        import copy as _copy
+        spl_y = _copy.deepcopy(spl_x)
+        spl_y.values[:, 0] = block_y.ravel()
+        self._spl_x, self._spl_y = spl_x, spl_y
+        # raster spacing: native cell size in degrees / (3*refinement)
+        dlon = max(float(np.median(np.abs(np.diff(lon_rho, axis=1)))),
+                   1e-5) / (3.0 * refinement)
+        dlat = max(float(np.median(np.abs(np.diff(lat_rho, axis=0)))),
+                   1e-5) / (3.0 * refinement)
+        nras_x = min(int((lon_rho.max() - lon_rho.min()) / dlon) + 2, 4096)
+        nras_y = min(int((lat_rho.max() - lat_rho.min()) / dlat) + 2, 4096)
+        rlon = np.linspace(lon_rho.min(), lon_rho.max(), nras_x)
+        rlat = np.linspace(lat_rho.min(), lat_rho.max(), nras_y)
+        RLON, RLAT = np.meshgrid(rlon, rlat)
+        ras_xi = spl_x(RLON.ravel(), RLAT.ravel()).reshape(RLAT.shape)
+        ras_eta = spl_y(RLON.ravel(), RLAT.ravel()).reshape(RLAT.shape)
+        self.crs = CurvilinearIndexCRS(
+            ras_xi, ras_eta, rlon[0], rlat[0],
+            float(rlon[1] - rlon[0]), float(rlat[1] - rlat[0]),
+            lon_rho, lat_rho)
+        # the packed grid excludes the last native row/col, like the
+        # reference's block fetch ("avoiding the last pixel in each
+        # dimension, since several grids are shifted",
+        # reader_ROMS_native.py:478-482); samples beyond it clamp —
+        # see _covers_idx
+        self.x = np.arange(self._xi - 1, dtype=np.float64)
+        self.y = np.arange(self._eta - 1, dtype=np.float64)
+        self.proj4 = "+curvilinear_index"
+        # domain decomposition sizes halos in metres; index-space axes
+        # need the native cell size (parallel/tiled.py curvilinear path)
+        self._curvilinear = True
+        clat = np.cos(np.radians(lat_rho))
+        d_xi = np.hypot(np.diff(lon_rho, axis=1) * clat[:, 1:],
+                        np.diff(lat_rho, axis=1)) * 111320.0
+        d_eta = np.hypot(np.diff(lon_rho, axis=0) * clat[1:, :],
+                         np.diff(lat_rho, axis=0)) * 111320.0
+        self._min_cell_m = float(min(np.nanmin(d_xi), np.nanmin(d_eta)))
 
         # depth levels for the regridded blocks
         if target_depths is None:
             hmax = float(np.nanmax(self._h))
-            target_depths = DEFAULT_DEPTHS[DEFAULT_DEPTHS <= max(hmax, 5.0)]
+            # keep one level beyond the deepest seafloor so the last
+            # water interval still brackets (below it values clamp,
+            # like the reference's vertical buffer)
+            cut = int(np.searchsorted(DEFAULT_DEPTHS, max(hmax, 5.0))) + 1
+            target_depths = DEFAULT_DEPTHS[:max(cut, 2)]
         self.depths = np.asarray(target_depths, dtype=np.float32)
 
         # static regridded fields
@@ -267,13 +394,34 @@ class ROMSReader(StructuredGridReader):
         super().__init__()
 
     # ----------------------------------------------------------- regrid --
-    def _regrid2d(self, field_rho):
-        """Curvilinear (eta, xi) -> regular (ny, nx) via the precomputed
-        barycentric weights; outside the hull -> NaN."""
-        flat = field_rho.ravel()
-        vals = (flat[self._bary_idx] * self._bary_w).sum(axis=1)
-        vals[self._outside] = np.nan
-        return vals.reshape(len(self.y), len(self.x)).astype(np.float32)
+    @staticmethod
+    def _expand_nan(data):
+        """The reference's ``expand_numpy_array``: one grey-dilation
+        pass replacing NaNs with the 3x3 neighbourhood max (reference
+        interpolators.py:9-21)."""
+        from scipy.ndimage import grey_dilation
+        mask = ~np.isfinite(data)
+        if not mask.any() or mask.all():
+            return
+        minval = np.finfo(data.dtype).min
+        data[mask] = minval
+        data[mask] = grey_dilation(data, size=3)[mask]
+        data[data == minval] = np.nan
+
+    def _fill_coast(self, field2d):
+        """<=10 grey-dilation passes filling NaNs (land/below-bottom)
+        with the 3x3 neighbourhood max — the reference's lazy
+        ``expand_numpy_array`` loop pre-applied at load (dilation pass k
+        only touches cells still NaN after pass k-1, so the eager fill
+        yields the same values the reference's on-demand expansion
+        would).  Cells >10 passes from data stay NaN, exactly like the
+        reference's 10-iteration cut-off (interpolators.py:126-130)."""
+        out = np.asarray(field2d, dtype=np.float32).copy()
+        for _ in range(10):
+            if np.isfinite(out).all():
+                break
+            self._expand_nan(out)
+        return out
 
     def _sigma_to_z(self, data_sigma, zeta):
         """(S, eta, xi) sigma-level data -> (L, eta, xi) at fixed target
@@ -315,7 +463,18 @@ class ROMSReader(StructuredGridReader):
             var = ds.variables[nm]
             raw = var[ii]
             data = ncio.cf_unpack(var, raw)
-            uv.append(self._unstagger(data, kind))
+            data = self._unstagger(data, kind)
+            # mask with the staggered land mask BEFORE rotation, like
+            # the reference (reader_ROMS_native.py:598-617): rotation
+            # then spreads NaN to the mask union, and the regrid's
+            # grey-dilation fill reproduces the reference's coastal
+            # extrapolation
+            m = self._mask_u if kind == "u" else self._mask_v
+            if m is None:
+                m = self._mask
+            data = np.where(m[None] if data.ndim == 3 else m,
+                            data, np.nan)
+            uv.append(data)
         u, v = uv
         ca, sa = np.cos(self._angle), np.sin(self._angle)
         ue = u * ca - v * sa
@@ -337,16 +496,21 @@ class ROMSReader(StructuredGridReader):
 
     # ------------------------------------------------------------ frames -
     def _read_frame(self, std, ti, zslice, yslice, xslice):
+        """Native (eta, xi) frames; the device sampler gathers them at
+        the fractional indices fwd() produces — the reference's
+        index-space bilinear (Linear2DInterpolator) end-to-end."""
         if std == "land_binary_mask":
             if "land" not in self._static_cache:
-                land = self._regrid2d((~self._mask).astype(np.float32))
-                land = np.where(np.isfinite(land),
-                                (land > 0.4).astype(np.float32), 1.0)
-                self._static_cache["land"] = land
+                self._static_cache["land"] = \
+                    (~self._mask).astype(np.float32)
             return self._static_cache["land"][yslice, xslice]
         if std == "sea_floor_depth_below_sea_level":
             if "h" not in self._static_cache:
-                self._static_cache["h"] = self._regrid2d(self._h)
+                # land h is masked out and coast-filled by grey
+                # dilation, like the reference's masked fetch + NaN
+                # expansion (reader_ROMS_native.py:610-617)
+                self._static_cache["h"] = self._fill_coast(
+                    np.where(self._mask, self._h, np.nan))
             return self._static_cache["h"][yslice, xslice]
 
         vname, has_z = self._sources[std]
@@ -356,22 +520,50 @@ class ROMSReader(StructuredGridReader):
                 "sea_ice_y_velocity": ("uice", "vice", 1)}
         if std in pair:
             un, vn_, comp = pair[std]
+            # already masked with the staggered masks pre-rotation
             data = self._read_pair_rotated(un, vn_, ti)[comp]
         else:
             fi = self._file_of_frame[ti]
             ii = self._index_in_file[ti]
             var = self._files[fi].variables[vname]
             data = ncio.cf_unpack(var, var[ii])
-        # mask land columns before regridding
-        data = np.where(self._mask[None] if data.ndim == 3 else self._mask,
-                        data, np.nan)
+            data = np.where(
+                self._mask[None] if data.ndim == 3 else self._mask,
+                data, np.nan)
         if has_z and data.ndim == 3:
             data = self._sigma_to_z(data, self._zeta(ti))
-            out = np.stack([self._regrid2d(data[li])
+            out = np.stack([self._fill_coast(data[li])
                             for li in range(data.shape[0])])
             return out[:, yslice, xslice]
-        return self._regrid2d(data)[yslice, xslice]
+        return self._fill_coast(data)[yslice, xslice]
+
+    def _covers_idx(self, xi, yi, eps=1e-2):
+        """Reference parity: the packed block stops one native cell
+        short of the grid edge, but coverage extends to the last rho
+        point (fakeproj xmax = shape-1) with CLAMPED sampling there —
+        the reference's NaN-refill with mode='nearest'
+        (interpolators.py:133-136).  Outside the curvilinear hull the
+        CRS returns NaN indices, which fail these comparisons."""
+        nx = self._ix.stop - self._ix.start
+        ny = self._iy.stop - self._iy.start
+        hi_x = nx - 1 + eps + (1.0 if self._ix.stop == len(self.x)
+                               else 0.0)
+        hi_y = ny - 1 + eps + (1.0 if self._iy.stop == len(self.y)
+                               else 0.0)
+        return ((xi >= -eps) & (xi <= hi_x)
+                & (yi >= -eps) & (yi <= hi_y))
 
     def covers_positions(self, lon, lat):
-        ok = super().covers_positions(lon, lat)
-        return ok
+        """Host-side: positions inside the curvilinear hull (device
+        coverage follows from fwd() returning NaN outside it)."""
+        lon1 = np.atleast_1d(np.asarray(lon, np.float64)).ravel()
+        lat1 = np.atleast_1d(np.asarray(lat, np.float64)).ravel()
+        x, y = self.crs.fwd(np, lon1, lat1)
+        # like the device's _covers_idx: the packed grid stops one cell
+        # short of the native edge but coverage extends to the last rho
+        # point (clamped sampling there)
+        ok = np.isfinite(x) & np.isfinite(y)
+        pts = np.column_stack([lon1, lat1])
+        # small tol: hull BOUNDARY nodes (the grid's own rho points)
+        # must count as covered despite fp jitter
+        return ok & (self._tri.find_simplex(pts, tol=1e-4) >= 0)

@@ -38,13 +38,16 @@ def test_ocean_only_relocation():
     o.add_reader(r)
     o.set_config("general:use_auto_landmask", False)
     o.set_config("seed:ocean_only", True)
-    o.seed_elements(lon=[14.40, 13.28], lat=[67.25, 66.86],
+    # (14.48, 67.01) sits on an interior land cell of the native rho
+    # mask (nearest-cell land test, like the reference's Nearest2D
+    # landmask sampling); (13.28, 66.86) is open water
+    o.seed_elements(lon=[14.48, 13.28], lat=[67.01, 66.86],
                     time=r.times[0], number=2)
     o.run(duration=timedelta(hours=1), time_step=900)
     lon0 = np.asarray(o.result["lon"])[:, 0]
     lat0 = np.asarray(o.result["lat"])[:, 0]
     # land point moved, ocean point untouched
-    assert abs(lon0[0] - 14.40) + abs(lat0[0] - 67.25) > 1e-3
+    assert abs(lon0[0] - 14.48) + abs(lat0[0] - 67.01) > 1e-3
     assert abs(lon0[1] - 13.28) + abs(lat0[1] - 66.86) < 1e-6
     # relocated particle actually drifts (it is in water now)
     lon = np.asarray(o.result["lon"])

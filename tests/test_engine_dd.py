@@ -375,6 +375,10 @@ def test_dd_roms_file_reader(test_data_dir):
         o.set_config("drift:vertical_advection", False)
         o.set_config("drift:vertical_mixing", False)
         o.set_config("parallel:domain_decomposition", dd)
+        if dd:
+            # native-index ROMS grids are coarse (20x30 cells here):
+            # 8 Y-bands would be thinner than the halo, so tile 4x2
+            o.set_config("parallel:tile_grid", "4x2")
         r = ROMSReader(path)
         o.add_reader(r)
         o.seed_elements(np.linspace(12.2, 13.8, 24),

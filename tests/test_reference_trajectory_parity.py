@@ -53,6 +53,14 @@ TOLERANCES = {
     # coastline interaction: strand step must match exactly
     # (finite_mismatch==0); stranding points within ~raster-cell scale
     "arctic20_stranding": (150.0, 60.0),
+    # ROMS-sigma end-to-end: forcing VALUES agree to <=1cm/s rms
+    # (test_reference_roms_values_parity.py); the looser trajectory
+    # bound is coast-hugging elements in Vestfjorden where the
+    # reference's grey-dilation velocity fill makes near-stagnation
+    # dynamics — tiny velocity differences there move the along-coast
+    # slide by km over 45 h, while the open-water bulk stays at
+    # O(100 m) (final_median asserted below)
+    "nordic_sigma_3d_euler": (4000.0, 1200.0),
     # model-zoo deterministic rungs (25 h of drift each)
     "windblow_euler": (30.0, 15.0),
     "seaice_euler": (60.0, 40.0),
@@ -60,7 +68,11 @@ TOLERANCES = {
 }
 
 # 3D scenario: max |z_ref - z_ours| at any output step [m]
-DZ_TOLERANCES = {"arctic20_3d_euler": 0.05}
+DZ_TOLERANCES = {"arctic20_3d_euler": 0.05,
+                 "nordic_sigma_3d_euler": 0.05}
+# scenario -> final-step MEDIAN separation bound [m] (pins the bulk
+# when a handful of coastal elements need a loose max)
+MEDIAN_TOLERANCES = {"nordic_sigma_3d_euler": 500.0}
 
 
 def _golden_available(name):
@@ -84,3 +96,5 @@ def test_trajectory_matches_reference(name):
     assert stats["final_mean_m"] < final_tol, stats
     if name in DZ_TOLERANCES:
         assert stats["max_dz_m"] < DZ_TOLERANCES[name], stats
+    if name in MEDIAN_TOLERANCES:
+        assert stats["final_median_m"] < MEDIAN_TOLERANCES[name], stats

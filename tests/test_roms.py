@@ -29,7 +29,10 @@ def test_autodetect(nordic):
     assert "x_sea_water_velocity" in r.variables
     assert "sea_water_temperature" in r.variables
     assert "land_binary_mask" in r.variables
-    assert r.crs.is_latlon
+    # native index-space sampling: the reader's CRS is the curvilinear
+    # index map, not latlong
+    assert not r.crs.is_latlon
+    assert r.proj4 == "+curvilinear_index"
     assert len(r.times) == 3
     # bathymetry 10..320 m in this subset
     assert 5 < np.nanmin(r._h) < 50

@@ -229,12 +229,14 @@ def test_schism_reader_3d(schism_file):
     u = r._read_frame("x_sea_water_velocity", 0, slice(None),
                       slice(None), slice(None))
     assert u.ndim == 3
-    # u decays from 0.1 at surface to 0 at 40 m
+    # u decays from 0.1 at surface to 0 at 40 m; check the level
+    # nearest 20 m against the profile AT that level's actual depth
     surf = np.nanmedian(u[0])
     i20 = int(np.argmin(np.abs(np.asarray(r.depths) - 20.0)))
+    d20 = float(np.asarray(r.depths)[i20])
     mid = np.nanmedian(u[i20])
     assert abs(surf - 0.1) < 0.01
-    assert abs(mid - 0.05) < 0.01
+    assert abs(mid - 0.1 * (1.0 - d20 / 40.0)) < 0.01
 
 
 def test_schism_reader_2d_dahv(schism_file):

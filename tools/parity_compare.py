@@ -134,6 +134,39 @@ def run_arctic20_3d(cfg):
     return o
 
 
+def run_nordic_sigma_3d(cfg):
+    """Mirror of the reference's reader_ROMS_native end-to-end run.
+    Our ROMSReader samples the NATIVE C-grid in index space (packed
+    native array + lon/lat->fractional-index CRS), the same scheme as
+    the reference's fakeproj + Linear2DInterpolator, with the
+    reference's zlevels as the vertical discretisation — so the
+    comparison isolates trajectory integration over near-identical
+    forcing values (see test_reference_roms_values_parity.py for the
+    value-level bounds)."""
+    from datetime import timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    o = OceanDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    o.set_config("general:use_auto_landmask", False)
+    o.set_config("drift:advection_scheme", cfg["scheme"])
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", True)
+    o.set_config("environment:fallback:upward_sea_water_velocity",
+                 cfg["w_fallback"])
+    r = ROMSReader(cfg["file"])
+    o.add_reader(r)
+    o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
+                    lat=np.asarray(cfg["seed_lat"]),
+                    z=np.asarray(cfg["seed_z"]),
+                    time=r.times[0])
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step"])
+    return o
+
+
 def run_mixing_sundby(cfg):
     from datetime import datetime, timedelta
     from opendrift_tpu.models import OceanDrift
@@ -450,6 +483,7 @@ RUNNERS = {
     "arctic20_rk4": run_arctic20,
     "arctic20_backward": run_arctic20_backward,
     "arctic20_3d_euler": run_arctic20_3d,
+    "nordic_sigma_3d_euler": run_nordic_sigma_3d,
     "mixing_sundby_stat": run_mixing_sundby,
     "openoil_budget_surface": run_openoil_budget,
     "openoil_full_stat": run_openoil_full,
@@ -490,6 +524,8 @@ def compare(name, o, golden):
         "mean_m": float(np.mean(dist)) if dist.size else np.nan,
         "final_max_m": float(np.max(dist_last)) if dist_last.size else np.nan,
         "final_mean_m": float(np.mean(dist_last)) if dist_last.size else np.nan,
+        "final_median_m": float(np.median(dist_last))
+        if dist_last.size else np.nan,
     }
     if "z" in golden and "z" in o.result:
         z_r = np.asarray(golden["z"], np.float64)[:, :nt]

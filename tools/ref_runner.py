@@ -310,6 +310,95 @@ def scenario_arctic20_3d():
     return out
 
 
+NORDIC = os.path.join(
+    REF, "tests/test_data/2Feb2016_Nordic_sigma_3d/Nordic_subset.nc")
+
+
+def scenario_nordic_sigma_3d(scheme="euler"):
+    """ROMS-sigma END-TO-END rung: the reference's OWN
+    reader_ROMS_native on the Nordic-4km sigma subset — C-grid rho/u/v
+    staggering + masks (reference reader_ROMS_native.py:345-407), grid
+    ``angle`` rotation (:420,792), sigma->z via roppy
+    multi_zslice/sdepth (roppy/depth.py), fakeproj curvilinear
+    lon/lat<->index interpolators (structured.py:46-119) — through 100
+    calculation steps of 3D drift with vertical advection (constant
+    sinking w sweeps the elements through the zslice levels).  Seeds
+    sit >=6 grid cells from land in deep water so the rung pins the
+    forcing stack, not coastline handling.  The same file drives the
+    flagship bench (bench.py workload A)."""
+    from opendrift.models.oceandrift import OceanDrift
+    from opendrift.readers.reader_ROMS_native import Reader
+
+    o = OceanDrift(loglevel=30)
+    _common_config(o)
+    o.set_config("drift:advection_scheme", scheme)
+    o.set_config("drift:vertical_mixing", False)
+    o.set_config("drift:vertical_advection", True)
+    w = -3.0e-4
+    o.set_config("environment:fallback:upward_sea_water_velocity", w)
+    r = Reader(NORDIC)
+    o.add_reader(r)
+    n = 40
+    lon = np.linspace(12.9, 14.0, n)
+    lat = np.linspace(67.2, 67.7, n)
+    z0 = np.linspace(-2.0, -40.0, n)
+    o.seed_elements(lon=lon, lat=lat, z=z0, time=r.start_time)
+    result = o.run(duration=timedelta(hours=45), time_step=1620,
+                   time_step_output=1620)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "OceanDrift", "reader": "roms_native_nordic",
+        "scheme": scheme, "time_step": 1620, "duration_s": 45 * 3600,
+        "seed_lon": lon.tolist(), "seed_lat": lat.tolist(),
+        "seed_z": z0.tolist(), "w_fallback": w,
+        "file": NORDIC,
+    })
+    return out
+
+
+def scenario_nordic_values():
+    """ROMS-sigma VALUE-level rung: the reference reader's own
+    ``get_variables_interpolated`` (C-grid masks + angle rotation +
+    roppy sigma->z + fakeproj curvilinear index interpolation +
+    ReaderBlock time blending, reference reader_ROMS_native.py:437-790)
+    sampled at scattered (lon,lat,z) points at two off-frame times —
+    pins the forcing values themselves, independent of trajectory
+    integration."""
+    from opendrift.readers.reader_ROMS_native import Reader
+
+    r = Reader(NORDIC)
+    rng = np.random.default_rng(42)
+    n = 800
+    lon = rng.uniform(12.9, 14.6, n)
+    lat = rng.uniform(67.0, 67.9, n)
+    # blocks of depths sweeping the zslice levels
+    z = np.repeat([-2.0, -15.0, -60.0, -120.0], n // 4)
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity",
+                 "sea_water_temperature", "sea_water_salinity",
+                 "sea_surface_height",
+                 "sea_floor_depth_below_sea_level"]
+    r.prepare(extent=[12.4, 66.8, 15.6, 68.0], start_time=r.start_time,
+              end_time=r.end_time, max_speed=1.0)
+    out = {"lon": lon[None, :], "lat": lat[None, :], "z": z[None, :],
+           "status": np.zeros((1, 1)), "time_s": np.zeros(1)}
+    offsets_h = (6.0, 30.0)       # between daily frames -> time blend
+    for k, off in enumerate(offsets_h):
+        t = r.start_time + timedelta(hours=off)
+        env, _ = r.get_variables_interpolated(
+            variables, time=t, lon=lon, lat=lat, z=z,
+            rotate_to_proj="+proj=latlong +ellps=WGS84")
+        for v in variables:
+            out[f"{v}__t{k}"] = np.ma.filled(
+                np.asarray(env[v], np.float64), np.nan)[None, :]
+    out["config"] = json.dumps({
+        "reader": "roms_native_nordic_values", "file": NORDIC,
+        "n": n, "lon": lon.tolist(), "lat": lat.tolist(),
+        "z": z.tolist(), "offsets_h": list(offsets_h),
+        "variables": variables,
+    })
+    return out
+
+
 def scenario_mixing_sundby():
     """Vertical-mixing STATISTICAL parity: the reference's Visser
     random-walk inner loop (oceandrift.py:397-571) with
@@ -744,6 +833,8 @@ SCENARIOS = {
     "arctic20_rk4": lambda: scenario_arctic20("runge-kutta4"),
     "arctic20_backward": scenario_arctic20_backward,
     "arctic20_3d_euler": scenario_arctic20_3d,
+    "nordic_sigma_3d_euler": lambda: scenario_nordic_sigma_3d("euler"),
+    "nordic_values": scenario_nordic_values,
     "mixing_sundby_stat": scenario_mixing_sundby,
     "openoil_budget_surface": scenario_openoil_budget,
     "openoil_full_stat": scenario_openoil_full,

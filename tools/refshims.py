@@ -586,16 +586,309 @@ class _Dataset:
         return out
 
 
+class _NCVar:
+    """xarray.Variable facade over a decoded numpy array: dims-aware
+    OUTER (orthogonal) indexing — the xarray semantics the reference's
+    reader_ROMS_native relies on for its ``var[itzxy]`` box subsetting
+    (reference reader_ROMS_native.py:560-590) — plus the attribute
+    surface its ctor touches (.data/.values/.attrs/.dims/.chunks/
+    .compute/.set_auto_mask)."""
+
+    def __init__(self, data, dims, attrs=None):
+        self._data = np.asarray(data)
+        self.dims = tuple(dims)
+        self.attrs = dict(attrs or {})
+
+    # --- xarray Variable surface
+    chunks = None
+
+    def compute(self):
+        return self
+
+    def set_auto_mask(self, flag):
+        pass
+
+    @property
+    def data(self):
+        return self._data
+
+    @property
+    def values(self):
+        return self._data
+
+    @property
+    def dtype(self):
+        return self._data.dtype
+
+    @property
+    def shape(self):
+        return self._data.shape
+
+    @property
+    def ndim(self):
+        return self._data.ndim
+
+    def __len__(self):
+        return len(self._data)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._data
+        return a.astype(dtype) if dtype is not None else a
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def min(self, *a, **k):
+        return self._data.min()
+
+    def max(self, *a, **k):
+        return self._data.max()
+
+    def __getitem__(self, key):
+        """OUTER indexing: integer-array indexers select boxes
+        (np.ix_), ints collapse their dimension — xarray.Variable
+        semantics, NOT numpy fancy indexing."""
+        if not isinstance(key, tuple):
+            key = (key,)
+        key = key + (slice(None),) * (self._data.ndim - len(key))
+        axes = []
+        keep = []
+        for ax, k in enumerate(key):
+            size = self._data.shape[ax]
+            if isinstance(k, slice):
+                axes.append(np.arange(*k.indices(size)))
+                keep.append(True)
+            elif isinstance(k, range):
+                axes.append(np.asarray(k, dtype=np.intp))
+                keep.append(True)
+            else:
+                arr = np.asarray(k)
+                if arr.ndim == 0:
+                    axes.append(arr.reshape(1).astype(np.intp))
+                    keep.append(False)
+                else:
+                    if arr.dtype == bool:
+                        arr = np.nonzero(arr)[0]
+                    axes.append(arr.reshape(-1).astype(np.intp))
+                    keep.append(True)
+        out = self._data[np.ix_(*axes)]
+        squeeze = tuple(ax for ax, kp in enumerate(keep) if not kp)
+        if squeeze:
+            out = out.squeeze(axis=squeeze)
+        dims = tuple(d for d, kp in zip(self.dims, keep) if kp)
+        return _NCVar(out, dims, self.attrs)
+
+    def _binop(self, other, op, reflexive=False):
+        o = np.asarray(other)
+        out = op(o, self._data) if reflexive else op(self._data, o)
+        dims = self.dims if out.ndim == self._data.ndim else ()
+        return _NCVar(out, dims, {})
+
+    def __add__(self, other):
+        return self._binop(other, np.add)
+
+    def __radd__(self, other):
+        return self._binop(other, np.add, True)
+
+    def __sub__(self, other):
+        return self._binop(other, np.subtract)
+
+    def __rsub__(self, other):
+        return self._binop(other, np.subtract, True)
+
+    def __mul__(self, other):
+        return self._binop(other, np.multiply)
+
+    def __rmul__(self, other):
+        return self._binop(other, np.multiply, True)
+
+    def __truediv__(self, other):
+        return self._binop(other, np.divide)
+
+    def rename(self, mapping):
+        return _NCVar(self._data,
+                      tuple(mapping.get(d, d) for d in self.dims),
+                      self.attrs)
+
+    def __repr__(self):
+        return f"_NCVar{self.dims}{self._data.shape}"
+
+
+class _FileDataset:
+    """xarray.Dataset facade over an ncio-parsed NetCDF file — the
+    surface ``open_dataset_opendrift`` + reader_ROMS_native touch
+    (reference readers/__init__.py:37-90, reader_ROMS_native.py:80-310).
+    Variables are eagerly CF-decoded (scale/offset/fill) like
+    xarray's mask_and_scale."""
+
+    def __init__(self, variables, attrs=None):
+        self._vars = dict(variables)
+        self.attrs = dict(attrs or {})
+
+    @property
+    def variables(self):
+        return self._vars
+
+    @property
+    def data_vars(self):
+        # xarray: data_vars excludes coordinate variables; the facade
+        # excludes dimension coordinates (name == own dim), which is
+        # what the reference's membership checks need
+        return {n: v for n, v in self._vars.items()
+                if not (v.ndim == 1 and v.dims == (n,))}
+
+    def __iter__(self):
+        return iter(self.data_vars)
+
+    def __len__(self):
+        return len(self.data_vars)
+
+    def __contains__(self, name):
+        return name in self._vars
+
+    def __getitem__(self, name):
+        return self._vars[name]
+
+    def __setitem__(self, name, var):
+        self._vars[name] = var
+
+    def drop_vars(self, names, errors="raise"):
+        if isinstance(names, str):
+            names = [names]
+        drop = set(names)
+        return _FileDataset({n: v for n, v in self._vars.items()
+                             if n not in drop}, self.attrs)
+
+    def filter_by_attrs(self, **kw):
+        out = {}
+        for n, v in self._vars.items():
+            if all(v.attrs.get(k) == val for k, val in kw.items()):
+                out[n] = v
+        return _FileDataset(out, self.attrs)
+
+    def unify_chunks(self):
+        return self
+
+    @property
+    def chunks(self):
+        return {}
+
+    def close(self):
+        pass
+
+
+_CF_TIME_UNITS = {"seconds": "s", "second": "s", "secs": "s", "sec": "s",
+                  "minutes": "m", "minute": "m", "mins": "m",
+                  "hours": "h", "hour": "h",
+                  "days": "D", "day": "D"}
+
+
+def _decode_cf_time(var):
+    units = var.attrs.get("units", "")
+    parts = units.split(" since ")
+    if len(parts) != 2 or parts[0].strip() not in _CF_TIME_UNITS:
+        return var
+    unit = _CF_TIME_UNITS[parts[0].strip()]
+    origin_str = parts[1].strip().replace("T", " ")
+    from datetime import datetime as _dt
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            origin = _dt.strptime(origin_str.split(".")[0], fmt)
+            break
+        except ValueError:
+            origin = None
+    if origin is None:
+        return var
+    base = np.datetime64(origin, "ns")
+    step = np.timedelta64(1, unit).astype("timedelta64[ns]")
+    vals = base + (np.asarray(var.data, np.float64)
+                   * step.astype(np.int64)).astype("timedelta64[ns]")
+    return _NCVar(vals, var.dims, var.attrs)
+
+
+def _open_nc_dataset(path, decode_times=False, **kw):
+    """xr.open_dataset over opendrift_tpu's own NetCDF parser with
+    eager CF mask-and-scale decoding."""
+    from opendrift_tpu.utils import ncio
+
+    ds = ncio.NCFile(str(path))
+    variables = {}
+    for name, v in ds.variables.items():
+        raw = np.asarray(v[:])
+        attrs = dict(v.attrs)
+        fv = attrs.get("_FillValue")
+        sf = attrs.get("scale_factor")
+        ao = attrs.get("add_offset")
+        data = raw
+        if sf is not None or ao is not None:
+            data = raw.astype(np.float64)
+            if fv is not None:
+                # CF: fill compares against the PACKED values; an
+                # unpacked-domain fill (as in the Nordic ROMS subsets,
+                # 9.97e36 on int16 data) never matches — same as xarray
+                if raw.dtype.kind == "f":
+                    data[raw == fv] = np.nan
+                else:
+                    try:
+                        fvi = int(fv)
+                        info = np.iinfo(raw.dtype)
+                        if info.min <= fvi <= info.max:
+                            data[raw == fvi] = np.nan
+                    except (OverflowError, ValueError):
+                        pass
+            data = data * float(sf if sf is not None else 1.0) \
+                + float(ao if ao is not None else 0.0)
+        elif fv is not None and raw.dtype.kind == "f":
+            data = raw.astype(np.float64)
+            data[raw == fv] = np.nan
+        dims = tuple(getattr(v, "dimensions", ()) or ())
+        if len(dims) != raw.ndim:
+            dims = tuple(f"dim_{name}_{i}" for i in range(raw.ndim))
+        variables[name] = _NCVar(data, dims, attrs)
+    out = _FileDataset(variables, dict(getattr(ds, "attrs", {}) or {}))
+    if decode_times:
+        out = _shim_decode_cf(out)
+    return out
+
+
+def _shim_decode_cf(ds, decode_times=True):
+    if not decode_times:
+        return ds
+    for name in list(ds.variables):
+        ds.variables[name] = _decode_cf_time(ds.variables[name])
+    return ds
+
+
 def _build_xarray():
     xr = types.ModuleType("xarray")
     xr.Dataset = _Dataset
     xr.DataArray = _DataArray
+    xr.Variable = _NCVar
 
-    def open_dataset(*a, **kw):
-        raise NotImplementedError("xarray shim: open_dataset not supported")
+    def open_dataset(source, *a, **kw):
+        return _open_nc_dataset(source,
+                                decode_times=kw.get("decode_times", True))
+
+    def open_mfdataset(source, *a, **kw):
+        if isinstance(source, (list, tuple)) and len(source) == 1:
+            source = source[0]
+        if isinstance(source, str):
+            import glob as _glob
+            matches = sorted(_glob.glob(source))
+            if len(matches) == 1:
+                source = matches[0]
+        if isinstance(source, str):
+            ds = _open_nc_dataset(source,
+                                  decode_times=kw.get("decode_times",
+                                                      True))
+            pre = kw.get("preprocess")
+            return pre(ds) if pre is not None else ds
+        raise NotImplementedError(
+            "xarray shim: true multi-file open not supported")
 
     xr.open_dataset = open_dataset
-    xr.open_mfdataset = open_dataset
+    xr.open_mfdataset = open_mfdataset
+    xr.decode_cf = _shim_decode_cf
     return xr
 
 
