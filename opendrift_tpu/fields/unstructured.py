@@ -74,7 +74,10 @@ class UnstructuredReader(StructuredGridReader):
                 self._regrid.shape), 1.0, 0.0).astype(np.float32)
             return land[yslice, xslice]
         vals = self._node_values(std, ti)
-        return self._regrid(vals)[yslice, xslice]
+        out = self._regrid(vals)
+        if out.ndim == 3:
+            return out[zslice, yslice, xslice]
+        return out[yslice, xslice]
 
     # ------------------------------------------------- native mesh path --
     def _node_frame(self, std, ti):
@@ -272,11 +275,15 @@ class TelemacReader(UnstructuredReader):
     VARIABLE_MAP = {
         "VELOCITY U": "x_sea_water_velocity",
         "VELOCITY V": "y_sea_water_velocity",
+        "VELOCITY W": "upward_sea_water_velocity",
         "FREE SURFACE": "sea_surface_height",
         "WATER DEPTH": "sea_floor_depth_below_sea_level",
         "TEMPERATURE": "sea_water_temperature",
         "SALINITY": "sea_water_salinity",
     }
+    # variables that live on a single plane even in 3D results
+    _2D_VARS = {"sea_surface_height", "sea_floor_depth_below_sea_level",
+                "land_binary_mask"}
 
     def __init__(self, filename, proj4, start_time=None,
                  resolution_deg=None, name=None, sampling="regrid"):
@@ -314,8 +321,32 @@ class TelemacReader(UnstructuredReader):
                 self._name_index[std] = i
                 self.variables.append(std)
         self.variables.append("land_binary_mask")
-        self._var_has_z = {v: False for v in self.variables}
+        # 3D results (NPLAN sigma planes, bottom-up) with ELEVATION Z:
+        # node columns are zsliced onto fixed target depths at load,
+        # mirroring the reference's nearest-layer selection from the
+        # same variable (reference reader_telemac_selafin.py:222-236)
+        self._use_3d = (nplan > 1
+                        and "ELEVATION Z" in self._slf.variable_names)
+        if self._use_3d:
+            self._z_idx = self._slf.variable_names.index("ELEVATION Z")
+            z0 = self._plane_values(self._z_idx, 0)
+            hmax = float(-np.nanmin(z0[0]))
+            from .roms import DEFAULT_DEPTHS
+            cut = int(np.searchsorted(DEFAULT_DEPTHS,
+                                      max(hmax, 5.0))) + 1
+            self.depths = DEFAULT_DEPTHS[:max(cut, 2)]
+            self._var_has_z = {v: v not in self._2D_VARS
+                               for v in self.variables}
+        else:
+            self._var_has_z = {v: False for v in self.variables}
         super().__init__(resolution_deg=resolution_deg, sampling=sampling)
+
+    def _plane_values(self, raw_idx, ti):
+        """(nplan, npoin2) node values of one raw variable (planes
+        bottom-up, Telemac plane-major node numbering)."""
+        vals = self._slf.read_variable(raw_idx, ti)
+        return np.asarray(vals, np.float64).reshape(self._nplan,
+                                                    self._npoin2d)
 
     def _surface_triangles(self):
         """2D triangulation from the file's IKLE connectivity; for 3D
@@ -345,28 +376,47 @@ class TelemacReader(UnstructuredReader):
             return None
         return tris.astype(np.int32)
 
+    def _zslice_planes(self, data, ti):
+        """(nplan, npoin2) plane data -> (L, npoin2) at self.depths via
+        the frame's ELEVATION Z columns (roms.zslice_columns)."""
+        from .roms import zslice_columns
+        zcor = self._plane_values(self._z_idx, ti)
+        return zslice_columns(np.asarray(data, np.float32), zcor,
+                              self.depths)
+
     def _node_values(self, std, ti):
         uvs = ("x_sea_water_velocity", "y_sea_water_velocity")
+        use3d = getattr(self, "_use_3d", False)
         if std in uvs and all(v in self._name_index for v in uvs):
             # velocities are along the mesh projection's axes — rotate to
             # east/north by the grid convergence, as the reference's
             # rotate_vectors does (reference variables.py:59-109)
             if ti not in self._uv_cache:
-                u = self._slf.read_variable(
-                    self._name_index[uvs[0]], ti)[self._surf]
-                v = self._slf.read_variable(
-                    self._name_index[uvs[1]], ti)[self._surf]
+                if use3d:
+                    u = self._plane_values(self._name_index[uvs[0]], ti)
+                    v = self._plane_values(self._name_index[uvs[1]], ti)
+                else:
+                    u = self._slf.read_variable(
+                        self._name_index[uvs[0]], ti)[self._surf]
+                    v = self._slf.read_variable(
+                        self._name_index[uvs[1]], ti)[self._surf]
                 if self._gamma_nodes is None:
                     self._gamma_nodes = self._mesh_crs.convergence(
                         np, self._node_lon, self._node_lat)
                 ue, vn = crslib.rotate_to_eastnorth(np, u, v,
                                                     self._gamma_nodes)
+                if use3d:
+                    ue = self._zslice_planes(ue, ti)
+                    vn = self._zslice_planes(vn, ti)
                 if len(self._uv_cache) > 8:
                     self._uv_cache.clear()
                 self._uv_cache[ti] = (ue.astype(np.float32),
                                       vn.astype(np.float32))
             u, v = self._uv_cache[ti]
             return u if std == uvs[0] else v
+        if use3d and self._var_has_z.get(std):
+            return self._zslice_planes(
+                self._plane_values(self._name_index[std], ti), ti)
         vals = self._slf.read_variable(self._name_index[std], ti)
         return vals[self._surf]
 

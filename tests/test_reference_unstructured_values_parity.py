@@ -1,0 +1,126 @@
+"""Unstructured-reader VALUE parity vs the ACTUAL reference readers.
+
+The reference's own unstructured fixtures are THREDDS URLs (zero
+egress), so the goldens sample the reference readers on deterministic
+synthetic files (tools/unstructured_fixtures.py) whose fields are
+ANALYTIC — so besides bounding ours-vs-reference, each rung measures
+both engines against ground truth.
+
+Measured on the Telemac-3D rung (600 scattered points x full water
+column x 2 off-frame times):
+
+- ours vs reference: u/v rms ~0.025/0.015 m/s, T rms ~0.42 K — almost
+  exactly the reference's OWN truth error, because the difference IS
+  the reference's piecewise-constant sampling (nearest node + nearest
+  layer, reference basereader/unstructured.py:146-187,
+  reader_telemac_selafin.py:222-236) vs our linear interpolation.
+- truth error: ours is 5-6x smaller (u rms 0.004 vs 0.024 m/s,
+  T 0.076 vs 0.40 K) — the quantified version of "barycentric beats
+  nearest-node" asked for by the round-3 review.
+
+Regenerate goldens: python tools/ref_runner.py --scenario telemac_values
+"""
+
+import json
+import os
+import sys
+from datetime import timedelta
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "tools"))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _load(name):
+    path = os.path.join(GOLDEN_DIR, f"ref_traj_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated")
+    d = np.load(path, allow_pickle=False)
+    return d, json.loads(str(d["config"]))
+
+
+def _ensure_fixture(cfg):
+    import unstructured_fixtures as uf
+    path = cfg["fixture"]
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        uf.make_telemac_3d(path)
+    return path
+
+
+# var -> (bound on ours-vs-ref rms, bound on |ours-ref| max); these are
+# the measured piecewise-constant deltas with ~50% headroom
+TELEMAC_BOUNDS = {
+    "x_sea_water_velocity": (0.04, 0.12),
+    "y_sea_water_velocity": (0.025, 0.08),
+    "upward_sea_water_velocity": (3e-5, 1e-4),
+    "sea_water_temperature": (0.6, 1.7),
+    "sea_water_salinity": (0.25, 0.6),
+}
+
+
+@pytest.mark.parametrize("mode", ["regrid", "native"])
+def test_telemac_values_match_reference(mode):
+    from opendrift_tpu.fields.unstructured import TelemacReader
+
+    d, cfg = _load("telemac_values")
+    fixture = _ensure_fixture(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    r = TelemacReader(fixture, proj4=cfg["proj4"], sampling=mode)
+    for k, off in enumerate(cfg["offsets_s"]):
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=cfg["variables"], z=z)
+        for v in cfg["variables"]:
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            both = np.isfinite(ref) & np.isfinite(ours)
+            assert both.sum() >= 0.97 * len(lon), v
+            dd = ours[both] - ref[both]
+            rb, mb = TELEMAC_BOUNDS[v]
+            rms = float(np.sqrt((dd ** 2).mean()))
+            mx = float(np.abs(dd).max())
+            assert rms < rb, f"{v} t{k} {mode}: rms {rms:.4g} >= {rb}"
+            assert mx < mb, f"{v} t{k} {mode}: max {mx:.4g} >= {mb}"
+
+
+def test_telemac_truth_error_beats_reference():
+    """Both engines vs the fixture's analytic truth: our linear
+    (barycentric + z-linear) sampling must stay at least 3x closer to
+    truth than the reference's nearest-node/nearest-layer (measured
+    5-6x; bound leaves headroom)."""
+    import unstructured_fixtures as uf
+    from opendrift_tpu.fields.unstructured import TelemacReader
+
+    d, cfg = _load("telemac_values")
+    fixture = _ensure_fixture(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    x = np.array(cfg["x"])
+    y = np.array(cfg["y"])
+    h = uf._depth(x, y)
+    r = TelemacReader(fixture, proj4=cfg["proj4"])
+    for k, off in enumerate(cfg["offsets_s"]):
+        frac = np.clip(1.0 + z / h, 0.0, 1.0)
+        u_t, v_t, w_t, T_t, S_t = uf._fields(x, y, frac, off)
+        truth = {"x_sea_water_velocity": u_t,
+                 "y_sea_water_velocity": v_t,
+                 "sea_water_temperature": T_t,
+                 "sea_water_salinity": S_t}
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=list(truth), z=z)
+        for v, tv in truth.items():
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            b = np.isfinite(ref) & np.isfinite(ours)
+            e_ref = float(np.sqrt(np.mean((ref[b] - tv[b]) ** 2)))
+            e_our = float(np.sqrt(np.mean((ours[b] - tv[b]) ** 2)))
+            assert e_our * 3.0 < e_ref, \
+                (f"{v} t{k}: ours {e_our:.4g} not 3x better than "
+                 f"reference {e_ref:.4g}")

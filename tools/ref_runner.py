@@ -399,6 +399,51 @@ def scenario_nordic_values():
     return out
 
 
+def scenario_telemac_values():
+    """Telemac-3D VALUE-level rung: the reference's own
+    reader_telemac_selafin (KD-tree nearest node, ELEVATION-Z nearest
+    layer, two-frame time blending, Lambert->east/north vector
+    rotation; reference reader_telemac_selafin.py:200-297) sampled at
+    scattered (lon,lat,z,t) points on a deterministic synthetic 3D
+    Selafin fixture (tools/unstructured_fixtures.py — the reference's
+    own fixtures are THREDDS URLs, unreachable here)."""
+    from unstructured_fixtures import (make_telemac_3d, sample_points,
+                                       TELEMAC_PROJ)
+    from opendrift.readers.reader_telemac_selafin import Reader
+    from opendrift_tpu.utils import crs as tcrs
+
+    fix_dir = os.path.join(REPO, "tests", "data")
+    os.makedirs(fix_dir, exist_ok=True)
+    fixture = os.path.join(fix_dir, "telemac3d_synth.slf")
+    if not os.path.exists(fixture):
+        make_telemac_3d(fixture)
+    r = Reader(fixture, proj4=TELEMAC_PROJ)
+    x, y, z = sample_points()
+    proj = tcrs.from_proj4(TELEMAC_PROJ)
+    lon, lat = proj.inv(np, x, y)
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity",
+                 "upward_sea_water_velocity", "sea_water_temperature",
+                 "sea_water_salinity"]
+    out = {"lon": lon[None, :], "lat": lat[None, :], "z": z[None, :],
+           "status": np.zeros((1, 1)), "time_s": np.zeros(1)}
+    offsets_s = (1800.0, 5400.0)
+    for k, off in enumerate(offsets_s):
+        t = r.start_time + timedelta(seconds=off)
+        env, _ = r.get_variables_interpolated(
+            variables, time=t, lon=lon, lat=lat, z=z,
+            rotate_to_proj="+proj=latlong +ellps=WGS84")
+        for v in variables:
+            out[f"{v}__t{k}"] = np.ma.filled(
+                np.asarray(env[v], np.float64), np.nan)[None, :]
+    out["config"] = json.dumps({
+        "reader": "telemac_values", "fixture": fixture,
+        "proj4": TELEMAC_PROJ, "n": len(x),
+        "x": x.tolist(), "y": y.tolist(), "z": z.tolist(),
+        "offsets_s": list(offsets_s), "variables": variables,
+    })
+    return out
+
+
 def scenario_mixing_sundby():
     """Vertical-mixing STATISTICAL parity: the reference's Visser
     random-walk inner loop (oceandrift.py:397-571) with
@@ -835,6 +880,7 @@ SCENARIOS = {
     "arctic20_3d_euler": scenario_arctic20_3d,
     "nordic_sigma_3d_euler": lambda: scenario_nordic_sigma_3d("euler"),
     "nordic_values": scenario_nordic_values,
+    "telemac_values": scenario_telemac_values,
     "mixing_sundby_stat": scenario_mixing_sundby,
     "openoil_budget_surface": scenario_openoil_budget,
     "openoil_full_stat": scenario_openoil_full,

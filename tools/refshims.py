@@ -1055,8 +1055,59 @@ def _stub(name, **attrs):
     return mod
 
 
+def _build_selafin_shim():
+    """``data_manip.formats.selafin.Selafin`` facade (the Telemac PYTEL
+    class the reference's reader_telemac_selafin imports) over
+    opendrift_tpu's own Selafin parser.  Shared-code caveat (like the
+    adios shim): FILE decoding is ours on both sides; what the goldens
+    validate is the reference's unstructured interpolation machinery
+    (KD-tree nearest node, layer selection, time blending,
+    reference reader_telemac_selafin.py:200-297)."""
+
+    class Selafin:
+        def __init__(self, path):
+            from opendrift_tpu.utils.selafin import SelafinFile
+            sf = SelafinFile(path)
+            self._sf = sf
+            self.file = {"path": path}
+            self.title = sf.title
+            nplan = max(sf.iparam[6], 1)
+            self.nplan = nplan
+            self.npoin2 = sf.n_nodes // nplan
+            self.npoin3 = sf.n_nodes
+            self.meshx = sf.x[:self.npoin2]
+            self.meshy = sf.y[:self.npoin2]
+            self.ikle2 = sf.connectivity[:, :3]
+            # Telemac stores names padded to 16 chars; the reference's
+            # vardic compares against padded strings
+            self.varnames = [n.ljust(16) for n in sf.variable_names]
+            self.varindex = list(range(len(self.varnames)))
+            self.tags = {"times": np.asarray(sf.times_seconds)}
+            self.datetime = list(sf.date) if sf.date is not None \
+                else [1972, 7, 13, 17, 15, 13]
+
+        def get_variables_at(self, frame, var_indices):
+            if len(var_indices) == 0:
+                return np.zeros((0, self._sf.n_nodes))
+            return np.vstack([
+                np.asarray(self._sf.read_variable(int(i), int(frame)),
+                           np.float64)
+                for i in var_indices])
+
+    data_manip = types.ModuleType("data_manip")
+    formats = types.ModuleType("data_manip.formats")
+    selafin_mod = types.ModuleType("data_manip.formats.selafin")
+    selafin_mod.Selafin = Selafin
+    data_manip.formats = formats
+    formats.selafin = selafin_mod
+    sys.modules["data_manip"] = data_manip
+    sys.modules["data_manip.formats"] = formats
+    sys.modules["data_manip.formats.selafin"] = selafin_mod
+
+
 def install():
     """Install all shims into sys.modules (idempotent)."""
+    _build_selafin_shim()
     if "pyproj" not in sys.modules:
         sys.modules["pyproj"] = _build_pyproj()
     if "xarray" not in sys.modules:
@@ -1134,17 +1185,56 @@ def install():
     cartopy.io = _stub("cartopy.io")
     cartopy.io.shapereader = _stub("cartopy.io.shapereader")
 
+    class _ShimPolygon:
+        """Enough of shapely.Polygon for the reference's unstructured
+        mesh boundary (convex-hull polygon + point-in-polygon test via
+        matplotlib.path, reference basereader/unstructured.py:108-145).
+        """
+
+        def __init__(self, coords=None, *a, **k):
+            self._coords = np.asarray(coords, np.float64) \
+                if coords is not None else np.zeros((0, 2))
+
+        @property
+        def exterior(self):
+            pts = self._coords
+
+            class _Ext:
+                xy = (pts[:, 0], pts[:, 1])
+                coords = [tuple(p) for p in pts]
+            return _Ext()
+
+    class _PreparedPolygon:
+        def __init__(self, poly):
+            self.context = poly
+            from matplotlib.path import Path
+            self._path = Path(poly._coords)
+
+        def contains_points(self, pts):
+            return self._path.contains_points(pts, radius=1e-9)
+
+    def _vectorized_contains(prepped, x, y):
+        pts = np.column_stack([np.atleast_1d(x).ravel(),
+                               np.atleast_1d(y).ravel()])
+        if isinstance(prepped, _PreparedPolygon):
+            return prepped.contains_points(pts)
+        from matplotlib.path import Path
+        return Path(prepped._coords).contains_points(pts, radius=1e-9)
+
     shapely = _stub("shapely",
                     clip_by_rect=lambda *a, **k: None,
                     wkb=None)
     shapely.geometry = _stub("shapely.geometry", box=lambda *a, **k: None,
-                             Polygon=object, MultiPolygon=object,
+                             Polygon=_ShimPolygon, MultiPolygon=object,
                              Point=object, shape=lambda *a, **k: None,
                              asPolygon=lambda *a, **k: None)
     shapely.wkb = _stub("shapely.wkb", loads=lambda *a, **k: None)
     shapely.wkt = _stub("shapely.wkt", loads=lambda *a, **k: None)
     shapely.ops = _stub("shapely.ops")
-    shapely.prepared = _stub("shapely.prepared", prep=lambda x: x)
+    shapely.prepared = _stub("shapely.prepared",
+                             prep=lambda p: _PreparedPolygon(p))
+    shapely.vectorized = _stub("shapely.vectorized",
+                               contains=_vectorized_contains)
 
     def _gj(kind):
         def make(coords=None, **kw):

@@ -1,0 +1,131 @@
+"""Deterministic synthetic unstructured-model output files, shared by
+the reference-parity golden generator (tools/ref_runner.py) and the
+test suite: both sides must read the IDENTICAL file, so the builders
+are seeded and bit-stable.
+
+The reference's own unstructured fixtures are THREDDS URLs (reference
+tests/readers/test_schism_native.py:7, test_fvcom.py:9, test_shyfem.py:7
+— unreachable here, zero egress) and its only local Telemac file lacks
+the ELEVATION Z variable its own reader needs for a 3D fetch, so value
+parity runs on these synthetic files instead.
+"""
+
+import struct
+
+import numpy as np
+
+# Lambert-North projection from the reference's own Telemac test
+# (reference tests/readers/test_selafin.py:21-24)
+TELEMAC_PROJ = ("+proj=lcc +lat_1=49.50000000000001 "
+                "+lat_0=49.50000000000001 +lon_0=0 +k_0=0.999877341 "
+                "+x_0=600000 +y_0=200000 +a=6378249.2 +b=6356515 "
+                "+units=m +no_defs")
+
+
+def _mesh2d(n_nodes=500, L=20000.0, x0=600000.0, y0=200000.0, seed=11):
+    """Scattered 2D nodes in an LxL box + Delaunay triangulation."""
+    rng = np.random.default_rng(seed)
+    # jittered grid: irregular but well-conditioned triangles
+    side = int(np.sqrt(n_nodes))
+    gx, gy = np.meshgrid(np.linspace(0, L, side), np.linspace(0, L, side))
+    x = (gx + rng.uniform(-0.3, 0.3, gx.shape) * L / side).ravel() + x0
+    y = (gy + rng.uniform(-0.3, 0.3, gy.shape) * L / side).ravel() + y0
+    from scipy.spatial import Delaunay
+    tri = Delaunay(np.column_stack([x - x0, y - y0]))
+    return x, y, tri.simplices
+
+
+def _fields(x, y, plane_frac, t_sec, L=20000.0,
+            x0=600000.0, y0=200000.0):
+    """Analytic smooth fields: horizontal eddies + vertical shear +
+    slow time evolution.  plane_frac: 0 at bottom .. 1 at surface.
+    Normalisation is ABSOLUTE (box origin), so truth can be evaluated
+    at arbitrary points."""
+    xs = (x - x0) / L * 2 * np.pi
+    ys = (y - y0) / L * 2 * np.pi
+    amp = 1.0 + 0.25 * t_sec / 7200.0
+    u = amp * (0.25 * np.sin(xs) * np.cos(ys) + 0.15 * plane_frac)
+    v = amp * (-0.20 * np.cos(xs) * np.sin(ys) + 0.05 * plane_frac)
+    w = 1e-4 * np.sin(xs + ys)
+    temp = 6.0 + 4.0 * plane_frac + 0.5 * np.sin(xs) + 0.1 * amp
+    salt = 35.0 - 1.5 * plane_frac - 0.2 * np.cos(ys)
+    return u, v, w, temp, salt
+
+
+def _depth(x, y, L=20000.0, x0=600000.0, y0=200000.0):
+    xs = np.clip((x - x0) / L, 0.0, 1.0)
+    ys = np.clip((y - y0) / L, 0.0, 1.0)
+    return 30.0 + 60.0 * np.sin(np.pi * xs) * np.sin(np.pi * ys)
+
+
+def make_telemac_3d(path, nplan=4):
+    """3D Telemac Selafin file: NPLAN sigma planes (bottom-up), with
+    ELEVATION Z so the reference reader's nearest-layer z selection
+    works (reference reader_telemac_selafin.py:222-236)."""
+    x2, y2, ikle2 = _mesh2d()
+    npoin2 = len(x2)
+    h = _depth(x2, y2)
+    times = [0.0, 3600.0, 7200.0]
+    names = ["VELOCITY U", "VELOCITY V", "VELOCITY W",
+             "TEMPERATURE", "SALINITY", "ELEVATION Z"]
+    units = ["M/S", "M/S", "M/S", "DEGREES C", "", "M"]
+
+    def rec(payload):
+        return (struct.pack(">i", len(payload)) + payload
+                + struct.pack(">i", len(payload)))
+
+    out = []
+    out.append(rec(("SYNTHETIC TELEMAC 3D PARITY FIXTURE".ljust(72)
+                    + "SERAFIN ").encode()))
+    out.append(rec(struct.pack(">ii", len(names), 0)))
+    for n, u in zip(names, units):
+        out.append(rec((n.ljust(16) + u.ljust(16)).encode()))
+    iparam = [1, 0, 0, 0, 0, 0, nplan, 0, 0, 1]
+    out.append(rec(struct.pack(">10i", *iparam)))
+    out.append(rec(struct.pack(">6i", 2021, 6, 1, 0, 0, 0)))
+    # 3D mesh: prisms over the 2D triangulation
+    nelem2 = len(ikle2)
+    nelem3 = nelem2 * (nplan - 1)
+    npoin3 = npoin2 * nplan
+    out.append(rec(struct.pack(">4i", nelem3, npoin3, 6, 1)))
+    ikle3 = np.zeros((nelem3, 6), np.int64)
+    for p in range(nplan - 1):
+        lower = ikle2 + p * npoin2
+        upper = ikle2 + (p + 1) * npoin2
+        ikle3[p * nelem2:(p + 1) * nelem2] = np.hstack([lower, upper])
+    out.append(rec((ikle3 + 1).astype(">i4").tobytes()))
+    out.append(rec(np.zeros(npoin3, ">i4").tobytes()))
+    x3 = np.tile(x2, nplan)
+    y3 = np.tile(y2, nplan)
+    out.append(rec(x3.astype(">f4").tobytes()))
+    out.append(rec(y3.astype(">f4").tobytes()))
+    for t in times:
+        out.append(rec(struct.pack(">f", t)))
+        planes = []
+        for p in range(nplan):
+            frac = p / (nplan - 1)
+            zp = -h * (1.0 - frac)          # bottom -h .. surface 0
+            planes.append((frac, zp))
+        for vi, name in enumerate(names):
+            vals = np.empty(npoin3, np.float64)
+            for p, (frac, zp) in enumerate(planes):
+                u, v, w, temp, salt = _fields(x2, y2, frac, t)
+                data = {"VELOCITY U": u, "VELOCITY V": v,
+                        "VELOCITY W": w, "TEMPERATURE": temp,
+                        "SALINITY": salt, "ELEVATION Z": zp}[name]
+                vals[p * npoin2:(p + 1) * npoin2] = data
+            out.append(rec(vals.astype(">f4").tobytes()))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+    return path
+
+
+def sample_points(n=600, seed=5, L=20000.0, x0=600000.0, y0=200000.0):
+    """Scattered sample positions inside the mesh interior (metres in
+    the Telemac projection) + depths spanning the water column."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(x0 + 0.08 * L, x0 + 0.92 * L, n)
+    y = rng.uniform(y0 + 0.08 * L, y0 + 0.92 * L, n)
+    h = _depth(x, y)
+    z = -rng.uniform(0.02, 0.95, n) * h
+    return x, y, z
