@@ -586,7 +586,14 @@ class SHYFEMReader(UnstructuredReader):
         var = self._ds.variables[vn]
         vals = ncio.cf_unpack(
             var, var[ti] if "time" in var.dimensions else var[:])
-        return vals if has_z else vals.ravel()
+        if not has_z:
+            return vals.ravel()
+        # real SHYFEM output is (time, node, level) (reference
+        # unstructured/shyfem.py:188-199); normalise to (level, node)
+        dims = [d for d in var.dimensions if d != "time"]
+        if vals.ndim == 2 and dims and dims[0] == "node":
+            vals = vals.T
+        return vals
 
     def _read_frame(self, std, ti, zslice, yslice, xslice):
         if std == "land_binary_mask":

@@ -124,3 +124,89 @@ def test_telemac_truth_error_beats_reference():
             assert e_our * 3.0 < e_ref, \
                 (f"{v} t{k}: ours {e_our:.4g} not 3x better than "
                  f"reference {e_ref:.4g}")
+
+
+SHYFEM_BOUNDS = {
+    "x_sea_water_velocity": (0.045, 0.13),
+    "y_sea_water_velocity": (0.030, 0.08),
+    "sea_water_temperature": (0.5, 1.1),
+    "sea_water_salinity": (0.20, 0.45),
+}
+
+
+def _ensure_shyfem(cfg):
+    import unstructured_fixtures as uf
+    path = cfg["fixture"]
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        uf.make_shyfem(path)
+    return path
+
+
+def test_shyfem_values_match_reference():
+    """vs the reference's own SHYFEM reader (nearest node + nearest
+    fixed LEVEL, reference unstructured/shyfem.py:150-231).  The
+    reference declares z below the deepest layer CENTRE uncovered
+    (zmin=-55 here, variables.py:242) and returns NaN there; ours
+    clamps into the bottom layer (a particle at -60 m IS inside the
+    30-80 m layer), so the comparison runs on the reference-covered
+    subset and the coverage difference is asserted explicitly."""
+    from opendrift_tpu.fields.unstructured import SHYFEMReader
+
+    d, cfg = _load("shyfem_values")
+    fixture = _ensure_shyfem(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    r = SHYFEMReader(fixture)
+    for k, off in enumerate(cfg["offsets_s"]):
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=cfg["variables"], z=z)
+        for v in cfg["variables"]:
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            # reference-side NaN = exactly the z < zmin points
+            ref_nan = ~np.isfinite(ref)
+            assert (z[ref_nan] < -55.0 + 1e-6).all()
+            assert np.isfinite(ours).all()
+            b = ~ref_nan
+            assert b.sum() > 300
+            dd = ours[b] - ref[b]
+            rb, mb = SHYFEM_BOUNDS[v]
+            rms = float(np.sqrt((dd ** 2).mean()))
+            mx = float(np.abs(dd).max())
+            assert rms < rb, f"{v} t{k}: rms {rms:.4g} >= {rb}"
+            assert mx < mb, f"{v} t{k}: max {mx:.4g} >= {mb}"
+
+
+def test_shyfem_truth_error_beats_reference():
+    """Both engines vs analytic truth on the reference-covered subset:
+    ours (barycentric + z-linear between layer centres) must be >=3x
+    closer (measured 6-86x)."""
+    import unstructured_fixtures as uf
+    from opendrift_tpu.fields.unstructured import SHYFEMReader
+
+    d, cfg = _load("shyfem_values")
+    fixture = _ensure_shyfem(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    xm, ym = uf.shyfem_xy(lon, lat)
+    r = SHYFEMReader(fixture)
+    for k, off in enumerate(cfg["offsets_s"]):
+        frac = 1.0 + z / uf.SHYFEM_H
+        u_t, v_t, w_t, T_t, S_t = uf._fields(xm, ym, frac, off)
+        truth = {"x_sea_water_velocity": u_t,
+                 "y_sea_water_velocity": v_t,
+                 "sea_water_temperature": T_t,
+                 "sea_water_salinity": S_t}
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=list(truth), z=z)
+        for v, tv in truth.items():
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            b = np.isfinite(ref) & np.isfinite(ours)
+            e_ref = float(np.sqrt(np.mean((ref[b] - tv[b]) ** 2)))
+            e_our = float(np.sqrt(np.mean((ours[b] - tv[b]) ** 2)))
+            assert e_our * 3.0 < e_ref, \
+                (f"{v} t{k}: ours {e_our:.4g} vs reference {e_ref:.4g}")

@@ -444,6 +444,42 @@ def scenario_telemac_values():
     return out
 
 
+def scenario_shyfem_values():
+    """SHYFEM VALUE-level rung: the reference's own unstructured SHYFEM
+    reader (KD-tree nearest node + nearest fixed level, reference
+    unstructured/shyfem.py:150-231) on a deterministic synthetic file
+    with the real (time, node, level) layout."""
+    from unstructured_fixtures import make_shyfem, shyfem_sample_points
+    from opendrift.readers.unstructured.shyfem import Reader
+
+    fix_dir = os.path.join(REPO, "tests", "data")
+    os.makedirs(fix_dir, exist_ok=True)
+    fixture = os.path.join(fix_dir, "shyfem_synth.nc")
+    if not os.path.exists(fixture):
+        make_shyfem(fixture)
+    r = Reader(fixture)
+    lon, lat, z = shyfem_sample_points()
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity",
+                 "sea_water_temperature", "sea_water_salinity"]
+    out = {"lon": lon[None, :], "lat": lat[None, :], "z": z[None, :],
+           "status": np.zeros((1, 1)), "time_s": np.zeros(1)}
+    offsets_s = (1800.0, 5400.0)
+    for k, off in enumerate(offsets_s):
+        t = r.start_time + timedelta(seconds=off)
+        env, _ = r.get_variables_interpolated(
+            variables, time=t, lon=lon, lat=lat, z=z,
+            rotate_to_proj="+proj=latlong +ellps=WGS84")
+        for v in variables:
+            out[f"{v}__t{k}"] = np.ma.filled(
+                np.asarray(env[v], np.float64), np.nan)[None, :]
+    out["config"] = json.dumps({
+        "reader": "shyfem_values", "fixture": fixture,
+        "n": len(lon), "z": z.tolist(),
+        "offsets_s": list(offsets_s), "variables": variables,
+    })
+    return out
+
+
 def scenario_mixing_sundby():
     """Vertical-mixing STATISTICAL parity: the reference's Visser
     random-walk inner loop (oceandrift.py:397-571) with
@@ -881,6 +917,7 @@ SCENARIOS = {
     "nordic_sigma_3d_euler": lambda: scenario_nordic_sigma_3d("euler"),
     "nordic_values": scenario_nordic_values,
     "telemac_values": scenario_telemac_values,
+    "shyfem_values": scenario_shyfem_values,
     "mixing_sundby_stat": scenario_mixing_sundby,
     "openoil_budget_surface": scenario_openoil_budget,
     "openoil_full_stat": scenario_openoil_full,

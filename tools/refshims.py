@@ -1163,12 +1163,97 @@ def install():
 
     _stub("roaring_landmask", RoaringLandmask=_RoaringLandmask)
 
-    class _NCDataset:
-        def __init__(self, *a, **kw):
-            raise NotImplementedError("netCDF4 shim")
+    class _NC4Variable:
+        """netCDF4.Variable facade over an ncio variable: attributes
+        surface as python attributes (decoded), masked-array reads, CF
+        scale/offset/fill decoding — what the reference's FVCOM/SHYFEM
+        readers touch (reference reader_netCDF_CF_unstructured.py,
+        unstructured/shyfem.py)."""
 
-    _stub("netCDF4", Dataset=_NCDataset,
-          num2date=lambda *a, **k: None, date2num=lambda *a, **k: None)
+        def __init__(self, v):
+            self.__dict__["_v"] = v
+            self.__dict__["dimensions"] = tuple(v.dimensions)
+            self.__dict__["shape"] = tuple(v.shape)
+            self.__dict__["dtype"] = v.dtype
+            attrs = {}
+            for k, val in v.attrs.items():
+                if isinstance(val, bytes):
+                    val = val.decode("utf-8", "replace")
+                attrs[k] = val
+            self.__dict__["_attrs"] = attrs
+
+        def ncattrs(self):
+            return list(self._attrs)
+
+        def getncattr(self, k):
+            return self._attrs[k]
+
+        def __getattr__(self, k):
+            try:
+                return self.__dict__["_attrs"][k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __len__(self):
+            return self.shape[0] if self.shape else 0
+
+        def __getitem__(self, idx):
+            raw = np.asarray(self._v[idx])
+            a = self._attrs
+            fv = a.get("_FillValue", a.get("missing_value"))
+            sf = a.get("scale_factor")
+            ao = a.get("add_offset")
+            data = raw
+            if sf is not None or ao is not None:
+                data = raw.astype(np.float64) \
+                    * float(sf if sf is not None else 1.0) \
+                    + float(ao if ao is not None else 0.0)
+            out = np.ma.masked_invalid(np.ma.asarray(data))
+            if fv is not None:
+                try:
+                    out = np.ma.masked_equal(out, type(raw.ravel()[0]
+                                                       .item())(fv))
+                except Exception:
+                    pass
+            return out
+
+    class _NC4Dataset:
+        def __init__(self, path, mode="r", *a, **kw):
+            from opendrift_tpu.utils import ncio
+            self.__dict__["_nc"] = ncio.NCFile(str(path))
+            self.__dict__["variables"] = {
+                n: _NC4Variable(v)
+                for n, v in self._nc.variables.items()}
+            attrs = {}
+            for k, val in getattr(self._nc, "attrs", {}).items():
+                if isinstance(val, bytes):
+                    val = val.decode("utf-8", "replace")
+                attrs[k] = val
+            self.__dict__["_attrs"] = attrs
+
+        def ncattrs(self):
+            return list(self._attrs)
+
+        def __getitem__(self, name):
+            return self.variables[name]
+
+        def __getattr__(self, k):
+            try:
+                return self.__dict__["_attrs"][k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def close(self):
+            pass
+
+    def _nc4_num2date(times, units, calendar="standard",
+                      only_use_cftime_datetimes=False, **kw):
+        from opendrift_tpu.utils import ncio
+        return np.asarray(ncio.parse_cf_time(units,
+                                             np.atleast_1d(times)))
+
+    _stub("netCDF4", Dataset=_NC4Dataset, MFDataset=_NC4Dataset,
+          num2date=_nc4_num2date, date2num=lambda *a, **k: None)
 
     cartopy = _stub("cartopy")
     cartopy.crs = _stub("cartopy.crs", Mercator=object, PlateCarree=object,

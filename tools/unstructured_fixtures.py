@@ -129,3 +129,90 @@ def sample_points(n=600, seed=5, L=20000.0, x0=600000.0, y0=200000.0):
     h = _depth(x, y)
     z = -rng.uniform(0.02, 0.95, n) * h
     return x, y, z
+
+
+# geographic box for the SHYFEM fixture; mapped linearly onto the
+# analytic-field box so truth can be evaluated at arbitrary lon/lat
+SHYFEM_LON0, SHYFEM_LON1 = 12.5, 13.1
+SHYFEM_LAT0, SHYFEM_LAT1 = 40.0, 40.45
+SHYFEM_LEVELS = np.array([2.0, 10.0, 30.0, 80.0])   # layer bottoms
+SHYFEM_H = 100.0
+
+
+def shyfem_xy(lon, lat, L=20000.0):
+    xm = 600000.0 + (np.asarray(lon) - SHYFEM_LON0) \
+        / (SHYFEM_LON1 - SHYFEM_LON0) * L
+    ym = 200000.0 + (np.asarray(lat) - SHYFEM_LAT0) \
+        / (SHYFEM_LAT1 - SHYFEM_LAT0) * L
+    return xm, ym
+
+
+def make_shyfem(path):
+    """Synthetic SHYFEM output with the REAL layout the reference
+    reader handles (reference unstructured/shyfem.py:188-210): vars
+    dimensioned (time, node, level), 'level' = positive-down layer
+    bottoms, geographic node coordinates, standard_name attributes."""
+    from scipy.io import netcdf_file
+    rng = np.random.default_rng(23)
+    side = 22
+    glon, glat = np.meshgrid(
+        np.linspace(SHYFEM_LON0, SHYFEM_LON1, side),
+        np.linspace(SHYFEM_LAT0, SHYFEM_LAT1, side))
+    jx = (SHYFEM_LON1 - SHYFEM_LON0) / side * 0.3
+    jy = (SHYFEM_LAT1 - SHYFEM_LAT0) / side * 0.3
+    lon = (glon + rng.uniform(-jx, jx, glon.shape)).ravel()
+    lat = (glat + rng.uniform(-jy, jy, glat.shape)).ravel()
+    n = len(lon)
+    levels = SHYFEM_LEVELS
+    nlev = len(levels)
+    # layer-centre depths (what the data represents)
+    zb = np.concatenate([[0.0], levels])
+    centres = (zb[:-1] + zb[1:]) / 2.0
+    times = [0.0, 3600.0, 7200.0]
+    xm, ym = shyfem_xy(lon, lat)
+
+    f = netcdf_file(path, "w")
+    f.createDimension("time", len(times))
+    f.createDimension("node", n)
+    f.createDimension("level", nlev)
+    for nm, data in [("longitude", lon), ("latitude", lat)]:
+        v = f.createVariable(nm, "d", ("node",))
+        v[:] = data
+    lv = f.createVariable("level", "d", ("level",))
+    lv[:] = levels
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = times
+    t.units = b"seconds since 2021-06-01T00:00:00"
+    specs = [
+        ("u_velocity", b"eastward_sea_water_velocity", "u"),
+        ("v_velocity", b"northward_sea_water_velocity", "v"),
+        ("temperature", b"sea_water_temperature", "T"),
+        ("salinity", b"sea_water_salinity", "S"),
+    ]
+    cubes = {}
+    for ti, tsec in enumerate(times):
+        for li, d in enumerate(centres):
+            frac = 1.0 - d / SHYFEM_H
+            u, v, w, T, S = _fields(xm, ym, frac, tsec)
+            for key, arr in (("u", u), ("v", v), ("T", T), ("S", S)):
+                cubes.setdefault(key, np.zeros((len(times), n, nlev)))[
+                    ti, :, li] = arr
+    for nm, std, key in specs:
+        v = f.createVariable(nm, "d", ("time", "node", "level"))
+        v[:] = cubes[key]
+        v.standard_name = std
+    b = f.createVariable("total_depth", "d", ("node",))
+    b[:] = SHYFEM_H
+    b.standard_name = b"sea_floor_depth_below_sea_surface"
+    f.close()
+    return path
+
+
+def shyfem_sample_points(n=600, seed=9):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(SHYFEM_LON0 + 0.05 * (SHYFEM_LON1 - SHYFEM_LON0),
+                      SHYFEM_LON1 - 0.05 * (SHYFEM_LON1 - SHYFEM_LON0), n)
+    lat = rng.uniform(SHYFEM_LAT0 + 0.05 * (SHYFEM_LAT1 - SHYFEM_LAT0),
+                      SHYFEM_LAT1 - 0.05 * (SHYFEM_LAT1 - SHYFEM_LAT0), n)
+    z = -rng.uniform(0.5, 0.95 * SHYFEM_H, n)
+    return lon, lat, z
