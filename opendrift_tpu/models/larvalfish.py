@@ -67,16 +67,17 @@ class LarvalFish(OceanDrift):
         self._set_config_default("drift:vertical_mixing_at_surface", True)
         self._set_config_default("drift:vertical_advection_at_surface", True)
 
-    # eggs share the pelagic-egg buoyancy (reference larvalfish.py:107-187)
+    # eggs AND larvae carry the pelagic-egg buoyancy: the reference's
+    # update_terminal_velocity applies the Sundby/Vikebo formula to all
+    # elements without a hatched filter (reference larvalfish.py:105-183
+    # — larvae additionally swim in larvae_vertical_migration)
     def update_terminal_velocity(self, ctx, **kwargs):
         d = ctx.state.data
         w = egg_terminal_velocity(
             ctx.environment["sea_water_temperature"],
             ctx.environment["sea_water_salinity"],
             d["diameter"], d["neutral_buoyancy_salinity"])
-        # larvae swim; only unhatched eggs are passively buoyant
-        ctx.set_var("terminal_velocity",
-                    jnp.where(d["hatched"] == 0.0, w, 0.0))
+        ctx.set_var("terminal_velocity", w)
 
     def terminal_velocity_inner(self, ctx, z, Tprof, Sprof,
                                 mix=None):
@@ -87,9 +88,8 @@ class LarvalFish(OceanDrift):
         else:
             T0 = ctx.environment["sea_water_temperature"]
             S0 = ctx.environment["sea_water_salinity"]
-        w = egg_terminal_velocity(T0, S0, d["diameter"],
-                                  d["neutral_buoyancy_salinity"])
-        return jnp.where(d["hatched"] == 0.0, w, 0.0)
+        return egg_terminal_velocity(T0, S0, d["diameter"],
+                                     d["neutral_buoyancy_salinity"])
 
     @staticmethod
     def fish_growth(weight, temperature, dt):

@@ -395,7 +395,6 @@ class OceanDrift(OpenDriftSimulation):
         wind = ctx.wind_speed()
         MLD = ctx.environment["ocean_mixed_layer_thickness"]
         bg = float(self.get_config("vertical_mixing:background_diffusivity"))
-        delta = 0.5
 
         def K_of(depth):
             if model == "windspeed_Sundby1983":
@@ -405,15 +404,20 @@ class OceanDrift(OpenDriftSimulation):
             if model == "stepfunction":
                 return ph.verticaldiffusivity_stepfunction(depth)
             raise ValueError(f"Unknown diffusivity model: {model}")
-        depth = jnp.abs(z)
-        Kz = K_of(depth)
-        # Returned in the reference's gradK convention, gradK = -dK/dz
-        # (z negative downward, so -dK/dz = +dK/d(depth)); the Visser
-        # update consumes it as z -= (gradK*dt - R*sigma), i.e. the
-        # deterministic drift is +dK/dz*dt, pushing elements toward
-        # higher K (reference oceandrift.py:503-531)
-        dKdz = (K_of(depth + delta) - K_of(jnp.maximum(depth - delta, 0.0))
-                ) / (2.0 * delta)
+        # The reference discretises even analytic diffusivity models on
+        # 1-metre levels (-arange(0, MLD+2)) with NEAREST-level lookup
+        # and np.gradient differences (reference oceandrift.py:430-455,
+        # :513-516): K is piecewise constant per metre (zero kick in the
+        # top half-metre for profiles with K(0)=0) and the surface
+        # gradient is one-sided — this detailed near-surface balance
+        # sets the buoyant-particle equilibrium, so mirror it exactly.
+        lvl = jnp.clip(jnp.round(jnp.abs(z)), 0.0, MLD + 1.0)
+        Kz = K_of(lvl)
+        # gradK convention = -dK/dz = +dK/d(depth) (reference :501-516)
+        dKdz = jnp.where(
+            lvl == 0.0,
+            K_of(lvl + 1.0) - K_of(lvl),
+            (K_of(lvl + 1.0) - K_of(jnp.maximum(lvl - 1.0, 0.0))) / 2.0)
         return Kz, dKdz
 
     def _mixing_fast_path(self, ctx, model, ntimes, dt_mix, zmin, moving,

@@ -168,12 +168,23 @@ class PhysicsContext:
                                default=False):
             fetch = self.sim.get_config(
                 "drift:tabularised_stokes_drift_fetch", default="25000")
-            pu, pv = ph.wave_stokes_drift_parameterised(
-                self.environment.get("x_wind", jnp.zeros_like(su)),
-                self.environment.get("y_wind", jnp.zeros_like(sv)), fetch)
+            wx = self.environment.get("x_wind", jnp.zeros_like(su))
+            wy = self.environment.get("y_wind", jnp.zeros_like(sv))
+            pu, pv = ph.wave_stokes_drift_parameterised(wx, wy, fetch)
             missing = (su == 0.0) & (sv == 0.0)
             su = jnp.where(missing, pu, su)
             sv = jnp.where(missing, pv, sv)
+            # the reference's env hook ALSO injects the fetch-tabulated
+            # Hs when no wave model serves it (reference
+            # environment.py:858-864) — the profile decay scale must
+            # come from the same table, not the Neumann-Pierson formula
+            env_hs = self.environment.get(
+                "sea_surface_wave_significant_height",
+                jnp.zeros_like(su))
+            hs_param = ph.wave_significant_height_parameterised(wx, wy,
+                                                                fetch)
+            self.environment["sea_surface_wave_significant_height"] = \
+                jnp.where(env_hs == 0.0, hs_param, env_hs)
         hs = self.significant_wave_height()
         tp = self.wave_period()
         # reference falls back to Hs=1, Tp=8 if zero everywhere; the

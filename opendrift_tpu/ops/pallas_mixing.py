@@ -106,13 +106,16 @@ def _mix_loop(z, mv, w, wind, mld, zmin, elem, seed, *, ntimes, dt_mix,
         R = jax.lax.bitcast_convert_type(
             jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
         ).astype(jnp.float32) * jnp.float32(2.0 / 16777216.0) - 1.0
-        depth = jnp.abs(z)
-        Kz = K_of(depth)
-        # central-difference in the reference's gradK convention
-        # (gradK = -dK/dz = +dK/d(depth)); consumed as
-        # z -= (gradK*dt - R*sigma) so the drift is +dK/dz*dt
-        dKdz = (K_of(depth + 0.5)
-                - K_of(jnp.maximum(depth - 0.5, 0.0)))  # / (2*0.5)
+        # the reference discretises analytic K on 1-metre levels with
+        # NEAREST lookup + np.gradient (one-sided at the surface);
+        # mirror it exactly (reference oceandrift.py:430-455, :513-516)
+        lvl = jnp.clip(jnp.round(jnp.abs(z)), 0.0, mld + 1.0)
+        Kz = K_of(lvl)
+        # gradK convention = -dK/dz = +dK/d(depth)
+        dKdz = jnp.where(
+            lvl == 0.0,
+            K_of(lvl + 1.0) - K_of(lvl),
+            (K_of(lvl + 1.0) - K_of(jnp.maximum(lvl - 1.0, 0.0))) * 0.5)
         z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
         z = jnp.where(z >= 0.0, -z, z)                      # surface reflect
         z = jnp.where((z < zmin) & (mv == 1.0),
@@ -164,10 +167,13 @@ def _mix_loop_oil(z, diam, mv, wind, mld, zmin, p_ent, d_cand, zb,
         W2 = kw2 * jnp.sqrt(r2)
         w = jnp.where(Re > 50.0, W2, W)
 
-        depth = jnp.abs(z)
-        Kz = K_of(depth)
-        dKdz = (K_of(depth + 0.5)
-                - K_of(jnp.maximum(depth - 0.5, 0.0)))
+        # same 1-metre nearest-level discretisation as _mix_loop
+        lvl = jnp.clip(jnp.round(jnp.abs(z)), 0.0, mld + 1.0)
+        Kz = K_of(lvl)
+        dKdz = jnp.where(
+            lvl == 0.0,
+            K_of(lvl + 1.0) - K_of(lvl),
+            (K_of(lvl + 1.0) - K_of(jnp.maximum(lvl - 1.0, 0.0))) * 0.5)
         z = z - mv * (dKdz * dt_mix - R * jnp.sqrt(Kz * adt * 6.0))
         z = jnp.where(z >= 0.0, -z, z)
         z = jnp.where((z < zmin) & (mv == 1.0), 2.0 * zmin - z, z)

@@ -282,3 +282,100 @@ def test_eulerdrift_field_matches_reference():
     assert ours.shape == ref.shape
     assert np.abs(ours - ref).max() < 1e-5
     assert abs(ours.sum() - ref.sum()) < 1e-4   # mass conservation
+
+
+def test_sedimentdrift_statistics_match_reference():
+    """Sinking + Visser mixing + seafloor settling + (sub-threshold)
+    resuspension gate (reference sedimentdrift.py:39-126): settled
+    fraction via the 'moving' flag and the suspended tail."""
+    golden, cfg = _load("sediment_stat")
+    o = parity_compare.RUNNERS["sediment_stat"](cfg)
+    z_r = golden["z"][:, -1]
+    z_o = np.asarray(o.result["z"].values)[:, -1]
+    assert abs(np.nanmean(z_o) - np.nanmean(z_r)) < 1.5
+    assert abs(np.nanstd(z_o) - np.nanstd(z_r)) < 1.5
+    m_r = golden["moving"][:, -1]
+    m_o = np.asarray(o.result["moving"].values)[:, -1]
+    # settled fraction (moving == 0)
+    assert abs((m_o == 0).mean() - (m_r == 0).mean()) < 0.06
+    # settled elements sit exactly at the seafloor on both sides
+    assert abs(np.nanmedian(z_o) - np.nanmedian(z_r)) < 0.5
+
+
+def test_plastdrift_statistics_match_reference():
+    """Analytical wind-mixing equilibrium depth z ~ -Exp(K/w) +
+    tabularised Stokes + windage (reference plastdrift.py:32-107)."""
+    golden, cfg = _load("plast_stat")
+    o = parity_compare.RUNNERS["plast_stat"](cfg)
+    z_r = golden["z"][:, -1]
+    z_o = np.asarray(o.result["z"].values)[:, -1]
+    assert abs(np.nanmean(z_o) - np.nanmean(z_r)) < 0.4
+    assert abs(np.nanstd(z_o) - np.nanstd(z_r)) < 0.4
+    for q in (10, 50, 90):
+        assert abs(np.nanpercentile(z_o, q)
+                   - np.nanpercentile(z_r, q)) < 0.6, q
+    # drifted cloud (current + stokes + windage)
+    lon_r = golden["lon"][:, -1]
+    lon_o = np.asarray(o.result["lon"].values)[:, -1]
+    assert abs(np.nanmean(lon_o) - np.nanmean(lon_r)) < 0.01
+
+
+def test_larvalfish_statistics_match_reference():
+    """Egg development/hatching (Ellertsen), Folkvord growth, Peck diel
+    migration, shared egg buoyancy (reference larvalfish.py:105-300).
+    Hatching/growth are deterministic given T — compared exactly; the
+    vertical distribution statistically, split by life stage."""
+    golden, cfg = _load("larvalfish_stat")
+    o = parity_compare.RUNNERS["larvalfish_stat"](cfg)
+    h_r = golden["hatched"][:, -1]
+    h_o = np.asarray(o.result["hatched"].values)[:, -1]
+    np.testing.assert_array_equal(h_o, h_r)      # deterministic
+    for var, tol in (("stage_fraction", 1e-4), ("weight", 1e-3),
+                     ("length", 1e-3)):
+        a = np.asarray(o.result[var].values)[:, -1]
+        b = golden[var][:, -1]
+        sel = np.isfinite(b)
+        assert np.abs(a[sel] - b[sel]).max() < tol, var
+    z_r = golden["z"][:, -1]
+    z_o = np.asarray(o.result["z"].values)[:, -1]
+    for pop in (0, 1):          # eggs, larvae
+        sr = h_r == pop
+        so = h_o == pop
+        assert abs(np.nanmean(z_o[so]) - np.nanmean(z_r[sr])) < 1.2, pop
+        assert abs(np.nanstd(z_o[so]) - np.nanstd(z_r[sr])) < 1.2, pop
+
+
+def test_sealice_statistics_match_reference():
+    """Degree-day accumulation + deterministic sinking/migration under
+    constant T/S (reference sealice.py:73-380)."""
+    golden, cfg = _load("sealice_stat")
+    o = parity_compare.RUNNERS["sealice_stat"](cfg)
+    dd_r = golden["degree_days"][:, -1]
+    dd_o = np.asarray(o.result["degree_days"].values)[:, -1]
+    np.testing.assert_allclose(dd_o, dd_r, atol=0.05)
+    z_r = golden["z"][:, -1]
+    z_o = np.asarray(o.result["z"].values)[:, -1]
+    assert abs(np.nanmean(z_o) - np.nanmean(z_r)) < 0.5
+    assert abs(np.nanstd(z_o) - np.nanstd(z_r)) < 0.5
+
+
+def test_radionuclide_statistics_match_reference():
+    """137Cs speciation occupation (LMM <-> reversible particles via
+    transfer-rate matrices) + particle sinking (reference
+    radionuclides.py:728-1003)."""
+    golden, cfg = _load("radionuclide_stat")
+    o = parity_compare.RUNNERS["radionuclide_stat"](cfg)
+    n = cfg["n"]
+    sp_r = golden["specie"][:, -1]
+    sp_o = np.asarray(o.result["specie"].values)[:, -1]
+    c_r = {int(k): int(v) for k, v in
+           zip(*np.unique(sp_r[np.isfinite(sp_r)], return_counts=True))}
+    c_o = {int(k): int(v) for k, v in
+           zip(*np.unique(sp_o[np.isfinite(sp_o)], return_counts=True))}
+    for sp in set(c_r) | set(c_o):
+        assert abs(c_o.get(sp, 0) - c_r.get(sp, 0)) / n < 0.05, (
+            sp, c_o, c_r)
+    z_r = golden["z"][:, -1]
+    z_o = np.asarray(o.result["z"].values)[:, -1]
+    assert abs(np.nanmean(z_o) - np.nanmean(z_r)) < 1.0
+    assert abs(np.nanstd(z_o) - np.nanstd(z_r)) < 1.0

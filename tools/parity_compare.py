@@ -300,6 +300,114 @@ def run_chemical(cfg):
     return o
 
 
+def run_sediment(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import SedimentDrift
+
+    o = SedimentDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    _set_fallbacks(o, {"x_wind": cfg["wind_u"], "y_wind": 0.0,
+                       "x_sea_water_velocity": cfg["u"],
+                       "y_sea_water_velocity": 0.0,
+                       "sea_floor_depth_below_sea_level":
+                           cfg["seafloor"]})
+    o.set_config("vertical_mixing:timestep", cfg["dt_mix"])
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 4, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
+def run_plast(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import PlastDrift
+
+    o = PlastDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    _set_fallbacks(o, {"x_wind": cfg["wind_u"], "y_wind": 0.0,
+                       "x_sea_water_velocity": cfg["u"],
+                       "y_sea_water_velocity": 0.0,
+                       "sea_floor_depth_below_sea_level": 200.0})
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    time=datetime(2021, 4, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
+def run_larvalfish(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import LarvalFish
+
+    o = LarvalFish(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    _set_fallbacks(o, {"x_wind": 4.0, "y_wind": 0.0,
+                       "sea_water_temperature": cfg["sst"],
+                       "sea_water_salinity": cfg["sss"],
+                       "sea_floor_depth_below_sea_level": 100.0})
+    o.set_config("vertical_mixing:timestep", cfg["dt_mix"])
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 4, 1, 0),
+                    stage_fraction=np.asarray(cfg["stage_fraction"]))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
+def run_sealice(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import SeaLice
+
+    o = SeaLice(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    _set_fallbacks(o, {"x_sea_water_velocity": cfg["u"],
+                       "y_sea_water_velocity": 0.0,
+                       "sea_water_temperature": cfg["sst"],
+                       "sea_water_salinity": cfg["sss"],
+                       "sea_floor_depth_below_sea_level":
+                           cfg["seafloor"]})
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 6, 1, 0))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
+def run_radionuclide(cfg):
+    from datetime import datetime, timedelta
+    from opendrift_tpu.models import RadionuclideDrift
+
+    o = RadionuclideDrift(loglevel=40)
+    o.set_config("environment:fallback:land_binary_mask", 0)
+    _set_fallbacks(o, {"x_sea_water_velocity": cfg["u"],
+                       "y_sea_water_velocity": 0.0,
+                       "sea_water_temperature": cfg["sst"],
+                       "sea_water_salinity": cfg["sss"],
+                       "sea_floor_depth_below_sea_level":
+                           cfg["seafloor"]})
+    o.set_config("vertical_mixing:timestep", cfg["dt_mix"])
+    n = cfg["n"]
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, cfg["seed_z"]),
+                    time=datetime(2021, 4, 1))
+    o.run(duration=timedelta(seconds=cfg["duration_s"]),
+          time_step=cfg["time_step"],
+          time_step_output=cfg["time_step_output"])
+    return o
+
+
 def run_eulerdrift_field(cfg):
     """Returns our final concentration field TRANSPOSED into the
     reference's [x, y] axis order (reference eulerdrift grid.py:18
@@ -489,6 +597,11 @@ RUNNERS = {
     "openoil_full_stat": run_openoil_full,
     "pelagicegg_stat": run_pelagicegg,
     "chemical_stat": run_chemical,
+    "sediment_stat": run_sediment,
+    "plast_stat": run_plast,
+    "larvalfish_stat": run_larvalfish,
+    "sealice_stat": run_sealice,
+    "radionuclide_stat": run_radionuclide,
     "arctic20_stranding": run_stranding,
     "windblow_euler": run_windblow,
     "seaice_euler": run_seaice,

@@ -672,6 +672,172 @@ def scenario_chemical():
     return out
 
 
+def scenario_sediment():
+    """SedimentDrift statistical parity: sinking (terminal velocity
+    -1 mm/s) + Visser mixing + settling at the seafloor (moving=0),
+    current below the resuspension threshold so settled elements stay
+    (reference sedimentdrift.py:39-126).  Golden: final z population
+    + settled fraction via the 'moving' flag."""
+    from opendrift.models.sedimentdrift import SedimentDrift
+
+    o = SedimentDrift(loglevel=30)
+    _common_config(o)
+    for k, v in (("x_wind", 6.0), ("y_wind", 0.0),
+                 ("x_sea_water_velocity", 0.15),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_floor_depth_below_sea_level", 30.0)):
+        o.set_config(f"environment:fallback:{k}", v)
+    o.set_config("vertical_mixing:timestep", 60.0)
+    n = 1000
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -5.0), time=datetime(2021, 4, 1))
+    result = o.run(duration=timedelta(hours=12), time_step=1800,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    if "moving" in result.data_vars:
+        out["moving"] = np.asarray(result["moving"].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "SedimentDrift", "wind_u": 6.0, "u": 0.15,
+        "seafloor": 30.0, "n": n, "seed_z": -5.0, "dt_mix": 60.0,
+        "time_step": 1800, "duration_s": 12 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
+def scenario_plast():
+    """PlastDrift statistical parity: the 'analytical' wind-mixing
+    equilibrium depth z ~ -Exp(K/w) redrawn every step + tabularised Stokes
+    drift + windage (reference plastdrift.py:32-107).  Golden: final z
+    population and the drifted cloud."""
+    from opendrift.models.plastdrift import PlastDrift
+
+    o = PlastDrift(loglevel=30)
+    _common_config(o)
+    for k, v in (("x_wind", 10.0), ("y_wind", 0.0),
+                 ("x_sea_water_velocity", 0.1),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_floor_depth_below_sea_level", 200.0)):
+        o.set_config(f"environment:fallback:{k}", v)
+    n = 2000
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    time=datetime(2021, 4, 1))
+    result = o.run(duration=timedelta(hours=6), time_step=1800,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    out["config"] = json.dumps({
+        "model": "PlastDrift", "wind_u": 10.0, "u": 0.1, "n": n,
+        "time_step": 1800, "duration_s": 6 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
+def scenario_larvalfish():
+    """LarvalFish statistical parity: egg development (Ellertsen),
+    hatching, Folkvord growth, Peck swim-speed diel migration
+    (reference larvalfish.py:185-265).  Seeded with a spread of
+    stage_fraction so hatching happens inside the 48 h window; golden:
+    hatched fraction, weight/length distributions, z population."""
+    from opendrift.models.larvalfish import LarvalFish
+
+    o = LarvalFish(loglevel=30)
+    _common_config(o)
+    for k, v in (("x_wind", 4.0), ("y_wind", 0.0),
+                 ("sea_water_temperature", 12.0),
+                 ("sea_water_salinity", 34.0),
+                 ("sea_floor_depth_below_sea_level", 100.0)):
+        o.set_config(f"environment:fallback:{k}", v)
+    o.set_config("vertical_mixing:timestep", 60.0)
+    n = 600
+    sf = np.linspace(0.2, 0.99, n)
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -10.0), time=datetime(2021, 4, 1, 0),
+                    stage_fraction=sf)
+    result = o.run(duration=timedelta(hours=48), time_step=1800,
+                   time_step_output=7200)
+    out = _collect(o, result)
+    for var in ("hatched", "stage_fraction", "weight", "length"):
+        out[var] = np.asarray(result[var].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "LarvalFish", "sst": 12.0, "sss": 34.0, "n": n,
+        "seed_z": -10.0, "stage_fraction": sf.tolist(),
+        "time_step": 1800, "duration_s": 48 * 3600,
+        "time_step_output": 7200, "dt_mix": 60.0,
+    })
+    return out
+
+
+def scenario_sealice():
+    """SeaLice statistical parity: degree-day maturation and the
+    light/salinity/temperature-triggered vertical migration over a full
+    diel cycle (reference sealice.py:73-380).  Golden: final z
+    population and degree_days."""
+    from opendrift.models.sealice import SeaLice
+
+    o = SeaLice(loglevel=30)
+    _common_config(o)
+    # required by the reference's new_born() spawn bookkeeping
+    o.set_config("lice:seeding_time_step", 3600.0)
+    o.set_config("general:duration", 24 * 3600.0)
+    for k, v in (("x_sea_water_velocity", 0.05),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_water_temperature", 10.0),
+                 ("sea_water_salinity", 34.0),
+                 ("sea_floor_depth_below_sea_level", 80.0)):
+        o.set_config(f"environment:fallback:{k}", v)
+    n = 1000
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -5.0), time=datetime(2021, 6, 1, 0))
+    result = o.run(duration=timedelta(hours=24), time_step=1800,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    for var in ("degree_days",):
+        if var in result.data_vars:
+            out[var] = np.asarray(result[var].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "SeaLice", "u": 0.05, "sst": 10.0, "sss": 34.0,
+        "seafloor": 80.0, "n": n, "seed_z": -5.0,
+        "time_step": 1800, "duration_s": 24 * 3600,
+        "time_step_output": 3600,
+    })
+    return out
+
+
+def scenario_radionuclide():
+    """RadionuclideDrift statistical parity: 137Cs speciation (LMM /
+    reversible particle species) with transfer-rate matrices, particle
+    sinking and sediment interaction (reference
+    radionuclides.py:728-1003).  Golden: species occupation counts and
+    the vertical population."""
+    from opendrift.models.radionuclides import RadionuclideDrift
+
+    o = RadionuclideDrift(loglevel=30)
+    _common_config(o)
+    for k, v in (("x_sea_water_velocity", 0.05),
+                 ("y_sea_water_velocity", 0.0),
+                 ("sea_water_temperature", 10.0),
+                 ("sea_water_salinity", 34.0),
+                 ("sea_floor_depth_below_sea_level", 50.0)):
+        o.set_config(f"environment:fallback:{k}", v)
+    o.set_config("vertical_mixing:timestep", 60.0)
+    n = 800
+    o.seed_elements(lon=np.full(n, 4.0), lat=np.full(n, 60.0),
+                    z=np.full(n, -5.0), time=datetime(2021, 4, 1))
+    result = o.run(duration=timedelta(hours=24), time_step=1800,
+                   time_step_output=3600)
+    out = _collect(o, result)
+    for var in ("specie",):
+        out[var] = np.asarray(result[var].values, np.float64)
+    out["config"] = json.dumps({
+        "model": "RadionuclideDrift", "u": 0.05, "sst": 10.0,
+        "sss": 34.0, "seafloor": 50.0, "n": n, "seed_z": -5.0,
+        "time_step": 1800, "duration_s": 24 * 3600,
+        "time_step_output": 3600, "dt_mix": 60.0,
+    })
+    return out
+
+
 def scenario_eulerdrift():
     """Auxiliary Eulerian advection-diffusion solver (reference
     eulerdrift/simulation.py:229 ExplSimulation): explicit scheme on a
@@ -923,6 +1089,11 @@ SCENARIOS = {
     "openoil_full_stat": scenario_openoil_full,
     "pelagicegg_stat": scenario_pelagicegg,
     "chemical_stat": scenario_chemical,
+    "sediment_stat": scenario_sediment,
+    "plast_stat": scenario_plast,
+    "larvalfish_stat": scenario_larvalfish,
+    "sealice_stat": scenario_sealice,
+    "radionuclide_stat": scenario_radionuclide,
     "arctic20_stranding": scenario_stranding,
     "eulerdrift_field": scenario_eulerdrift,
     "windblow_euler": scenario_windblow,
