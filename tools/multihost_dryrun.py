@@ -154,7 +154,11 @@ def _run_output_checks():
             if sharded:
                 o.set_config("export:sharded", True)
             o.add_reader(forcing())
-            o.seed_elements(4.0, 59.3, number=64, radius=4000, time=t0)
+            # MH_DRYRUN_N: scale knob — the default keeps the driver's
+            # per-round dryrun fast; the credible-scale DD coverage
+            # (100k x 50 steps) lives in tests/test_engine_dd.py
+            n_el = int(_os.environ.get("MH_DRYRUN_N", "2000"))
+            o.seed_elements(4.0, 59.3, number=n_el, radius=4000, time=t0)
             suffix = "sharded" if sharded else "plain"
             o.run(steps=STEPS, time_step=900,
                   outfile=_os.path.join(outdir,
