@@ -465,7 +465,12 @@ class SCHISMReader(UnstructuredReader):
         for raw, std in self.SCALAR_VARS.items():
             if raw in ds.variables:
                 self.variables.append(std)
-                self._var_has_z[std] = False
+                # real SCHISM output carries temp/salt as 3D columns
+                # (time, node, lev) like hvel (reference
+                # reader_schism_native.py:90-101)
+                self._var_has_z[std] = bool(
+                    self._use_3d
+                    and "lev" in ds.variables[raw].dimensions)
         if self._use_3d or "dahv" in ds.variables:
             for std in ("x_sea_water_velocity", "y_sea_water_velocity"):
                 self.variables.append(std)
@@ -484,17 +489,11 @@ class SCHISMReader(UnstructuredReader):
             self.depths = None
         super().__init__(resolution_deg=resolution_deg, sampling=sampling)
 
-    def _velocity_nodes(self, comp, ti):
-        """(n_nodes,) for 2D dahv, or (L, n_nodes) from hvel columns."""
-        ds = self._ds
-        if not self._use_3d:
-            v = ds.variables["dahv"]
-            return ncio.cf_unpack(v, v[ti])[..., comp]
-        hvel = ncio.cf_unpack(ds.variables["hvel"],
-                              ds.variables["hvel"][ti])  # (node, lev, 2)
-        zcor = ncio.cf_unpack(ds.variables["zcor"],
-                              ds.variables["zcor"][ti])  # (node, lev)
-        data = hvel[..., comp]
+    def _zslice_columns(self, data, ti):
+        """(node, lev) column data -> (L, node) at self.depths via the
+        frame's time-varying zcor levels (bottom-up)."""
+        zcor = ncio.cf_unpack(self._ds.variables["zcor"],
+                              self._ds.variables["zcor"][ti])
         out = np.empty((len(self.depths), data.shape[0]), np.float32)
         S = zcor.shape[1]
         for li, d in enumerate(self.depths):
@@ -509,6 +508,16 @@ class SCHISMReader(UnstructuredReader):
             out[li] = v_lo * (1.0 - w) + w * v_hi
         return out
 
+    def _velocity_nodes(self, comp, ti):
+        """(n_nodes,) for 2D dahv, or (L, n_nodes) from hvel columns."""
+        ds = self._ds
+        if not self._use_3d:
+            v = ds.variables["dahv"]
+            return ncio.cf_unpack(v, v[ti])[..., comp]
+        hvel = ncio.cf_unpack(ds.variables["hvel"],
+                              ds.variables["hvel"][ti])  # (node, lev, 2)
+        return self._zslice_columns(hvel[..., comp], ti)
+
     def _node_frame(self, std, ti):
         comp = {"x_sea_water_velocity": 0, "y_sea_water_velocity": 1}
         if std in comp:
@@ -519,6 +528,8 @@ class SCHISMReader(UnstructuredReader):
             vals = ncio.cf_unpack(var, var[ti])
         else:
             vals = ncio.cf_unpack(var, var[:])
+        if self._var_has_z.get(std) and vals.ndim == 2:
+            return self._zslice_columns(vals, ti)    # (node, lev) cols
         return vals.ravel()
 
     def _read_frame(self, std, ti, zslice, yslice, xslice):
@@ -625,18 +636,28 @@ class FVCOMReader(UnstructuredReader):
     }
 
     def __init__(self, filename, resolution_deg=None, name=None,
-                 sampling="regrid"):
+                 sampling="regrid", proj4=None, use_3d=False,
+                 target_depths=None):
         self._ds = ncio.open_dataset(filename)
         self.name = name or filename
         ds = self._ds
 
         def get(n):
             return np.asarray(ds.variables[n][:], dtype=np.float64)
-        self._node_lon = get("lon")
-        self._node_lat = get("lat")
-        if np.all(self._node_lon == 0):  # some files only carry x/y
-            self._node_lon = get("x")
-            self._node_lat = get("y")
+        mesh_crs = crslib.from_proj4(proj4) if proj4 else None
+        self._mesh_crs = mesh_crs
+        if mesh_crs is not None and "x" in ds.variables:
+            # Cartesian FVCOM output (the reference requires it,
+            # reader_netCDF_CF_unstructured.py:117): project node and
+            # cell coordinates to lon/lat
+            xx, yy = get("x"), get("y")
+            self._node_lon, self._node_lat = mesh_crs.inv(np, xx, yy)
+        else:
+            self._node_lon = get("lon")
+            self._node_lat = get("lat")
+            if np.all(self._node_lon == 0):  # some files only carry x/y
+                self._node_lon = get("x")
+                self._node_lat = get("y")
         self._nv = None
         self._mesh_triangles = None
         if "nv" in ds.variables:
@@ -646,8 +667,11 @@ class FVCOMReader(UnstructuredReader):
             nv = nv - nv.min()
             self._nv = nv
             self._mesh_triangles = nv.astype(np.int32)
-        # cell centres (from latc/lonc, else centroids via nv)
-        if "lonc" in ds.variables:
+        # cell centres (xc/yc projected, latc/lonc, else centroids)
+        if mesh_crs is not None and "xc" in ds.variables:
+            self._cell_lon, self._cell_lat = mesh_crs.inv(
+                np, get("xc"), get("yc"))
+        elif "lonc" in ds.variables:
             self._cell_lon = get("lonc")
             self._cell_lat = get("latc")
         else:
@@ -669,7 +693,26 @@ class FVCOMReader(UnstructuredReader):
                 self._sources[std] = (raw, on_cells)
                 self.variables.append(std)
         self.variables.append("land_binary_mask")
-        self._var_has_z = {v: False for v in self.variables}
+        # sigma-LAYER columns (u/v/temp/salt on siglay): with
+        # use_3d=True, columns are zsliced at load onto fixed target
+        # depths from z = sigma*(h) — the reference's z_from_sigma with
+        # elevation=0 (reader_netCDF_CF_unstructured.py:420-435)
+        self._use_3d = bool(use_3d and "siglay" in ds.variables)
+        self._var_has_z = {}
+        for v in self.variables:
+            raw_oc = self._sources.get(v)
+            self._var_has_z[v] = bool(
+                self._use_3d and raw_oc is not None
+                and "siglay" in ds.variables[raw_oc[0]].dimensions)
+        if self._use_3d and any(self._var_has_z.values()):
+            if target_depths is None:
+                from .roms import PRODUCTION_DEPTHS
+                hmax = float(np.nanmax(get("h")))
+                cut = int(np.searchsorted(PRODUCTION_DEPTHS,
+                                          max(hmax, 5.0),
+                                          side="right"))
+                target_depths = PRODUCTION_DEPTHS[:max(cut, 2)]
+            self.depths = np.asarray(target_depths, np.float32)
         super().__init__(resolution_deg=resolution_deg, sampling=sampling)
         # secondary regridder for cell-centre data
         self._cell_regrid = DelaunayRegridder(
@@ -683,10 +726,54 @@ class FVCOMReader(UnstructuredReader):
     def _node_values(self, std, ti):
         raise NotImplementedError  # frames read directly below
 
+    def _fvcom_zslice(self, cols, on_cells):
+        """(lay, m) sigma-layer columns -> (L, m) at self.depths using
+        z = sigma*(h) per column (reference z_from_sigma with
+        elevation=0, reader_netCDF_CF_unstructured.py:420-435)."""
+        ds = self._ds
+        sig = np.asarray(ds.variables[
+            "siglay_center" if on_cells else "siglay"][:], np.float64)
+        h = np.asarray(ds.variables[
+            "h_center" if on_cells else "h"][:], np.float64)
+        zc = sig * h[None, :]                     # (lay, m), negative
+        # top-down layers -> ascending z for the column interp
+        order = np.argsort(zc[:, 0])
+        zc = zc[order]
+        cols = np.asarray(cols, np.float64)[order]
+        from .roms import zslice_columns
+        return zslice_columns(cols.astype(np.float32), zc, self.depths)
+
     def _raw_values(self, std, ti):
-        """(values, on_cells): surface-layer raw data for one frame."""
+        """(values, on_cells): raw data for one frame — surface layer,
+        or full (L, m) depth-sliced columns when the variable rides
+        sigma layers under use_3d.  For projected meshes u/v are
+        rotated to true east/north by the grid convergence, like the
+        reference's rotate_vectors (reference variables.py:59-109)."""
+        uvs = ("x_sea_water_velocity", "y_sea_water_velocity")
+        if (std in uvs and self._mesh_crs is not None
+                and all(v in self._sources for v in uvs)):
+            cache = getattr(self, "_uv_rot_cache", None)
+            if cache is None or cache[0] != ti:
+                u, oc = self._raw_values_unrotated(uvs[0], ti)
+                v, _ = self._raw_values_unrotated(uvs[1], ti)
+                lon = self._cell_lon if oc else self._node_lon
+                lat = self._cell_lat if oc else self._node_lat
+                gamma = self._mesh_crs.convergence(np, lon, lat)
+                ue, vn = crslib.rotate_to_eastnorth(np, u, v, gamma)
+                self._uv_rot_cache = (ti, ue.astype(np.float32),
+                                      vn.astype(np.float32), oc)
+            _, ue, vn, oc = self._uv_rot_cache
+            return (ue if std == uvs[0] else vn), oc
+        return self._raw_values_unrotated(std, ti)
+
+    def _raw_values_unrotated(self, std, ti):
         raw, on_cells = self._sources[std]
         var = self._ds.variables[raw]
+        if self._var_has_z.get(std):
+            idx = tuple(ti if d == "time" else slice(None)
+                        for d in var.dimensions)
+            cols = ncio.cf_unpack(var, var[idx])   # (lay, m)
+            return self._fvcom_zslice(cols, on_cells), on_cells
         idx = []
         for d in var.dimensions:
             if d in ("time",):
@@ -695,7 +782,8 @@ class FVCOMReader(UnstructuredReader):
                 idx.append(0)  # surface layer
             else:
                 idx.append(slice(None))
-        return ncio.cf_unpack(var, var[tuple(idx)]).ravel(), on_cells
+        vals = ncio.cf_unpack(var, var[tuple(idx)])
+        return vals.ravel(), on_cells
 
     def _node_frame(self, std, ti):
         """Native-path node values: cell-centre variables (u/v) are
@@ -726,10 +814,13 @@ class FVCOMReader(UnstructuredReader):
         out = rg(np.nan_to_num(vals, nan=0.0))
         # pad/crop cell grid onto the node grid if they differ slightly
         ny, nx = self._regrid.shape
-        if out.shape != (ny, nx):
-            fixed = np.full((ny, nx), np.nan, dtype=np.float32)
-            fy = min(ny, out.shape[0])
-            fx = min(nx, out.shape[1])
-            fixed[:fy, :fx] = out[:fy, :fx]
+        if out.shape[-2:] != (ny, nx):
+            lead = out.shape[:-2]
+            fixed = np.full(lead + (ny, nx), np.nan, dtype=np.float32)
+            fy = min(ny, out.shape[-2])
+            fx = min(nx, out.shape[-1])
+            fixed[..., :fy, :fx] = out[..., :fy, :fx]
             out = fixed
+        if out.ndim == 3:
+            return out[zslice, yslice, xslice]
         return out[yslice, xslice]

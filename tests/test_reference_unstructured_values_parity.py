@@ -18,7 +18,9 @@ column x 2 off-frame times):
   T 0.076 vs 0.40 K) — the quantified version of "barycentric beats
   nearest-node" asked for by the round-3 review.
 
-Regenerate goldens: python tools/ref_runner.py --scenario telemac_values
+Four rungs: telemac_values, shyfem_values, schism_values,
+fvcom_values.  Regenerate any golden with
+python tools/ref_runner.py --scenario <name>
 """
 
 import json
@@ -209,4 +211,167 @@ def test_shyfem_truth_error_beats_reference():
             e_ref = float(np.sqrt(np.mean((ref[b] - tv[b]) ** 2)))
             e_our = float(np.sqrt(np.mean((ours[b] - tv[b]) ** 2)))
             assert e_our * 3.0 < e_ref, \
+                (f"{v} t{k}: ours {e_our:.4g} vs reference {e_ref:.4g}")
+
+
+SCHISM_BOUNDS = {
+    "x_sea_water_velocity": (0.04, 0.13),
+    "y_sea_water_velocity": (0.025, 0.09),
+    "sea_water_temperature": (0.55, 1.4),
+    "sea_water_salinity": (0.22, 0.55),
+    "sea_surface_height": (1e-6, 1e-5),
+    "sea_floor_depth_below_sea_level": (1.3, 5.5),
+}
+
+
+def _ensure_schism(cfg):
+    import unstructured_fixtures as uf
+    path = cfg["fixture"]
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        uf.make_schism(path)
+    return path
+
+
+def test_schism_values_match_reference():
+    """vs the reference's own reader_schism_native (KD-tree nearest
+    node + time-varying zcor levels + ReaderBlockUnstruct, reference
+    reader_schism_native.py:55-1076) on a reference-layout synthetic
+    file.  Bounds quantify the piecewise-constant-vs-linear sampling
+    difference per variable."""
+    from opendrift_tpu.fields.unstructured import SCHISMReader
+
+    d, cfg = _load("schism_values")
+    fixture = _ensure_schism(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    r = SCHISMReader(fixture, proj4=cfg["proj4"], use_3d=True)
+    for k, off in enumerate(cfg["offsets_s"]):
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=cfg["variables"], z=z)
+        for v in cfg["variables"]:
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            both = np.isfinite(ref) & np.isfinite(ours)
+            assert both.sum() >= 0.97 * len(lon), v
+            dd = ours[both] - ref[both]
+            rb, mb = SCHISM_BOUNDS[v]
+            rms = float(np.sqrt((dd ** 2).mean()))
+            mx = float(np.abs(dd).max())
+            assert rms < rb, f"{v} t{k}: rms {rms:.4g} >= {rb}"
+            assert mx < mb, f"{v} t{k}: max {mx:.4g} >= {mb}"
+
+
+def test_schism_truth_error_beats_reference():
+    """Both engines vs the analytic truth: our barycentric + z-linear
+    sampling >=3x closer (measured ~5.2-5.4x)."""
+    import unstructured_fixtures as uf
+    from opendrift_tpu.fields.unstructured import SCHISMReader
+
+    d, cfg = _load("schism_values")
+    fixture = _ensure_schism(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    x = np.array(cfg["x"])
+    y = np.array(cfg["y"])
+    h = uf._depth(x, y)
+    r = SCHISMReader(fixture, proj4=cfg["proj4"], use_3d=True)
+    for k, off in enumerate(cfg["offsets_s"]):
+        frac = np.clip(1.0 + z / h, 0.0, 1.0)
+        u_t, v_t, w_t, T_t, S_t = uf._fields(x, y, frac, off)
+        truth = {"x_sea_water_velocity": u_t,
+                 "y_sea_water_velocity": v_t,
+                 "sea_water_temperature": T_t,
+                 "sea_water_salinity": S_t}
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=list(truth), z=z)
+        for v, tv in truth.items():
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            b = np.isfinite(ref) & np.isfinite(ours)
+            e_ref = float(np.sqrt(np.mean((ref[b] - tv[b]) ** 2)))
+            e_our = float(np.sqrt(np.mean((ours[b] - tv[b]) ** 2)))
+            assert e_our * 3.0 < e_ref, \
+                (f"{v} t{k}: ours {e_our:.4g} vs reference {e_ref:.4g}")
+
+
+FVCOM_BOUNDS = {
+    "x_sea_water_velocity": (0.035, 0.11),
+    "y_sea_water_velocity": (0.025, 0.07),
+}
+
+
+def _ensure_fvcom(cfg):
+    import unstructured_fixtures as uf
+    path = cfg["fixture"]
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        uf.make_fvcom(path)
+    return path
+
+
+def test_fvcom_values_match_reference():
+    """vs the reference's own reader_netCDF_CF_unstructured (KD-tree
+    nearest face + nearest sigma layer, reference
+    reader_netCDF_CF_unstructured.py:204-435) on a reference-layout
+    Cartesian FVCOM fixture.  u/v only — the face-variable path the
+    reference's own tests exercise (its node-variable fetch returns a
+    node-range block rather than per-point values and is not
+    goldenable)."""
+    from opendrift_tpu.fields.unstructured import FVCOMReader
+
+    d, cfg = _load("fvcom_values")
+    fixture = _ensure_fvcom(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    r = FVCOMReader(fixture, proj4=cfg["proj4"], use_3d=True)
+    for k, off in enumerate(cfg["offsets_s"]):
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=cfg["variables"], z=z)
+        for v in cfg["variables"]:
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            both = np.isfinite(ref) & np.isfinite(ours)
+            assert both.sum() >= 0.97 * len(lon), v
+            dd = ours[both] - ref[both]
+            rb, mb = FVCOM_BOUNDS[v]
+            rms = float(np.sqrt((dd ** 2).mean()))
+            mx = float(np.abs(dd).max())
+            assert rms < rb, f"{v} t{k}: rms {rms:.4g} >= {rb}"
+            assert mx < mb, f"{v} t{k}: max {mx:.4g} >= {mb}"
+
+
+def test_fvcom_truth_error_beats_reference():
+    """Both engines vs the analytic truth: ours >=2.5x closer
+    (measured 3.3-4.2x — slightly below the other families because the
+    cell-centre u/v are first averaged onto nodes)."""
+    import unstructured_fixtures as uf
+    from opendrift_tpu.fields.unstructured import FVCOMReader
+
+    d, cfg = _load("fvcom_values")
+    fixture = _ensure_fvcom(cfg)
+    lon = d["lon"][0]
+    lat = d["lat"][0]
+    z = d["z"][0]
+    x = np.array(cfg["x"])
+    y = np.array(cfg["y"])
+    h = uf._depth(x, y)
+    r = FVCOMReader(fixture, proj4=cfg["proj4"], use_3d=True)
+    for k, off in enumerate(cfg["offsets_s"]):
+        frac = np.clip(1.0 + z / h, 0.0, 1.0)
+        u_t, v_t, w_t, T_t, S_t = uf._fields(x, y, frac, off)
+        truth = {"x_sea_water_velocity": u_t,
+                 "y_sea_water_velocity": v_t}
+        t = r.times[0] + timedelta(seconds=off)
+        out = r.sample_at(lon, lat, t, variables=list(truth), z=z)
+        for v, tv in truth.items():
+            ref = d[f"{v}__t{k}"][0]
+            ours = out[v]
+            b = np.isfinite(ref) & np.isfinite(ours)
+            e_ref = float(np.sqrt(np.mean((ref[b] - tv[b]) ** 2)))
+            e_our = float(np.sqrt(np.mean((ours[b] - tv[b]) ** 2)))
+            assert e_our * 2.5 < e_ref, \
                 (f"{v} t{k}: ours {e_our:.4g} vs reference {e_ref:.4g}")

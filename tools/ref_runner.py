@@ -480,6 +480,96 @@ def scenario_shyfem_values():
     return out
 
 
+def scenario_schism_values():
+    """SCHISM VALUE-level rung: the reference's own
+    reader_schism_native (KD-tree nearest node, time-varying zcor
+    levels, its ReaderBlockUnstruct machinery; reference
+    reader_schism_native.py:55-1076) on a deterministic synthetic file
+    with the real layout."""
+    from unstructured_fixtures import (make_schism, sample_points,
+                                       TELEMAC_PROJ)
+    from opendrift.readers.reader_schism_native import Reader
+    from opendrift_tpu.utils import crs as tcrs
+
+    fix_dir = os.path.join(REPO, "tests", "data")
+    os.makedirs(fix_dir, exist_ok=True)
+    fixture = os.path.join(fix_dir, "schism_synth.nc")
+    if not os.path.exists(fixture):
+        make_schism(fixture)
+    r = Reader(fixture, proj4=TELEMAC_PROJ, use_3d=True)
+    x, y, z = sample_points()
+    proj = tcrs.from_proj4(TELEMAC_PROJ)
+    lon, lat = proj.inv(np, x, y)
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity",
+                 "sea_water_temperature", "sea_water_salinity",
+                 "sea_surface_height",
+                 "sea_floor_depth_below_sea_level"]
+    out = {"lon": lon[None, :], "lat": lat[None, :], "z": z[None, :],
+           "status": np.zeros((1, 1)), "time_s": np.zeros(1)}
+    offsets_s = (1800.0, 5400.0)
+    for k, off in enumerate(offsets_s):
+        t = r.start_time + timedelta(seconds=off)
+        env, _ = r.get_variables_interpolated(
+            variables, time=t, lon=lon, lat=lat, z=z,
+            rotate_to_proj="+proj=latlong +ellps=WGS84")
+        for v in variables:
+            out[f"{v}__t{k}"] = np.ma.filled(
+                np.asarray(env[v], np.float64), np.nan)[None, :]
+    out["config"] = json.dumps({
+        "reader": "schism_values", "fixture": fixture,
+        "proj4": TELEMAC_PROJ, "n": len(x),
+        "x": x.tolist(), "y": y.tolist(), "z": z.tolist(),
+        "offsets_s": list(offsets_s), "variables": variables,
+    })
+    return out
+
+
+def scenario_fvcom_values():
+    """FVCOM VALUE-level rung: the reference's own
+    reader_netCDF_CF_unstructured (KD-tree nearest face + nearest
+    sigma layer from z_from_sigma; reference
+    reader_netCDF_CF_unstructured.py:204-435) on a deterministic
+    synthetic Cartesian FVCOM file.  u/v only — the face-variable path
+    the reference's own tests exercise (its node-variable fetch
+    returns a node-range block rather than per-point values,
+    reader_netCDF_CF_unstructured.py:303-332, so it is not
+    goldenable)."""
+    from unstructured_fixtures import (make_fvcom, sample_points,
+                                       TELEMAC_PROJ)
+    from opendrift.readers import reader_netCDF_CF_unstructured
+    from opendrift_tpu.utils import crs as tcrs
+
+    fix_dir = os.path.join(REPO, "tests", "data")
+    os.makedirs(fix_dir, exist_ok=True)
+    fixture = os.path.join(fix_dir, "fvcom_synth.nc")
+    if not os.path.exists(fixture):
+        make_fvcom(fixture)
+    r = reader_netCDF_CF_unstructured.Reader(fixture,
+                                             proj4=TELEMAC_PROJ)
+    x, y, z = sample_points()
+    proj = tcrs.from_proj4(TELEMAC_PROJ)
+    lon, lat = proj.inv(np, x, y)
+    variables = ["x_sea_water_velocity", "y_sea_water_velocity"]
+    out = {"lon": lon[None, :], "lat": lat[None, :], "z": z[None, :],
+           "status": np.zeros((1, 1)), "time_s": np.zeros(1)}
+    offsets_s = (1800.0, 5400.0)
+    for k, off in enumerate(offsets_s):
+        t = r.start_time + timedelta(seconds=off)
+        env, _ = r.get_variables_interpolated(
+            variables, time=t, lon=lon, lat=lat, z=z,
+            rotate_to_proj="+proj=latlong +ellps=WGS84")
+        for v in variables:
+            out[f"{v}__t{k}"] = np.ma.filled(
+                np.asarray(env[v], np.float64), np.nan)[None, :]
+    out["config"] = json.dumps({
+        "reader": "fvcom_values", "fixture": fixture,
+        "proj4": TELEMAC_PROJ, "n": len(x),
+        "x": x.tolist(), "y": y.tolist(), "z": z.tolist(),
+        "offsets_s": list(offsets_s), "variables": variables,
+    })
+    return out
+
+
 def scenario_mixing_sundby():
     """Vertical-mixing STATISTICAL parity: the reference's Visser
     random-walk inner loop (oceandrift.py:397-571) with
@@ -1084,6 +1174,8 @@ SCENARIOS = {
     "nordic_values": scenario_nordic_values,
     "telemac_values": scenario_telemac_values,
     "shyfem_values": scenario_shyfem_values,
+    "schism_values": scenario_schism_values,
+    "fvcom_values": scenario_fvcom_values,
     "mixing_sundby_stat": scenario_mixing_sundby,
     "openoil_budget_surface": scenario_openoil_budget,
     "openoil_full_stat": scenario_openoil_full,

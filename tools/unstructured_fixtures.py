@@ -216,3 +216,138 @@ def shyfem_sample_points(n=600, seed=9):
                       SHYFEM_LAT1 - 0.05 * (SHYFEM_LAT1 - SHYFEM_LAT0), n)
     z = -rng.uniform(0.5, 0.95 * SHYFEM_H, n)
     return lon, lat, z
+
+
+def make_schism(path, nlev=5):
+    """Synthetic SCHISM native output with the real layout the
+    reference reader handles (reference reader_schism_native.py:55-310):
+    projected node coordinates with standard_name
+    projection_x/y_coordinate, time-varying zcor (time, node, lev)
+    bottom-up, hvel (time, node, lev, 2), 3D temp/salt, elev/depth."""
+    from scipy.io import netcdf_file
+    x, y, tris = _mesh2d(seed=31)
+    n = len(x)
+    h = _depth(x, y)
+    times = [0.0, 3600.0, 7200.0]
+
+    f = netcdf_file(path, "w")
+    f.createDimension("time", len(times))
+    f.createDimension("node", n)
+    f.createDimension("lev", nlev)
+    f.createDimension("two", 2)
+    f.createDimension("nele", len(tris))
+    f.createDimension("three", 3)
+    vx = f.createVariable("SCHISM_hgrid_node_x", "d", ("node",))
+    vx[:] = x
+    vx.standard_name = b"projection_x_coordinate"
+    vy = f.createVariable("SCHISM_hgrid_node_y", "d", ("node",))
+    vy[:] = y
+    vy.standard_name = b"projection_y_coordinate"
+    fc = f.createVariable("SCHISM_hgrid_face_nodes", "i",
+                          ("nele", "three"))
+    fc[:] = tris + 1
+    dv = f.createVariable("depth", "d", ("node",))
+    dv[:] = h
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = times
+    t.units = b"seconds since 2021-06-01 00:00:00"
+    t.calendar = b"standard"
+    # plane fractions bottom-up: level 0 at the seafloor
+    fracs = np.linspace(0.0, 1.0, nlev)
+    zcor = np.empty((len(times), n, nlev))
+    hvel = np.empty((len(times), n, nlev, 2))
+    temp = np.empty((len(times), n, nlev))
+    salt = np.empty((len(times), n, nlev))
+    elev = np.empty((len(times), n))
+    for ti, ts in enumerate(times):
+        elev[ti] = 0.0
+        for li, fr in enumerate(fracs):
+            zcor[ti, :, li] = -h * (1.0 - fr)
+            u, v, w, T, S = _fields(x, y, fr, ts)
+            hvel[ti, :, li, 0] = u
+            hvel[ti, :, li, 1] = v
+            temp[ti, :, li] = T
+            salt[ti, :, li] = S
+    for nm, data, dims in [("elev", elev, ("time", "node")),
+                           ("zcor", zcor, ("time", "node", "lev")),
+                           ("temp", temp, ("time", "node", "lev")),
+                           ("salt", salt, ("time", "node", "lev"))]:
+        v = f.createVariable(nm, "d", dims)
+        v[:] = data
+    v = f.createVariable("hvel", "d", ("time", "node", "lev", "two"))
+    v[:] = hvel
+    f.close()
+    return path
+
+
+def make_fvcom(path, nlay=5):
+    """Synthetic FVCOM output with the layout the reference reader
+    requires (reference reader_netCDF_CF_unstructured.py:85-200):
+    Cartesian x/y/xc/yc + CoordinateSystem attr, MJD time with
+    format/time_zone attrs, u/v on (time, siglay, nele) with
+    eastward/northward standard names, siglay/siglev (+_center), h."""
+    from scipy.io import netcdf_file
+    x, y, tris = _mesh2d(seed=41)
+    n = len(x)
+    nele = len(tris)
+    xc = x[tris].mean(axis=1)
+    yc = y[tris].mean(axis=1)
+    h = _depth(x, y)
+    hc = _depth(xc, yc)
+    # MJD days for 2021-06-01 00:00 + hourly frames
+    mjd0 = (np.datetime64("2021-06-01") - np.datetime64("1858-11-17")
+            ) / np.timedelta64(1, "D")
+    times_s = [0.0, 3600.0, 7200.0]
+    siglay = -(np.arange(nlay) + 0.5) / nlay       # layer centres
+    siglev = -np.arange(nlay + 1) / nlay
+
+    f = netcdf_file(path, "w")
+    f.CoordinateProjection = TELEMAC_PROJ.encode()
+    f.CoordinateSystem = b"Cartesian"
+    f.createDimension("time", len(times_s))
+    f.createDimension("node", n)
+    f.createDimension("nele", nele)
+    f.createDimension("siglay", nlay)
+    f.createDimension("siglev", nlay + 1)
+    f.createDimension("three", 3)
+    for nm, data, dims in [("x", x, ("node",)), ("y", y, ("node",)),
+                           ("xc", xc, ("nele",)),
+                           ("yc", yc, ("nele",))]:
+        v = f.createVariable(nm, "d", dims)
+        v[:] = data
+    nv = f.createVariable("nv", "i", ("three", "nele"))
+    nv[:] = (tris + 1).T
+    t = f.createVariable("time", "d", ("time",))
+    t[:] = mjd0 + np.asarray(times_s) / 86400.0
+    t.units = b"days since 1858-11-17 00:00:00"
+    t.format = b"modified julian day (MJD)"
+    t.time_zone = b"UTC"
+    hv = f.createVariable("h", "d", ("node",))
+    hv[:] = h
+    hv.standard_name = b"sea_floor_depth_below_sea_level"
+    hcv = f.createVariable("h_center", "d", ("nele",))
+    hcv[:] = hc
+    sl = f.createVariable("siglay", "d", ("siglay", "node"))
+    sl[:] = np.broadcast_to(siglay[:, None], (nlay, n))
+    sv = f.createVariable("siglev", "d", ("siglev", "node"))
+    sv[:] = np.broadcast_to(siglev[:, None], (nlay + 1, n))
+    slc = f.createVariable("siglay_center", "d", ("siglay", "nele"))
+    slc[:] = np.broadcast_to(siglay[:, None], (nlay, nele))
+    svc = f.createVariable("siglev_center", "d", ("siglev", "nele"))
+    svc[:] = np.broadcast_to(siglev[:, None], (nlay + 1, nele))
+    uu = np.empty((len(times_s), nlay, nele))
+    vv = np.empty((len(times_s), nlay, nele))
+    for ti, ts in enumerate(times_s):
+        for li, sig in enumerate(siglay):
+            frac = 1.0 + sig                      # 1 near surface
+            u, v, w, T, S = _fields(xc, yc, frac, ts)
+            uu[ti, li] = u
+            vv[ti, li] = v
+    vu = f.createVariable("u", "d", ("time", "siglay", "nele"))
+    vu[:] = uu
+    vu.standard_name = b"eastward_sea_water_velocity"
+    vv_ = f.createVariable("v", "d", ("time", "siglay", "nele"))
+    vv_[:] = vv
+    vv_.standard_name = b"Northward_sea_water_velocity"
+    f.close()
+    return path
