@@ -209,11 +209,15 @@ class DDContext:
         """Host-side linear tile assignment from positions (numpy)."""
         r = self.primary
         x, y = r.lonlat2xy(lon, lat)
-        yi = (np.asarray(y) - r.y[r._iy.start]) / r.delta_y
+        # positions outside the grid (e.g. beyond a curvilinear hull)
+        # map to NaN — bin them to tile 0; they are uncovered anyway
+        yi = np.nan_to_num(
+            (np.asarray(y) - r.y[r._iy.start]) / r.delta_y, nan=0.0)
         ty = np.clip((yi // self.rows).astype(int), 0, self.n_ty - 1)
         if self.n_tx == 1:
             return ty
-        xi = (np.asarray(x) - r.x[r._ix.start]) / r.delta_x
+        xi = np.nan_to_num(
+            (np.asarray(x) - r.x[r._ix.start]) / r.delta_x, nan=0.0)
         tx = np.clip((xi // self.cols).astype(int), 0, self.n_tx - 1)
         return ty * self.n_tx + tx
 
