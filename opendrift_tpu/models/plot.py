@@ -104,12 +104,16 @@ class PlottingMixin:
         lat = self.result["lat"].values
         if linecolor is not None and linecolor in self.result:
             vals = self.result[linecolor].values
-            sc = None
-            for i in range(lon.shape[0]):
-                sc = ax.scatter(lon[i], lat[i], c=vals[i], s=markersize,
-                                cmap=kwargs.get("cmap", "viridis"))
-            if sc is not None:
-                fig.colorbar(sc, ax=ax, label=linecolor)
+            # ONE scatter over all trajectories: per-trajectory scatters
+            # would each renormalise, leaving the colorbar scaled to
+            # whichever was drawn last (caught by
+            # tests/test_plot_semantics.py)
+            good = (np.isfinite(lon) & np.isfinite(lat)
+                    & np.isfinite(vals))
+            sc = ax.scatter(lon[good], lat[good], c=vals[good],
+                            s=markersize,
+                            cmap=kwargs.get("cmap", "viridis"))
+            fig.colorbar(sc, ax=ax, label=linecolor)
         else:
             ax.plot(lon.T, lat.T, color="gray", lw=0.4, alpha=0.6,
                     zorder=2)
