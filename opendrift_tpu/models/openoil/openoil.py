@@ -501,6 +501,7 @@ class OpenOil(OceanDrift):
                                 jnp.full_like(d["z"], 50.0)),
             zmin, ctx._oil_entrainment_probability,
             ctx._droplet_diameter_if_entrained, zb, kw, kw2, nu_w, seed,
+            elem=d["ID"].astype(jnp.float32),
             ntimes=ntimes, dt_mix=dt_mix, model=model,
             bg=float(self.get_config(
                 "vertical_mixing:background_diffusivity")),
@@ -516,14 +517,24 @@ class OpenOil(OceanDrift):
 
     def surface_wave_mixing(self, ctx, mix, dt_mix, key):
         """Whitecapping entrainment of surface oil
-        (reference openoil.py:1033-1056)."""
+        (reference openoil.py:1033-1056).  Draws are keyed by element
+        ID (splitmix counter) so they are layout-invariant under domain
+        decomposition, like the base mixing walk."""
+        from ...ops.pallas_mixing import _splitmix32
         z = mix["z"]
         surface = z >= 0.0
-        draw = jax.random.uniform(key, z.shape)
+        ids = ctx.state.data["ID"].astype(jnp.uint32)
+        salt = jax.random.bits(key, dtype=jnp.uint32)
+        bits1 = _splitmix32(ids + salt * jnp.uint32(0x9e3779b9))
+        bits2 = _splitmix32(bits1 + jnp.uint32(0xc2b2ae35))
+
+        def unit(b):
+            return jax.lax.shift_right_logical(
+                b, jnp.uint32(8)).astype(jnp.float32)                 * jnp.float32(1.0 / 16777216.0)
+        draw = unit(bits1)
         entrained = surface & (draw < ctx._oil_entrainment_probability)
         zb = 1.5 * ctx.significant_wave_height()
-        depth_draw = jax.random.uniform(jax.random.fold_in(key, 1),
-                                        z.shape) * zb
+        depth_draw = unit(bits2) * zb
         mix["z"] = jnp.where(entrained, -depth_draw, z)
         if not self.keep_droplet_diameter:
             mix["diameter"] = jnp.where(entrained,

@@ -389,18 +389,12 @@ def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed,
 
 def _kernel_oil(seed_ref, z_ref, diam_ref, mv_ref, wind_ref, mld_ref,
                 zmin_ref, pent_ref, dcand_ref, zb_ref, kw_ref, kw2_ref,
-                nuw_ref, z_out_ref, d_out_ref, **opts):
-    from jax.experimental import pallas as pl
-
-    rows, lanes = z_ref.shape
-    elem = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0) * lanes
-            + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1)
-            + jnp.uint32(pl.program_id(0) * rows * lanes))
+                nuw_ref, elem_ref, z_out_ref, d_out_ref, **opts):
     z, diam = _mix_loop_oil(
         z_ref[:], diam_ref[:], mv_ref[:], wind_ref[:], mld_ref[:],
         zmin_ref[:], pent_ref[:], dcand_ref[:], zb_ref[:], kw_ref[:],
-        kw2_ref[:], nuw_ref[:], elem, seed_ref[0].astype(jnp.uint32),
-        **opts)
+        kw2_ref[:], nuw_ref[:], elem_ref[:].astype(jnp.uint32),
+        seed_ref[0].astype(jnp.uint32), **opts)
     z_out_ref[:] = z
     d_out_ref[:] = diam
 
@@ -410,12 +404,16 @@ def _kernel_oil(seed_ref, z_ref, diam_ref, mv_ref, wind_ref, mld_ref,
     static_argnames=("ntimes", "dt_mix", "model", "bg",
                      "mixing_at_surface", "keep_diam", "interpret"))
 def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
-                      kw, kw2, nu_w, seed, *, ntimes, dt_mix, model, bg,
-                      mixing_at_surface, keep_diam, interpret=False):
+                      kw, kw2, nu_w, seed, elem=None, *, ntimes, dt_mix,
+                      model, bg, mixing_at_surface, keep_diam,
+                      interpret=False):
     """OpenOil mixing inner loop: ``ntimes`` Visser substeps with Tkalich
     rise velocity and wave entrainment, entirely in VMEM.
 
-    All array args f32 (N,); seed scalar.  Returns (z, diameter)."""
+    All array args f32 (N,); seed scalar; ``elem`` = per-element RNG
+    key (the element ID — layout-invariant draws under domain
+    decomposition; defaults to the slot index).
+    Returns (z, diameter)."""
     N = z.shape[0]
     n_tiles = max(1, -(-N // _TILE))
     Np = n_tiles * _TILE
@@ -433,16 +431,17 @@ def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
             a = jnp.pad(a, (0, pad), constant_values=fill)
         return a.reshape(-1, _LANES)
 
+    if elem is None:
+        elem = jnp.arange(N, dtype=jnp.float32)
     args = (prep(z), prep(diam, 1e-6), prep(moving), prep(wind),
             prep(mld, 50.0), prep(zmin, -1.0), prep(p_ent), prep(d_cand,
-            1e-6), prep(zb, 1.0), prep(kw), prep(kw2), prep(nu_w, 1e-6))
+            1e-6), prep(zb, 1.0), prep(kw), prep(kw2), prep(nu_w, 1e-6),
+            prep(elem))
     seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
 
     if interpret or not available():
-        R = Np // _LANES
-        elem = (jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 0) * _LANES
-                + jax.lax.broadcasted_iota(jnp.uint32, (R, _LANES), 1))
-        zf, df = _mix_loop_oil(*args, elem, seed_u32, **opts)
+        zf, df = _mix_loop_oil(*args[:12], args[12].astype(jnp.uint32),
+                               seed_u32, **opts)
         return zf.reshape(-1)[:N], df.reshape(-1)[:N]
 
     from jax.experimental import pallas as pl
@@ -453,7 +452,7 @@ def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[spec] * 12,
+        in_specs=[spec] * 13,
         out_specs=[spec] * 2,
     )
     shape = jax.ShapeDtypeStruct((Np // _LANES, _LANES), jnp.float32)
