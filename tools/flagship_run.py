@@ -51,7 +51,7 @@ def main():
     nordic = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
               "Nordic_subset.nc")
     o = OceanDrift(loglevel=30)
-    reader = ROMSReader(nordic)
+    reader = ROMSReader(nordic, sampling="regrid")  # production fast path, same as bench.py
     if optimized:
         # half-precision forcing rows: gathers are random-access-
         # bandwidth bound, f16 rows double sampling throughput (~1e-3
