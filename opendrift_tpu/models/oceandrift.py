@@ -564,7 +564,7 @@ class OceanDrift(OpenDriftSimulation):
                 h = float(ctx.zlevels[0] - ctx.zlevels[1])
                 z_out = pallas_mixing.visser_mixing_profile(
                     d["z"], moving, w, Kprof, gradK, zmin, seed,
-                    elem=d["ID"].astype(jnp.float32),
+                    elem=d["ID"],
                     ntimes=ntimes, dt_mix=dt_mix, h=h,
                     mixing_at_surface=bool(mixing_at_surface),
                     interpret=pallas_mixing.FORCE_INTERPRET)
@@ -575,7 +575,7 @@ class OceanDrift(OpenDriftSimulation):
                         "ocean_mixed_layer_thickness",
                         jnp.full_like(d["z"], 50.0)),
                     zmin, seed,
-                    elem=d["ID"].astype(jnp.float32),
+                    elem=d["ID"],
                     ntimes=ntimes, dt_mix=dt_mix, model=model,
                     bg=float(self.get_config(
                         "vertical_mixing:background_diffusivity")),

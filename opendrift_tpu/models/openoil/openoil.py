@@ -501,7 +501,7 @@ class OpenOil(OceanDrift):
                                 jnp.full_like(d["z"], 50.0)),
             zmin, ctx._oil_entrainment_probability,
             ctx._droplet_diameter_if_entrained, zb, kw, kw2, nu_w, seed,
-            elem=d["ID"].astype(jnp.float32),
+            elem=d["ID"],
             ntimes=ntimes, dt_mix=dt_mix, model=model,
             bg=float(self.get_config(
                 "vertical_mixing:background_diffusivity")),

@@ -232,14 +232,24 @@ def _mix_loop_prof(z, mv, w, Kprof, gradK, zmin, elem, seed, *, ntimes,
     return jax.lax.fori_loop(0, ntimes, body, z)
 
 
+def _as_u32(x):
+    """int32 -> uint32 reinterpret (mod-2^32 astype == bitcast for same
+    width).  Mosaic rejects float->unsigned ``astype`` (the r4 TPU
+    crash) but lowers int->unsigned fine; element IDs therefore travel
+    the whole pipeline as int32 and are reinterpreted here — exact at
+    any magnitude (no f32 2^24 quantisation) and identical bits on the
+    jnp emulation."""
+    return jnp.asarray(x, jnp.int32).astype(jnp.uint32)
+
+
 def _kernel(seed_ref, z_ref, mv_ref, w_ref, wind_ref, mld_ref, zmin_ref,
             elem_ref, out_ref, **opts):
-    # elem = the ELEMENT ID (f32-exact below 2^24): draws keyed by ID
-    # are layout-invariant, so DD-tiled runs reproduce the replicated
+    # elem = the ELEMENT ID (int32 tile): draws keyed by ID are
+    # layout-invariant, so DD-tiled runs reproduce the replicated
     # gold exactly (and match the jnp path's splitmix draws)
     out_ref[:] = _mix_loop(
         z_ref[:], mv_ref[:], w_ref[:], wind_ref[:], mld_ref[:], zmin_ref[:],
-        elem_ref[:].astype(jnp.uint32), seed_ref[0].astype(jnp.uint32),
+        _as_u32(elem_ref[:]), _as_u32(seed_ref[0]),
         **opts)
 
 
@@ -253,8 +263,11 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, elem=None, *,
     """Run ``ntimes`` Visser substeps on every element.
 
     z, moving, w, wind, mld, zmin: f32 (N,); seed: scalar (uint32/int32);
-    ``elem``: per-element RNG key (the element ID — layout-invariant
-    draws; defaults to the slot index).  Returns the final z, f32 (N,).
+    ``elem``: per-element RNG key, int32 (the element ID —
+    layout-invariant draws; defaults to the slot index).  Routed as an
+    int32 tile and bitcast to u32 in-kernel: exact at any ID (Mosaic has
+    no float→unsigned cast, and f32 routing would quantise above 2^24).
+    Returns the final z, f32 (N,).
     ``interpret=True`` (and any non-TPU backend) runs the op-identical
     pure-jnp emulation instead of the Pallas lowering.
     """
@@ -266,8 +279,8 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, elem=None, *,
     opts = dict(ntimes=int(ntimes), dt_mix=float(dt_mix), model=model,
                 bg=float(bg), mixing_at_surface=bool(mixing_at_surface))
 
-    def prep(a, fill=0.0):
-        a = jnp.asarray(a, jnp.float32)
+    def prep(a, fill=0.0, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
         if a.ndim == 0:
             a = jnp.full((N,), a)
         if pad:
@@ -275,13 +288,13 @@ def visser_mixing(z, moving, w, wind, mld, zmin, seed, elem=None, *,
         return a.reshape(-1, _LANES)
 
     if elem is None:
-        elem = jnp.arange(N, dtype=jnp.float32)
+        elem = jnp.arange(N, dtype=jnp.int32)
     args = (prep(z), prep(moving), prep(w), prep(wind), prep(mld),
-            prep(zmin), prep(elem))
+            prep(zmin), prep(elem, 0, jnp.int32))
     seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
 
     if interpret or not available():
-        out = _mix_loop(*args[:6], args[6].astype(jnp.uint32), seed_u32,
+        out = _mix_loop(*args[:6], _as_u32(args[6]), seed_u32,
                         **opts)
         return out.reshape(-1)[:N]
 
@@ -309,8 +322,8 @@ def _kernel_prof(seed_ref, z_ref, mv_ref, w_ref, kprof_ref, gradk_ref,
                  zmin_ref, elem_ref, out_ref, **opts):
     out_ref[:] = _mix_loop_prof(
         z_ref[:], mv_ref[:], w_ref[:], kprof_ref[:], gradk_ref[:],
-        zmin_ref[:], elem_ref[:].astype(jnp.uint32),
-        seed_ref[0].astype(jnp.uint32), **opts)
+        zmin_ref[:], _as_u32(elem_ref[:]),
+        _as_u32(seed_ref[0]), **opts)
 
 
 # level rows multiply VMEM per element: use smaller tiles
@@ -339,8 +352,8 @@ def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed,
     opts = dict(ntimes=int(ntimes), dt_mix=float(dt_mix), h=float(h),
                 mixing_at_surface=bool(mixing_at_surface))
 
-    def prep(a, fill=0.0):
-        a = jnp.asarray(a, jnp.float32)
+    def prep(a, fill=0.0, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
         if a.ndim == 0:
             a = jnp.full((N,), a)
         if pad:
@@ -354,15 +367,15 @@ def visser_mixing_profile(z, moving, w, Kprof, gradK, zmin, seed,
         return p.reshape(L, -1, _LANES)           # (L, R, lanes)
 
     if elem is None:
-        elem = jnp.arange(N, dtype=jnp.float32)
+        elem = jnp.arange(N, dtype=jnp.int32)
     zp, mvp, wp, zminp = prep(z), prep(moving), prep(w), prep(zmin)
-    elemp = prep(elem)
+    elemp = prep(elem, 0, jnp.int32)
     kp, gp = prep_prof(Kprof), prep_prof(gradK)
     seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
 
     if interpret or not available():
         out = _mix_loop_prof(zp, mvp, wp, kp, gp, zminp,
-                             elemp.astype(jnp.uint32), seed_u32, **opts)
+                             _as_u32(elemp), seed_u32, **opts)
         return out.reshape(-1)[:N]
 
     from jax.experimental import pallas as pl
@@ -393,8 +406,8 @@ def _kernel_oil(seed_ref, z_ref, diam_ref, mv_ref, wind_ref, mld_ref,
     z, diam = _mix_loop_oil(
         z_ref[:], diam_ref[:], mv_ref[:], wind_ref[:], mld_ref[:],
         zmin_ref[:], pent_ref[:], dcand_ref[:], zb_ref[:], kw_ref[:],
-        kw2_ref[:], nuw_ref[:], elem_ref[:].astype(jnp.uint32),
-        seed_ref[0].astype(jnp.uint32), **opts)
+        kw2_ref[:], nuw_ref[:], _as_u32(elem_ref[:]),
+        _as_u32(seed_ref[0]), **opts)
     z_out_ref[:] = z
     d_out_ref[:] = diam
 
@@ -410,9 +423,9 @@ def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
     """OpenOil mixing inner loop: ``ntimes`` Visser substeps with Tkalich
     rise velocity and wave entrainment, entirely in VMEM.
 
-    All array args f32 (N,); seed scalar; ``elem`` = per-element RNG
-    key (the element ID — layout-invariant draws under domain
-    decomposition; defaults to the slot index).
+    All array args f32 (N,) except ``elem`` (int32); seed scalar;
+    ``elem`` = per-element RNG key (the element ID — layout-invariant
+    draws under domain decomposition; defaults to the slot index).
     Returns (z, diameter)."""
     N = z.shape[0]
     n_tiles = max(1, -(-N // _TILE))
@@ -423,8 +436,8 @@ def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
                 bg=float(bg), mixing_at_surface=bool(mixing_at_surface),
                 keep_diam=bool(keep_diam))
 
-    def prep(a, fill=0.0):
-        a = jnp.asarray(a, jnp.float32)
+    def prep(a, fill=0.0, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
         if a.ndim == 0:
             a = jnp.full((N,), a)
         if pad:
@@ -432,15 +445,15 @@ def visser_mixing_oil(z, diam, moving, wind, mld, zmin, p_ent, d_cand, zb,
         return a.reshape(-1, _LANES)
 
     if elem is None:
-        elem = jnp.arange(N, dtype=jnp.float32)
+        elem = jnp.arange(N, dtype=jnp.int32)
     args = (prep(z), prep(diam, 1e-6), prep(moving), prep(wind),
             prep(mld, 50.0), prep(zmin, -1.0), prep(p_ent), prep(d_cand,
             1e-6), prep(zb, 1.0), prep(kw), prep(kw2), prep(nu_w, 1e-6),
-            prep(elem))
+            prep(elem, 0, jnp.int32))
     seed_u32 = jnp.asarray(seed).astype(jnp.uint32).reshape(())
 
     if interpret or not available():
-        zf, df = _mix_loop_oil(*args[:12], args[12].astype(jnp.uint32),
+        zf, df = _mix_loop_oil(*args[:12], _as_u32(args[12]),
                                seed_u32, **opts)
         return zf.reshape(-1)[:N], df.reshape(-1)[:N]
 
