@@ -149,14 +149,18 @@ def main():
         "unit": "particle-steps/s",
         "vs_baseline": round(rate_honest / BASELINE_GRID, 2),
         "extra_metrics": [],
+        # a secondary workload that dies must be VISIBLE in the JSON
+        # line, not just absent from extra_metrics (that is exactly how
+        # the r4 Pallas TPU regression shipped silently)
+        "failed_workloads": [],
     }
     log(f"A done: {rate_honest:.3e}")
 
     # regression guard: warn (in the JSON line) when the primary drops
     # >5% below the committed last-known-good (VERDICT r3 weak #7)
+    lkg_path = os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_LKG.json")
     try:
-        lkg_path = os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "BENCH_LKG.json")
         with open(lkg_path) as f:
             lkg = json.load(f)["primary"]
         result["vs_last_known_good"] = round(rate_honest / lkg, 3)
@@ -174,7 +178,8 @@ def main():
         rate_opt = _steady_rate(_build_grid_sim(optimized=True),
                                 N_GRID, GRID_STEPS)
         result["extra_metrics"].append(
-            {"metric": "particle-steps/s (2M elem, RK4 gridded, "
+            {"id": "optimized",
+             "metric": "particle-steps/s (2M elem, RK4 gridded, "
                        "optimized: f16 rows, surface, single-fetch)",
              "value": round(rate_opt, 1),
              "unit": "particle-steps/s",
@@ -182,6 +187,7 @@ def main():
         log(f"B done: {rate_opt:.3e}")
     except Exception as exc:  # noqa: BLE001 — keep the primary metric
         log(f"B failed: {exc}")
+        result["failed_workloads"].append(f"optimized: {exc}")
 
     try:
         # the BASELINE north star is specified AT 10M elements: same
@@ -193,7 +199,8 @@ def main():
         rate_10m = _steady_rate(_build_grid_sim(optimized=False, n=n10),
                                 n10, 20)
         result["extra_metrics"].append(
-            {"metric": "particle-steps/s (10M elem, RK4 gridded 3D f32 "
+            {"id": "10m",
+             "metric": "particle-steps/s (10M elem, RK4 gridded 3D f32 "
                        "multi-fetch — north-star scale)",
              "value": round(rate_10m, 1),
              "unit": "particle-steps/s",
@@ -201,12 +208,14 @@ def main():
         log(f"D done: {rate_10m:.3e}")
     except Exception as exc:  # noqa: BLE001
         log(f"D failed: {exc}")
+        result["failed_workloads"].append(f"10m: {exc}")
 
     try:
         log("workload C: mixing substeps ...")
         rate_mix = _mixing_rate()
         result["extra_metrics"].append(
-            {"metric": "element-mixing-substeps/s (500k elem, RK4 + "
+            {"id": "mixing",
+             "metric": "element-mixing-substeps/s (500k elem, RK4 + "
                        "Visser)",
              "value": round(rate_mix, 1),
              "unit": "substeps/s",
@@ -214,6 +223,32 @@ def main():
         log(f"C done: {rate_mix:.3e}")
     except Exception as exc:  # noqa: BLE001
         log(f"C failed: {exc}")
+        result["failed_workloads"].append(f"mixing: {exc}")
+
+    # extra-metric LKG guard (VERDICT r4 weak #2/#6): a previously
+    # reported extra metric that vanishes or drops >5% is flagged in
+    # the JSON line, same as the primary guard above
+    try:
+        with open(lkg_path) as f:
+            lkg_extras = json.load(f).get("extras", {})
+        warnings = result.setdefault("extra_metric_warnings", [])
+        by_id = {m.get("id"): m["value"] for m in result["extra_metrics"]}
+        for mid, good in lkg_extras.items():
+            if mid not in by_id:
+                warnings.append(
+                    f"extra metric '{mid}' MISSING (last-known-good "
+                    f"{good:.3e})")
+            elif by_id[mid] < 0.95 * good:
+                warnings.append(
+                    f"extra metric '{mid}' {by_id[mid]:.3e} is "
+                    f"{(1 - by_id[mid] / good) * 100:.1f}% below "
+                    f"last-known-good {good:.3e}")
+        for wmsg in warnings:
+            log(wmsg)
+        if not warnings:
+            del result["extra_metric_warnings"]
+    except Exception as exc:  # noqa: BLE001
+        log(f"no extra-metric LKG comparison: {exc}")
 
     print(json.dumps(result))
 
