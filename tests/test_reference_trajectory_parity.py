@@ -61,6 +61,13 @@ TOLERANCES = {
     # slide by km over 45 h, while the open-water bulk stays at
     # O(100 m) (final_median asserted below)
     "nordic_sigma_3d_euler": (4000.0, 1200.0),
+    # the REGRID production mode (source of every headline bench number)
+    # vs the SAME reference golden: regrid forcing values are bounded at
+    # u-rms <=5e-3 of native (test_reference_roms_values_parity.py:56-69),
+    # which over 45 h (~1.6e5 s) integrates to <=~800 m coherent extra
+    # drift on top of the native-mode bound.  Measured r5: max 3510 m,
+    # final_mean 1226 m, final_median 951 m.
+    "nordic_sigma_3d_euler_regrid": (6000.0, 2000.0),
     # model-zoo deterministic rungs (25 h of drift each)
     "windblow_euler": (30.0, 15.0),
     "seaice_euler": (60.0, 40.0),
@@ -69,13 +76,16 @@ TOLERANCES = {
 
 # 3D scenario: max |z_ref - z_ours| at any output step [m]
 DZ_TOLERANCES = {"arctic20_3d_euler": 0.05,
-                 "nordic_sigma_3d_euler": 0.05}
+                 "nordic_sigma_3d_euler": 0.05,
+                 "nordic_sigma_3d_euler_regrid": 0.05}
 # scenario -> final-step MEDIAN separation bound [m] (pins the bulk
 # when a handful of coastal elements need a loose max)
-MEDIAN_TOLERANCES = {"nordic_sigma_3d_euler": 500.0}
+MEDIAN_TOLERANCES = {"nordic_sigma_3d_euler": 500.0,
+                     "nordic_sigma_3d_euler_regrid": 1500.0}
 
 
 def _golden_available(name):
+    name = parity_compare.GOLDEN_ALIASES.get(name, name)
     return os.path.exists(os.path.join(
         parity_compare.GOLDENS, f"ref_traj_{name}.npz"))
 

@@ -16,7 +16,13 @@ GOLDENS = os.path.join(REPO, "tests", "goldens")
 sys.path.insert(0, REPO)
 
 
+# scenarios that face an existing golden under a different configuration
+# of OUR engine (the golden itself is identical)
+GOLDEN_ALIASES = {"nordic_sigma_3d_euler_regrid": "nordic_sigma_3d_euler"}
+
+
 def load_golden(name):
+    name = GOLDEN_ALIASES.get(name, name)
     path = os.path.join(GOLDENS, f"ref_traj_{name}.npz")
     d = np.load(path, allow_pickle=False)
     cfg = json.loads(str(d["config"]))
@@ -155,7 +161,7 @@ def run_nordic_sigma_3d(cfg):
     o.set_config("drift:vertical_advection", True)
     o.set_config("environment:fallback:upward_sea_water_velocity",
                  cfg["w_fallback"])
-    r = ROMSReader(cfg["file"])
+    r = ROMSReader(cfg["file"], sampling=cfg.get("sampling", "native"))
     o.add_reader(r)
     o.seed_elements(lon=np.asarray(cfg["seed_lon"]),
                     lat=np.asarray(cfg["seed_lat"]),
@@ -165,6 +171,16 @@ def run_nordic_sigma_3d(cfg):
           time_step=cfg["time_step"],
           time_step_output=cfg["time_step"])
     return o
+
+
+def run_nordic_sigma_3d_regrid(cfg):
+    """The REGRID production mode (the configuration behind every
+    headline bench number — bench.py:74, tools/flagship_run.py) against
+    the same reference golden as the native rung: regrid's forcing
+    values are bounded at u-rms <=5e-3 vs native
+    (tests/test_reference_roms_values_parity.py), which over the 45 h
+    run integrates to O(1 km) extra trajectory separation."""
+    return run_nordic_sigma_3d({**cfg, "sampling": "regrid"})
 
 
 def run_mixing_sundby(cfg):
@@ -592,6 +608,7 @@ RUNNERS = {
     "arctic20_backward": run_arctic20_backward,
     "arctic20_3d_euler": run_arctic20_3d,
     "nordic_sigma_3d_euler": run_nordic_sigma_3d,
+    "nordic_sigma_3d_euler_regrid": run_nordic_sigma_3d_regrid,
     "mixing_sundby_stat": run_mixing_sundby,
     "openoil_budget_surface": run_openoil_budget,
     "openoil_full_stat": run_openoil_full,
