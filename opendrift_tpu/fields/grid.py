@@ -25,7 +25,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from .base import BaseReader, STANDARD_NAMES
-from ..ops.interp import fill_invalid, fill_towards_seafloor
+from ..ops.interp import (fill_invalid, fill_towards_seafloor, take_rows,
+                          maybe_split_table, GATHER_FAST_MAX_ROWS)
 
 logger = logging.getLogger(__name__)
 
@@ -379,8 +380,24 @@ class StructuredGridReader(BaseReader):
                 # tiled shards ever reach device memory
                 out["packed"] = packed_all.astype(np.dtype(dtype))
             else:
-                out["packed"] = jnp.asarray(packed_all,
-                                            dtype=jnp.dtype(dtype))
+                arr = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
+                rows = arr.shape[0]
+                if (arr.dtype.itemsize >= 4
+                        and rows >= GATHER_FAST_MAX_ROWS):
+                    # measured XLA fused-gather cliff (exactly 2^15
+                    # rows for f32, ~40% sampling-rate loss — see
+                    # ops/interp.py and docs/performance.md)
+                    logger.warning(
+                        "Packed table of reader %s has %d rows — at or "
+                        "beyond the measured TPU gather cliff (2^15 "
+                        "rows for float32 tables, ~40%% lower sampling "
+                        "rate). Consider a tighter extent, drift:"
+                        "truncate_ocean_model_below_m, or "
+                        "reader.packed_dtype='float16' (no cliff until "
+                        "~10x this size).", self.name, rows)
+                split = _os.environ.get("OPENDRIFT_SPLIT_TABLE")
+                out["packed"] = maybe_split_table(
+                    arr, force=split) if split in ("u16", "u8") else arr
         epoch = self._run_epoch
         out["times"] = jnp.asarray(
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],
@@ -524,7 +541,7 @@ class StructuredGridReader(BaseReader):
             x0 = jnp.clip(jnp.round(xi).astype(jnp.int32), 0, s.X - 1)
             y0 = jnp.clip(jnp.round(yi).astype(jnp.int32), 0, s.Y - 1)
             lin = y0 * s.X + x0 + row_offset
-            g = jnp.take(dev_state["packed"], lin, axis=0, mode="clip")
+            g = take_rows(dev_state["packed"], lin)
             for v in want_n:
                 values[v] = g[:, s.col_of[v][0]].astype(jnp.float32)
             return values, covers

@@ -20,7 +20,102 @@ the reference's iterative grey-dilation NaN expansion
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+# Gather-placement cliff (measured, tools/gather_cliff.py, v5e).  The
+# per-index take rate of the FUSED sampling kernel (gather + bilinear
+# blend, the shape of gather_rows inside the step) drops ~40% at
+# EXACTLY rows >= 2^15 for f32 tables (305 -> 179 M rows/s; second drop
+# to 150 M at 2^18), independent of row width C, index distribution, or
+# which rows are touched — an XLA operand-placement decision keyed on
+# row count x dtype, not a cache working set.  f16 tables run the fast
+# strategy (335 M rows/s) with no cliff until beyond 330k rows, bf16
+# 350 M.  Falsified levers (all measured): row padding/ordering,
+# table sharding, and the bit-split u16/u8 storage below, which WINS in
+# an unfused gather+reduce shape (178 vs 113 M rows/s at 330k rows) but
+# LOSES inside the fused kernel (118 vs 179 M) — the bitcast
+# reassembly blocks the fused lowering.  Production guidance therefore:
+# keep packed tables under GATHER_FAST_MAX_ROWS (extent subsetting,
+# truncate_ocean_model_below_m, the compact regrid depth ladder) or opt
+# into f16 rows; SplitTable remains available (opt-in) for unfused
+# gather pipelines.  Full table: docs/performance.md.
+GATHER_FAST_MAX_ROWS = 1 << 15      # f32/int32 fused-gather fast limit
+_CLIFF_COL_BYTES = 1 << 20          # unfused-take threshold (rows*itemsize)
+_U8_MAX_ROWS = 660_000
+
+
+@jax.tree_util.register_pytree_node_class
+class SplitTable:
+    """A (rows, C) packed table stored bit-split as (rows, C*factor) of a
+    narrower unsigned dtype so each storage column stays under the ~1 MiB
+    gather cliff; :func:`take_rows` reassembles the original rows
+    bit-exactly after the gather.  Presents the LOGICAL shape/dtype so
+    sampler code that reads ``packed.shape[-1]`` is unaffected."""
+
+    def __init__(self, data, factor, dtype):
+        self.data = data
+        self.factor = int(factor)
+        self._dtype = jnp.dtype(dtype)
+
+    @classmethod
+    def from_array(cls, arr, store_dtype):
+        factor = arr.dtype.itemsize // jnp.dtype(store_dtype).itemsize
+        data = jax.lax.bitcast_convert_type(arr, store_dtype).reshape(
+            arr.shape[0], -1)
+        return cls(data, factor, arr.dtype)
+
+    @property
+    def shape(self):
+        return (self.data.shape[0], self.data.shape[1] // self.factor)
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def tree_flatten(self):
+        return (self.data,), (self.factor, str(self._dtype))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], aux[0], aux[1])
+
+
+def maybe_split_table(arr, force=None):
+    """Wrap a device packed table in :class:`SplitTable` for UNFUSED
+    gather pipelines (see the cliff note above — inside the fused step
+    kernel direct storage wins, so the production sampler never calls
+    this automatically).  ``force``: 'u16'/'u8' always split, False
+    never; with ``force=None`` the measured unfused crossovers decide."""
+    import os
+    if force is False or os.environ.get("OPENDRIFT_NO_SPLIT_TABLE") == "1":
+        return arr
+    if force == "u16":
+        return SplitTable.from_array(arr, jnp.uint16)
+    if force == "u8":
+        return SplitTable.from_array(arr, jnp.uint8)
+    rows = arr.shape[0]
+    isz = arr.dtype.itemsize
+    if rows * isz < _CLIFF_COL_BYTES:
+        return arr                     # already pre-cliff: direct wins
+    if isz >= 4 and rows * 2 <= _CLIFF_COL_BYTES:
+        return SplitTable.from_array(arr, jnp.uint16)
+    if rows <= _U8_MAX_ROWS:
+        return SplitTable.from_array(arr, jnp.uint8)
+    return arr                         # beyond u8 crossover: direct wins
+
+
+def take_rows(packed, lin):
+    """The packed-table row gather: ``jnp.take`` plus, for
+    :class:`SplitTable` storage, the bit-exact reassembly of the
+    original-dtype rows."""
+    if isinstance(packed, SplitTable):
+        g = jnp.take(packed.data, lin, axis=0, mode="clip")
+        if packed.factor == 1:      # same-width storage: plain bitcast
+            return jax.lax.bitcast_convert_type(g, packed.dtype)
+        return jax.lax.bitcast_convert_type(
+            g.reshape(g.shape[0], -1, packed.factor), packed.dtype)
+    return jnp.take(packed, lin, axis=0, mode="clip")
 
 
 def time_weights(times, t, F):
@@ -166,7 +261,7 @@ class PackedSampler:
             q = C // 4
             def plane_raw(zz):
                 lin = (zz * Y + y0) * X + x0 + row_offset
-                return jnp.take(packed, lin, axis=0, mode="clip")
+                return take_rows(packed, lin)
             g0 = plane_raw(z0)
             def blend(g):
                 row_y0 = g[:, :q] * (1.0 - fx) + g[:, q:2 * q] * fx
@@ -184,7 +279,7 @@ class PackedSampler:
             half = C // 2
             def corner_raw(zz, yy):
                 lin = (zz * Y + yy) * X + x0 + row_offset
-                g = jnp.take(packed, lin, axis=0, mode="clip")
+                g = take_rows(packed, lin)
                 return g[:, :half], g[:, half:]
             def corner_of(raw):
                 a, b = raw
@@ -194,8 +289,8 @@ class PackedSampler:
             def corner_raw(zz, yy):
                 lin0 = (zz * Y + yy) * X + x0 + row_offset
                 lin1 = (zz * Y + yy) * X + x1 + row_offset
-                return (jnp.take(packed, lin0, axis=0, mode="clip"),
-                        jnp.take(packed, lin1, axis=0, mode="clip"))
+                return (take_rows(packed, lin0),
+                        take_rows(packed, lin1))
             def corner_of(raw):
                 a, b = raw
                 return a * (1.0 - fx) + b * fx
@@ -261,7 +356,7 @@ class PackedSampler:
 
         def corner(zz, yy):
             lin = (zz * Y + yy) * X + x0 + row_offset
-            g = jnp.take(packed, lin, axis=0, mode="clip")
+            g = take_rows(packed, lin)
             if cols is not None:
                 return g[:, cols]
             return g[:, :2 * q]

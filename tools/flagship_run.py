@@ -31,8 +31,9 @@ def main():
     mode = sys.argv[3] if len(sys.argv) > 3 else "honest"
     if mode == "0":
         mode = "honest"
-    if mode not in ("honest", "optimized"):
-        raise SystemExit(f"unknown mode {mode!r}: honest | optimized")
+    if mode not in ("honest", "optimized", "native"):
+        raise SystemExit(
+            f"unknown mode {mode!r}: honest | optimized | native")
     optimized = mode == "optimized"
     N = int(n_million * 1e6)
 
@@ -51,7 +52,12 @@ def main():
     nordic = ("/root/reference/tests/test_data/2Feb2016_Nordic_sigma_3d/"
               "Nordic_subset.nc")
     o = OceanDrift(loglevel=30)
-    reader = ROMSReader(nordic, sampling="regrid")  # production fast path, same as bench.py
+    # 'native' = parity-exact C-grid index-space sampling on the raw
+    # 148x149x15 sigma raster (330,780 packed rows — the post-cliff
+    # regime the SplitTable lever targets); 'regrid'/'optimized' = the
+    # production fast path, same as bench.py
+    sampling = "native" if mode == "native" else "regrid"
+    reader = ROMSReader(nordic, sampling=sampling)
     if optimized:
         # half-precision forcing rows: gathers are random-access-
         # bandwidth bound, f16 rows double sampling throughput (~1e-3
