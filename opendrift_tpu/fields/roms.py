@@ -535,9 +535,10 @@ class ROMSReader(StructuredGridReader):
             else:
                 # fast path: stop AT the deepest covering level (below
                 # it sampling clamps, the documented clamped-z
-                # semantics) — every row of the packed table costs
-                # gather rate once the working set crosses the ~5 MiB
-                # cliff measured in docs/performance.md
+                # semantics) — gather rate drops ~40% once the packed
+                # table crosses the 2^15-row placement cliff measured
+                # in docs/performance.md (ops/interp.py
+                # GATHER_FAST_MAX_ROWS)
                 ladder = PRODUCTION_DEPTHS
                 cut = int(np.searchsorted(ladder, max(hmax, 5.0),
                                           side="right"))

@@ -2,7 +2,8 @@
 
 The sampling hot path of every gridded workload is a row gather:
 ``jnp.take(packed (R, C), idx (N,), axis=0)``, which XLA lowers through
-the scalar core at ~1.2e8 indices/s (docs/performance.md).  This tool
+the scalar core at ~1.5-3e8 indices/s depending on table size and
+dtype (docs/performance.md gather-cliff section).  This tool
 measures that against Pallas alternatives on the attached device:
 
   A. xla_take        — the production path (jnp.take)

@@ -90,7 +90,11 @@ def rung_constant_diff(N):
 def _nordic_sim(model_cls, N, **seed_kwargs):
     from opendrift_tpu.fields.roms import ROMSReader
     o = model_cls(loglevel=30)
-    r = ROMSReader(NORDIC)
+    # production fast path, same as bench.py/flagship_run (the reader's
+    # DEFAULT is the parity-exact 'native' mode, whose per-fetch
+    # index-map gather costs ~5x here — pin the config explicitly so
+    # the ladder numbers name it)
+    r = ROMSReader(NORDIC, sampling="regrid")
     r.packed_dtype = "float16"
     o.add_reader(r)
     o.set_config("general:use_auto_landmask", False)
