@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from .base import BaseReader, STANDARD_NAMES
 from ..ops.interp import (fill_invalid, fill_towards_seafloor, take_rows,
-                          maybe_split_table, GATHER_FAST_MAX_ROWS)
+                          maybe_split_table, CompensatedTable,
+                          GATHER_FAST_MAX_ROWS)
 
 logger = logging.getLogger(__name__)
 
@@ -367,22 +368,33 @@ class StructuredGridReader(BaseReader):
             # member m's rows start at m * Z*ny*nx
             packed_all = np.concatenate(blocks, axis=0) if M > 1 \
                 else blocks[0]
-            # optional half-precision rows: gathers are random-access
-            # bandwidth-bound (~20 GB/s effective on v5e), so f16 rows
-            # double sampling throughput; interpolation weights stay f32
-            # (promotion on first multiply).  Relative error ~1e-3 —
-            # comparable to the int16 scale/offset packing common in the
-            # source NetCDF files.  Opt in: reader.packed_dtype='float16'.
+            # optional narrow-row storage, opt in per reader:
+            #   packed_dtype='float16'   — f16 rows, rel. error ~1e-3
+            #     (comparable to the int16 scale/offset packing common
+            #     in source NetCDF files), halves HBM bytes AND uses
+            #     the 16-bit gather strategy (no placement cliff until
+            #     ~2^18 rows);
+            #   packed_dtype='float16x2' — compensated hi+lo f16 pairs
+            #     (ops/interp.py CompensatedTable): f32 bytes, ~2^-21
+            #     relative error, 1.6-2.6x faster sampling on tables
+            #     beyond the 2^15-row f32 gather cliff.
             dtype = getattr(self, "packed_dtype", "float32")
+            compensated = dtype in ("float16x2", "f16x2")
+            if compensated:
+                dtype = "float32"
             if getattr(self, "_dd_keep_host", False):
                 # domain decomposition: the host array is split into
                 # per-device Y bands by DDContext.retile — only the
-                # tiled shards ever reach device memory
+                # tiled shards ever reach device memory (tiles are
+                # per-device slices, normally under the cliff, so the
+                # compensated representation is not applied there)
                 out["packed"] = packed_all.astype(np.dtype(dtype))
             else:
                 arr = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
                 rows = arr.shape[0]
-                if (arr.dtype.itemsize >= 4
+                if compensated:
+                    arr = CompensatedTable.from_array(arr)
+                elif (arr.dtype.itemsize >= 4
                         and rows >= GATHER_FAST_MAX_ROWS):
                     # measured XLA fused-gather cliff (exactly 2^15
                     # rows for f32, ~40% sampling-rate loss — see
@@ -392,12 +404,14 @@ class StructuredGridReader(BaseReader):
                         "beyond the measured TPU gather cliff (2^15 "
                         "rows for float32 tables, ~40%% lower sampling "
                         "rate). Consider a tighter extent, drift:"
-                        "truncate_ocean_model_below_m, or "
-                        "reader.packed_dtype='float16' (no cliff until "
-                        "~10x this size).", self.name, rows)
+                        "truncate_ocean_model_below_m, reader."
+                        "packed_dtype='float16x2' (near-lossless, "
+                        "1.6-2.6x) or 'float16' (no cliff until ~10x "
+                        "this size).", self.name, rows)
                 split = _os.environ.get("OPENDRIFT_SPLIT_TABLE")
-                out["packed"] = maybe_split_table(
-                    arr, force=split) if split in ("u16", "u8") else arr
+                if not compensated and split in ("u16", "u8"):
+                    arr = maybe_split_table(arr, force=split)
+                out["packed"] = arr
         epoch = self._run_epoch
         out["times"] = jnp.asarray(
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],
@@ -471,6 +485,8 @@ class StructuredGridReader(BaseReader):
         band = np.concatenate(bands, axis=0) if plan["M"] > 1 \
             else bands[0]
         dtype = getattr(self, "packed_dtype", "float32")
+        if dtype in ("float16x2", "f16x2"):
+            dtype = "float32"   # per-device DD tiles sit under the cliff
         return np.ascontiguousarray(band.astype(np.dtype(dtype)))
 
     # ---------------------------------------------------------- sampling -

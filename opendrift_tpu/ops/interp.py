@@ -105,10 +105,68 @@ def maybe_split_table(arr, force=None):
     return arr                         # beyond u8 crossover: direct wins
 
 
+@jax.tree_util.register_pytree_node_class
+class CompensatedTable:
+    """A (rows, C) float32 packed table stored as (rows, 2C) float16 in
+    ``[hi | lo]`` block layout, where ``hi = f16(x)`` and
+    ``lo = f16(x - f32(hi))`` — same bytes as f32, but gathered with
+    XLA's 16-bit strategy, which has no placement cliff until ~2^18
+    rows (f32 cliffs at 2^15; docs/performance.md).  Reconstruction
+    after the take is one widen-add (fuses, unlike the SplitTable
+    bitcast): measured 300 M fused rows/s flat from 33k-330k rows vs
+    f32's 189->112, i.e. 1.6-2.6x on post-cliff tables.  Max absolute
+    representation error ~2^-21 x |x| — far below the int16
+    scale/offset packing of typical forcing files.  Opt in per reader:
+    ``reader.packed_dtype = 'float16x2'``."""
+
+    def __init__(self, data, scale):
+        self.data = data
+        self.scale = scale          # (1, C) f32, exact powers of two
+
+    @classmethod
+    def from_array(cls, arr):
+        """Columns are pre-scaled by an exact power of two into
+        [0, ~1024] so fields far outside f16 range (pressure ~1e5
+        overflows, micro-velocities underflow to f16 subnormals) keep
+        the full ~2^-21 relative accuracy; power-of-two scaling is
+        error-free."""
+        arr = np.asarray(arr, dtype=np.float32)
+        with np.errstate(all="ignore"):
+            colmax = np.nanmax(np.abs(arr), axis=0)
+        colmax = np.where(np.isfinite(colmax) & (colmax > 0), colmax, 1.0)
+        scale = np.exp2(np.ceil(np.log2(colmax)) - 10.0).astype(
+            np.float32)[None, :]
+        scaled = jnp.asarray(arr / scale)
+        hi = scaled.astype(jnp.float16)
+        lo = (scaled - hi.astype(jnp.float32)).astype(jnp.float16)
+        return cls(jnp.concatenate([hi, lo], axis=1),
+                   jnp.asarray(scale))
+
+    @property
+    def shape(self):
+        return (self.data.shape[0], self.data.shape[1] // 2)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float32)
+
+    def tree_flatten(self):
+        return (self.data, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
 def take_rows(packed, lin):
     """The packed-table row gather: ``jnp.take`` plus, for
-    :class:`SplitTable` storage, the bit-exact reassembly of the
-    original-dtype rows."""
+    :class:`SplitTable` / :class:`CompensatedTable` storage, the
+    reassembly of the original-dtype rows."""
+    if isinstance(packed, CompensatedTable):
+        g = jnp.take(packed.data, lin, axis=0, mode="clip")
+        C = packed.data.shape[1] // 2
+        return (g[:, :C].astype(jnp.float32)
+                + g[:, C:].astype(jnp.float32)) * packed.scale
     if isinstance(packed, SplitTable):
         g = jnp.take(packed.data, lin, axis=0, mode="clip")
         if packed.factor == 1:      # same-width storage: plain bitcast

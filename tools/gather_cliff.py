@@ -236,8 +236,74 @@ def main() -> None:
     ap.add_argument("--phase5", action="store_true",
                     help="fused-shape threshold localisation + "
                          "reconstruct variants")
+    ap.add_argument("--phase6", action="store_true",
+                    help="compensated f16 hi+lo storage in the fused "
+                         "shape (same bytes as f32, f16 gather "
+                         "strategy, reconstruct = one add)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
+
+    if args.phase6:
+        results = []
+
+        def comp_cell(rows, cols=22):
+            """(rows, 2*cols) f16 block layout [hi | lo]; fused corner
+            takes + widen-add reconstruct + bilinear blend."""
+            key = jax.random.PRNGKey(rows)
+            f32 = jax.random.normal(key, (rows, cols), dtype=jnp.float32)
+            hi = f32.astype(jnp.float16)
+            lo = (f32 - hi.astype(jnp.float32)).astype(jnp.float16)
+            tab = jnp.concatenate([hi, lo], axis=1)       # (rows, 2C)
+            # accuracy of the representation itself
+            err = float(jnp.max(jnp.abs(
+                (hi.astype(jnp.float32) + lo.astype(jnp.float32)) - f32)))
+            rng = np.random.default_rng(7)
+            l00 = jnp.asarray(rng.integers(0, rows, N_IDX,
+                                           dtype=np.int32))
+            stride = max(rows // 50, 1)
+            half = cols // 2
+
+            def f(t, l0):
+                l01 = jnp.minimum(l0 + stride, rows - 1)
+                l10 = jnp.minimum(l0 + rows // 3, rows - 1)
+                l11 = jnp.minimum(l10 + stride, rows - 1)
+                fx = (l0 % 97).astype(jnp.float32)[:, None] / 97.0
+                fy = (l0 % 89).astype(jnp.float32)[:, None] / 89.0
+                fz = (l0 % 83).astype(jnp.float32)[:, None] / 83.0
+
+                def corner(lin):
+                    g = jnp.take(t, lin, axis=0, mode="clip")
+                    v = (g[:, :cols].astype(jnp.float32)
+                         + g[:, cols:].astype(jnp.float32))
+                    return v[:, :half] * (1.0 - fx) + v[:, half:] * fx
+                rz0 = corner(l0) * (1.0 - fy) + corner(l01) * fy
+                rz1 = corner(l10) * (1.0 - fy) + corner(l11) * fy
+                return (rz0 * (1.0 - fz) + rz1 * fz).sum()
+
+            sec = _bench(f, tab, l00)
+            r = {"rows": rows, "cols": cols, "dtype": "f16x2-comp",
+                 "table_mib": round(rows * cols * 4 / 2**20, 2),
+                 "window": None, "dist": "workload", "split": 1,
+                 "sec": sec, "rows_per_s": 4 * N_IDX / sec,
+                 "max_abs_err": err}
+            print(f"WL rows={rows:>7} C={cols:>2} f16x2-comp "
+                  f"{r['table_mib']:>7.2f} MiB -> "
+                  f"{r['rows_per_s'] / 1e6:8.1f} M rows/s "
+                  f"(max abs err {err:.2e})")
+            return r
+
+        for rows in [30_600, 33_150, 60_000, 120_000, 262_144,
+                     330_000]:
+            results.append(comp_cell(rows))
+        # f32 direct at C=22 for a same-width baseline
+        for rows in [30_600, 33_150, 120_000, 330_000]:
+            results.append(run_workload_cell(rows, cols=22))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump({"n_idx": N_IDX,
+                           "device": str(jax.devices()[0]),
+                           "cells": results}, f, indent=1)
+        return
 
     if args.phase5:
         results = []
