@@ -378,7 +378,15 @@ class StructuredGridReader(BaseReader):
             #     (ops/interp.py CompensatedTable): f32 bytes, ~2^-21
             #     relative error, 1.6-2.6x faster sampling on tables
             #     beyond the 2^15-row f32 gather cliff.
-            dtype = getattr(self, "packed_dtype", "float32")
+            dtype = getattr(self, "packed_dtype", None)
+            # readers whose sampling mode is already value-approximate
+            # (ROMS/unstructured regrid) opt into automatic compensated
+            # storage for post-cliff tables — explicit packed_dtype
+            # always wins
+            auto_comp = (dtype is None
+                         and getattr(self, "packed_auto_compensate",
+                                     False))
+            dtype = dtype or "float32"
             compensated = dtype in ("float16x2", "f16x2")
             if compensated:
                 dtype = "float32"
@@ -390,28 +398,41 @@ class StructuredGridReader(BaseReader):
                 # compensated representation is not applied there)
                 out["packed"] = packed_all.astype(np.dtype(dtype))
             else:
-                arr = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
-                rows = arr.shape[0]
+                rows = packed_all.shape[0]
+                if auto_comp and rows >= GATHER_FAST_MAX_ROWS:
+                    compensated = True
+                    logger.info(
+                        "Packed table of reader %s (%d rows) crosses "
+                        "the 2^15-row gather cliff; using compensated "
+                        "f16-pair storage (~2^-21 rel. error, +38%% "
+                        "measured — set reader.packed_dtype='float32' "
+                        "to force exact rows).", self.name, rows)
                 if compensated:
-                    arr = CompensatedTable.from_array(arr)
-                elif (arr.dtype.itemsize >= 4
-                        and rows >= GATHER_FAST_MAX_ROWS):
-                    # measured XLA fused-gather cliff (exactly 2^15
-                    # rows for f32, ~40% sampling-rate loss — see
-                    # ops/interp.py and docs/performance.md)
-                    logger.warning(
-                        "Packed table of reader %s has %d rows — at or "
-                        "beyond the measured TPU gather cliff (2^15 "
-                        "rows for float32 tables, ~40%% lower sampling "
-                        "rate). Consider a tighter extent, drift:"
-                        "truncate_ocean_model_below_m, reader."
-                        "packed_dtype='float16x2' (near-lossless, "
-                        "1.6-2.6x) or 'float16' (no cliff until ~10x "
-                        "this size).", self.name, rows)
-                split = _os.environ.get("OPENDRIFT_SPLIT_TABLE")
-                if not compensated and split in ("u16", "u8"):
-                    arr = maybe_split_table(arr, force=split)
-                out["packed"] = arr
+                    # built from the host array: the f32 table never
+                    # reaches the device
+                    out["packed"] = CompensatedTable.from_array(
+                        packed_all)
+                else:
+                    arr = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
+                    if (arr.dtype.itemsize >= 4
+                            and rows >= GATHER_FAST_MAX_ROWS):
+                        # measured XLA fused-gather cliff (exactly 2^15
+                        # rows for f32, ~40% sampling-rate loss — see
+                        # ops/interp.py and docs/performance.md)
+                        logger.warning(
+                            "Packed table of reader %s has %d rows — "
+                            "at or beyond the measured TPU gather "
+                            "cliff (2^15 rows for float32 tables, "
+                            "~40%% lower sampling rate). Consider a "
+                            "tighter extent, drift:"
+                            "truncate_ocean_model_below_m, reader."
+                            "packed_dtype='float16x2' (near-lossless, "
+                            "1.6-2.6x) or 'float16' (no cliff until "
+                            "~10x this size).", self.name, rows)
+                    split = _os.environ.get("OPENDRIFT_SPLIT_TABLE")
+                    if split in ("u16", "u8"):
+                        arr = maybe_split_table(arr, force=split)
+                    out["packed"] = arr
         epoch = self._run_epoch
         out["times"] = jnp.asarray(
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],

@@ -516,6 +516,11 @@ class ROMSReader(StructuredGridReader):
             self.y = tlat.astype(np.float64)
             self.proj4 = "+proj=latlong"
             self.crs = None     # base resolves from proj4
+            # regrid values are already bounded-approximate (u-rms
+            # <=5e-3 vs native); post-cliff tables therefore default to
+            # compensated f16-pair storage (error ~2^-21, 3 orders
+            # below the mode's own delta) — grid.py device_state
+            self.packed_auto_compensate = True
         clat = np.cos(np.radians(lat_rho))
         d_xi = np.hypot(np.diff(lon_rho, axis=1) * clat[:, 1:],
                         np.diff(lat_rho, axis=1)) * 111320.0

@@ -56,6 +56,11 @@ class UnstructuredReader(StructuredGridReader):
         self.x = self._regrid.lons
         self.y = self._regrid.lats
         self.proj4 = "+proj=latlong"
+        if sampling == "regrid":
+            # regrid values are approximate by construction; post-cliff
+            # tables default to compensated f16-pair storage (error
+            # ~2^-21; grid.py device_state)
+            self.packed_auto_compensate = True
         if not hasattr(self, "depths"):
             self.depths = None
         super(UnstructuredReader, self).__init__()

@@ -136,6 +136,42 @@ class TestSamplerPaths:
                                        rtol=1e-5, atol=1e-6)
 
 
+class TestAutoCompensate:
+    def _reader(self, nz, **kw):
+        from opendrift_tpu.fields.roms import ROMSReader, DEFAULT_DEPTHS
+        nordic = ("/root/reference/tests/test_data/"
+                  "2Feb2016_Nordic_sigma_3d/Nordic_subset.nc")
+        r = ROMSReader(nordic, sampling="regrid",
+                       target_depths=DEFAULT_DEPTHS[:nz], **kw)
+        r.set_run_epoch(r.times[0])
+        r.prepare(extent=None, start_time=r.times[0],
+                  end_time=r.times[-1], max_speed=1.3)
+        return r
+
+    def test_small_table_stays_f32(self, monkeypatch):
+        # the prepared test-grid table is tiny — far below 2^15 rows
+        r = self._reader(12)
+        ds = r.device_state(r.times[0], r.times[-1])
+        assert not isinstance(ds["packed"], CompensatedTable)
+        assert ds["packed"].dtype == jnp.float32
+
+    def test_large_regrid_table_auto_compensates(self, monkeypatch):
+        import opendrift_tpu.fields.grid as grid_mod
+        monkeypatch.setattr(grid_mod, "GATHER_FAST_MAX_ROWS", 1000)
+        r = self._reader(12)
+        ds = r.device_state(r.times[0], r.times[-1])
+        assert isinstance(ds["packed"], CompensatedTable)
+
+    def test_explicit_dtype_wins(self, monkeypatch):
+        import opendrift_tpu.fields.grid as grid_mod
+        monkeypatch.setattr(grid_mod, "GATHER_FAST_MAX_ROWS", 1000)
+        r = self._reader(12)
+        r.packed_dtype = "float32"
+        ds = r.device_state(r.times[0], r.times[-1])
+        assert not isinstance(ds["packed"], CompensatedTable)
+        assert ds["packed"].dtype == jnp.float32
+
+
 class TestEndToEnd:
     def test_roms_trajectories_close(self):
         """Full run with packed_dtype='float16x2' vs f32: trajectories
