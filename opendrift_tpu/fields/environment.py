@@ -107,7 +107,7 @@ class Environment:
 
     def prepare_readers(self, extent=None, start_time=None, end_time=None,
                         max_speed=None, interval_seconds=None,
-                        truncate_depth=None):
+                        truncate_depth=None, pair_hint=None):
         """Give every reader its run context: simulation extent (for halo
         subsetting), time range and per-interval window length (reference:
         ``reader.prepare`` at basemodel/__init__.py:2064 ->
@@ -121,6 +121,9 @@ class Environment:
             reader.truncate_depth = (float(truncate_depth)
                                      if truncate_depth is not None
                                      else None)
+            # row-pairing tier for the packed layout (grid.py): 'xy'
+            # for multi-fetch advection, 'x' for single-fetch
+            reader.pair_hint = pair_hint
             try:
                 reader.prepare(extent=extent, start_time=start_time,
                                end_time=end_time, max_speed=max_speed,

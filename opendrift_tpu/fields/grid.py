@@ -335,13 +335,21 @@ class StructuredGridReader(BaseReader):
         C = col
         # neighbour-packing tier from the 256 MB row-array budget.
         # Measured on v5e: 'x' (4 gathers) beats 'none' (8) by ~1.3x;
-        # 'xy' (2 gathers, 2x wider rows) moves the same bytes for no
-        # time gain and ~17x the compile time, so it is opt-in only
-        # (useful when rows are very narrow and index cost dominates).
+        # 'xy' (2 gathers, 2x wider rows) wins another 36-41% for
+        # multi-fetch advection (gathers cost per index, and the fused
+        # gather rate is width-independent to at least 176-B rows —
+        # the r4 "byte-bound" rejection of xy actually measured the
+        # since-resolved row-count placement cliff), but doubles the
+        # held-block residency of single-fetch stages, so the model
+        # passes pair_hint='xy'|'x' by drift:advection_single_fetch.
+        # OPENDRIFT_XY_PAIR=1/0 force-overrides for standalone use.
         import os as _os
+        env_xy = _os.environ.get("OPENDRIFT_XY_PAIR")
+        want_xy = (env_xy == "1"
+                   or (env_xy != "0"
+                       and getattr(self, "pair_hint", None) == "xy"))
         base_bytes = Z * ny * nx * max(C, 1) * 4
-        if C > 0 and base_bytes * 4 < 256e6 \
-                and _os.environ.get("OPENDRIFT_XY_PAIR") == "1":
+        if C > 0 and base_bytes * 4 < 256e6 and want_xy:
             pair_mode = "xy"
         elif C > 0 and base_bytes * 2 < 256e6:
             pair_mode = "x"
