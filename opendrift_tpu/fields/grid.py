@@ -349,7 +349,12 @@ class StructuredGridReader(BaseReader):
                    or (env_xy != "0"
                        and getattr(self, "pair_hint", None) == "xy"))
         base_bytes = Z * ny * nx * max(C, 1) * 4
-        if C > 0 and base_bytes * 4 < 256e6 and want_xy:
+        if C > 0 and Z > 1 and base_bytes * 8 < 256e6 and want_xy:
+            # full trilinear stencil in ONE row: a 3D sample is a
+            # single take (192 M rows/s at 176-B production rows vs
+            # 267 at 88 B — rate x0.72 for half the takes, measured)
+            pair_mode = "xyz"
+        elif C > 0 and base_bytes * 4 < 256e6 and want_xy:
             pair_mode = "xy"
         elif C > 0 and base_bytes * 2 < 256e6:
             pair_mode = "x"
@@ -358,7 +363,7 @@ class StructuredGridReader(BaseReader):
         self._sampler = PackedSampler(Z, ny, nx, F, col_of, pair_mode)
 
         M = getattr(self, "ensemble_size", 1)
-        pair_factor = {"none": 1, "x": 2, "xy": 4}[pair_mode]
+        pair_factor = {"none": 1, "x": 2, "xy": 4, "xyz": 8}[pair_mode]
         self._pack_plan = {
             "tidx": tidx, "col_of": col_of, "Z": Z, "C": C,
             "Cf": C * pair_factor, "pair_mode": pair_mode, "M": M,
@@ -407,6 +412,12 @@ class StructuredGridReader(BaseReader):
                 out["packed"] = packed_all.astype(np.dtype(dtype))
             else:
                 rows = packed_all.shape[0]
+                # under the xyz tier wide f32 rows measured NO cliff
+                # penalty at production-ladder sizes while compensated
+                # f16 rows (2x wider still) measured -43% — restrict
+                # auto-compensation to the narrower-row tiers
+                if pair_mode == "xyz":
+                    auto_comp = False
                 if auto_comp and rows >= GATHER_FAST_MAX_ROWS:
                     compensated = True
                     logger.info(
@@ -422,8 +433,14 @@ class StructuredGridReader(BaseReader):
                         packed_all)
                 else:
                     arr = jnp.asarray(packed_all, dtype=jnp.dtype(dtype))
-                    if (arr.dtype.itemsize >= 4
-                            and rows >= GATHER_FAST_MAX_ROWS):
+                    # xyz-tier wide rows measured no penalty at
+                    # production-ladder sizes (38k rows) — warn only
+                    # from 2^17 rows there (112 vs 192 M rows/s in the
+                    # fused cell at 120k)
+                    warn_rows = (GATHER_FAST_MAX_ROWS * 4
+                                 if pair_mode == "xyz"
+                                 else GATHER_FAST_MAX_ROWS)
+                    if (arr.dtype.itemsize >= 4 and rows >= warn_rows):
                         # measured XLA fused-gather cliff (exactly 2^15
                         # rows for f32, ~40% sampling-rate loss — see
                         # ops/interp.py and docs/performance.md)
@@ -467,7 +484,7 @@ class StructuredGridReader(BaseReader):
         else:
             r0, r1 = rows
             # one extra bottom row so shift_y is exact at the band edge
-            pad_y = 1 if pair_mode == "xy" else 0
+            pad_y = 1 if pair_mode in ("xy", "xyz") else 0
             load = lambda v, ti: self._load_frame_rows(
                 v, ti, m, r0, r1 + pad_y)
         nrows = r1 - r0 + pad_y
@@ -484,7 +501,8 @@ class StructuredGridReader(BaseReader):
             packed[:, :, :, col_of[v][0]] = load(v, 0)[None, :, :]
         if pair_mode != "none":
             # append neighbour rows so one gather covers the
-            # x-pair ('x') or the full bilinear stencil ('xy')
+            # x-pair ('x'), the bilinear stencil ('xy') or the full
+            # trilinear stencil incl. the z+1 plane ('xyz')
             def shift_x(a):
                 return np.concatenate([a[:, :, 1:], a[:, :, -1:]],
                                       axis=2)
@@ -492,9 +510,15 @@ class StructuredGridReader(BaseReader):
             def shift_y(a):
                 return np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
             variants = [packed, shift_x(packed)]
-            if pair_mode == "xy":
+            if pair_mode in ("xy", "xyz"):
                 variants += [shift_y(packed), shift_x(shift_y(packed))]
             packed = np.concatenate(variants, axis=3)
+            if pair_mode == "xyz":
+                # z+1 plane of the xy block (deepest plane repeats, the
+                # same clamp as z1 = min(z0+1, Z-1))
+                shift_z = np.concatenate([packed[1:], packed[-1:]],
+                                         axis=0)
+                packed = np.concatenate([packed, shift_z], axis=3)
         if pad_y:
             packed = packed[:, :-pad_y]
         return packed

@@ -1118,11 +1118,11 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
             extent=extent, start_time=min(self.start_time, end_time),
             end_time=max(self.start_time, end_time), max_speed=max_speed,
             interval_seconds=abs(dt) * K, truncate_depth=truncate_depth,
-            # multi-fetch RK stages re-gather every stage, so the
-            # xy-paired row tier (full bilinear stencil in ONE gather)
-            # wins 36-41% end-to-end; single-fetch holds corner blocks
-            # whose residency doubles under xy — keep x-pairing there
-            # (measured, docs/performance.md)
+            # multi-fetch RK stages re-gather every stage, so the wide
+            # row tiers (full bilinear/trilinear stencil in ONE gather,
+            # 'xy'/'xyz') win up to +91% end-to-end; single-fetch holds
+            # corner blocks whose residency doubles under wider rows —
+            # keep x-pairing there (measured, docs/performance.md)
             pair_hint=("x" if single_fetch else "xy"))
 
         # seafloor seeding: resolve z = -depth at the seed positions

@@ -255,8 +255,10 @@ class PackedSampler:
     k=4), 4 (x packed, k=2) or 8 (unpacked) regardless of variable
     count, and the RK stage refetches ride the same rows for free.
 
-    ``pair_mode``: 'xy' | 'x' | 'none' — chosen by the host packer from
-    the 256 MB row-array budget."""
+    ``pair_mode``: 'xyz' | 'xy' | 'x' | 'none' — chosen by the host
+    packer from the model's pair hint (multi-fetch vs single-fetch
+    advection) and the 256 MB row-array budget; 'xyz' packs the z+1
+    plane too, so one gather covers the full trilinear stencil."""
 
     def __init__(self, Z, Y, X, n_frames, col_of, pair_mode):
         self.Z, self.Y, self.X = Z, Y, X
@@ -313,6 +315,26 @@ class PackedSampler:
                 near[c] = jnp.where(fy[:, 0] > 0.5, gy1, gy0).astype(
                     jnp.float32)
 
+        if self.pair_mode == "xyz":
+            # columns: [base|x+1|y+1|x+1,y+1 | same four at z+1]; ONE
+            # gather yields the full trilinear stencil
+            q = C // 8
+            lin = (z0 * Y + y0) * X + x0 + row_offset
+            g = take_rows(packed, lin)
+
+            def blend(h):
+                row_y0 = h[:, :q] * (1.0 - fx) + h[:, q:2 * q] * fx
+                row_y1 = (h[:, 2 * q:3 * q] * (1.0 - fx)
+                          + h[:, 3 * q:4 * q] * fx)
+                return row_y0 * (1.0 - fy) + row_y1 * fy
+            near_select(g[:, :q], g[:, q:2 * q],
+                        g[:, 2 * q:3 * q], g[:, 3 * q:4 * q])
+            rz0 = blend(g[:, :4 * q])
+            out = rz0
+            if Z > 1:
+                rz1 = blend(g[:, 4 * q:])
+                out = rz0 * (1.0 - fz) + rz1 * fz
+            return (out, near) if nearest_cols else out
         if self.pair_mode == "xy":
             # columns: [base | x+1 | y+1 | x+1,y+1]; one gather yields
             # the full bilinear stencil -> 2 gathers total (z0, z1)

@@ -90,10 +90,10 @@ class TestRepresentation:
 
 
 class TestSamplerPaths:
-    @pytest.mark.parametrize("pair_mode", ["none", "x", "xy"])
+    @pytest.mark.parametrize("pair_mode", ["none", "x", "xy", "xyz"])
     def test_gather_rows(self, pair_mode):
         Z, Y, X, F = 3, 20, 25, 2
-        k = {"none": 1, "x": 2, "xy": 4}[pair_mode]
+        k = {"none": 1, "x": 2, "xy": 4, "xyz": 8}[pair_mode]
         C = 2 * F * k + k
         col_of = {"u": (0, "3d"), "v": (F, "3d"), "mask": (2 * F, "near")}
         a = _mk(Z * Y * X, C, seed=2)
@@ -168,6 +168,19 @@ class TestAutoCompensate:
         r = self._reader(12)
         r.packed_dtype = "float32"
         ds = r.device_state(r.times[0], r.times[-1])
+        assert not isinstance(ds["packed"], CompensatedTable)
+        assert ds["packed"].dtype == jnp.float32
+
+    def test_xyz_tier_suppresses_auto(self, monkeypatch):
+        # under the xyz row tier wide f32 rows measured NO cliff
+        # penalty while compensated rows measured -43% — auto must not
+        # engage there
+        import opendrift_tpu.fields.grid as grid_mod
+        monkeypatch.setattr(grid_mod, "GATHER_FAST_MAX_ROWS", 1000)
+        r = self._reader(12)
+        r.pair_hint = "xy"          # multi-fetch hint -> xyz (Z > 1)
+        ds = r.device_state(r.times[0], r.times[-1])
+        assert r._sampler.pair_mode == "xyz"
         assert not isinstance(ds["packed"], CompensatedTable)
         assert ds["packed"].dtype == jnp.float32
 

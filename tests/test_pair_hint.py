@@ -35,10 +35,11 @@ def _sim(single_fetch):
     return o, r
 
 
-def test_multi_fetch_defaults_to_xy():
+def test_multi_fetch_defaults_to_xyz():
+    # 3D table (Z>1) + multi-fetch -> the full-trilinear 'xyz' tier
     o, r = _sim(single_fetch=False)
     assert r.pair_hint == "xy"
-    assert r._sampler.pair_mode == "xy"
+    assert r._sampler.pair_mode == "xyz"
 
 
 def test_single_fetch_keeps_x():

@@ -78,11 +78,11 @@ class TestBitExact:
             np.asarray(direct, dtype=np.float32),
             np.asarray(split, dtype=np.float32))
 
-    @pytest.mark.parametrize("pair_mode", ["none", "x", "xy"])
+    @pytest.mark.parametrize("pair_mode", ["none", "x", "xy", "xyz"])
     @pytest.mark.parametrize("force", ["u16", "u8"])
     def test_gather_rows_paths(self, pair_mode, force):
         Z, Y, X, F = 3, 20, 25, 2
-        k = {"none": 1, "x": 2, "xy": 4}[pair_mode]
+        k = {"none": 1, "x": 2, "xy": 4, "xyz": 8}[pair_mode]
         C = 2 * F * k + k          # u,v time-varying + one static mask
         col_of = {"u": (0, "3d"), "v": (F, "3d"), "mask": (2 * F, "near")}
         a = _mk(Z * Y * X, C, seed=2)
