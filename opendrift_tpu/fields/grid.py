@@ -639,7 +639,7 @@ class StructuredGridReader(BaseReader):
         can re-evaluate one gathered corner block instead of refetching
         (used by drift:advection_single_fetch)."""
         s = getattr(self, "_sampler", None)
-        return (s is not None and s.pair_mode in ("x", "xy")
+        return (s is not None and s.pair_mode in ("x", "xy", "xyz")
                 and "x_sea_water_velocity" in self._group3
                 + self._group2
                 and "y_sea_water_velocity" in self._group3

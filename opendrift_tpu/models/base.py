@@ -1109,21 +1109,17 @@ class OpenDriftSimulation(PostProcessingMixin, PlottingMixin, Timeable,
                 "drift:truncate_ocean_model_below_m")
         except ValueError:
             truncate_depth = None
-        try:
-            single_fetch = bool(self.get_config(
-                "drift:advection_single_fetch"))
-        except ValueError:
-            single_fetch = False
         self.env.prepare_readers(
             extent=extent, start_time=min(self.start_time, end_time),
             end_time=max(self.start_time, end_time), max_speed=max_speed,
             interval_seconds=abs(dt) * K, truncate_depth=truncate_depth,
-            # multi-fetch RK stages re-gather every stage, so the wide
-            # row tiers (full bilinear/trilinear stencil in ONE gather,
-            # 'xy'/'xyz') win up to +91% end-to-end; single-fetch holds
-            # corner blocks whose residency doubles under wider rows —
-            # keep x-pairing there (measured, docs/performance.md)
-            pair_hint=("x" if single_fetch else "xy"))
+            # wide row tiers (full bilinear/trilinear stencil in ONE
+            # gather, 'xy'/'xyz') win up to +91% end-to-end for
+            # multi-fetch RK stages, and since r5 the corner-block
+            # gather splits wide rows instead of discarding halves, so
+            # single-fetch configs profit too (same held bytes, fewer
+            # takes — measured, docs/performance.md)
+            pair_hint="xy")
 
         # seafloor seeding: resolve z = -depth at the seed positions
         # (reference basemodel/__init__.py:1168-1210)

@@ -392,13 +392,17 @@ class PackedSampler:
         (xi, yi) WITHOUT applying the x/y interpolation — 4 gathers whose
         rows can then be re-evaluated at nearby positions for free
         (single-fetch RK stages, see PhysicsContext.advect_ocean_current).
-        Requires pair_mode 'x' or 'xy'; returns a block usable with
-        :meth:`eval_corner_block`.
+        Requires pair_mode 'x', 'xy' or 'xyz'; returns a block usable
+        with :meth:`eval_corner_block`.  Take count per block: 'x' =
+        2 per z-plane (y0, y1), 'xy' = 1 per z-plane (the row already
+        carries the y+1 half), 'xyz' = 1 total (z+1 too) — held bytes
+        are identical across tiers (only the needed 2q columns are
+        kept), so the wider tiers strictly reduce gather cost.
 
         ``keep_vars``: retain only these variables' columns in the held
         block (the gather still reads full rows, but the O(N) residency
         shrinks to the needed columns — essential at 10M+ elements)."""
-        assert self.pair_mode in ("x", "xy"), \
+        assert self.pair_mode in ("x", "xy", "xyz"), \
             "corner blocks need x-paired rows"
         Z, Y, X = self.Z, self.Y, self.X
         x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, max(X - 2, 0))
@@ -417,7 +421,8 @@ class PackedSampler:
         y1 = jnp.minimum(y0 + 1, Y - 1)
 
         C = packed.shape[-1]
-        q = C // (4 if self.pair_mode == "xy" else 2)
+        kfac = {"x": 2, "xy": 4, "xyz": 8}[self.pair_mode]
+        q = C // kfac
         if keep_vars is not None:
             import numpy as _np
             F = self.F
@@ -433,6 +438,35 @@ class PackedSampler:
         else:
             cols = None
             block_col_of = self.col_of
+
+        def split_xy(g, off):
+            """[base|x1] and [y1|x1y1] halves of an xy block starting
+            at column offset ``off``, subset to the kept columns."""
+            if cols is not None:
+                return g[:, off + cols], g[:, off + 2 * q + cols]
+            return g[:, off:off + 2 * q], g[:, off + 2 * q:off + 4 * q]
+
+        if self.pair_mode == "xyz":
+            # ONE take: the row carries the full trilinear stencil
+            lin = (z0 * Y + y0) * X + x0 + row_offset
+            g = take_rows(packed, lin)
+            g_y0, g_y1 = split_xy(g, 0)
+            if Z > 1:
+                h_y0, h_y1 = split_xy(g, 4 * q)
+                g_y0 = g_y0 * (1.0 - fz) + h_y0 * fz
+                g_y1 = g_y1 * (1.0 - fz) + h_y1 * fz
+            return g_y0, g_y1, x0, y0, block_col_of
+        if self.pair_mode == "xy":
+            # one take per z-plane: y+1 rides the same row
+            def plane(zz):
+                lin = (zz * Y + y0) * X + x0 + row_offset
+                return split_xy(take_rows(packed, lin), 0)
+            g_y0, g_y1 = plane(z0)
+            if Z > 1:
+                h_y0, h_y1 = plane(z1)
+                g_y0 = g_y0 * (1.0 - fz) + h_y0 * fz
+                g_y1 = g_y1 * (1.0 - fz) + h_y1 * fz
+            return g_y0, g_y1, x0, y0, block_col_of
 
         def corner(zz, yy):
             lin = (zz * Y + yy) * X + x0 + row_offset

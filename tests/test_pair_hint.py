@@ -42,10 +42,39 @@ def test_multi_fetch_defaults_to_xyz():
     assert r._sampler.pair_mode == "xyz"
 
 
-def test_single_fetch_keeps_x():
+def test_single_fetch_surface_gets_xy():
+    # surface-truncated single-fetch: Z collapses to 1, so the tier is
+    # 'xy' (one take per corner block — the row carries the y+1 half)
     o, r = _sim(single_fetch=True)
-    assert r.pair_hint == "x"
-    assert r._sampler.pair_mode == "x"
+    assert r.pair_hint == "xy"
+    assert r._sampler.pair_mode == "xy"
+
+
+def test_single_fetch_tiers_bit_identical(monkeypatch):
+    from datetime import timedelta
+    from opendrift_tpu.models import OceanDrift
+    from opendrift_tpu.fields.roms import ROMSReader
+
+    results = {}
+    for tier in ("0", "1"):        # force x vs wide tier
+        monkeypatch.setenv("OPENDRIFT_XY_PAIR", tier)
+        o = OceanDrift(loglevel=40)
+        r = ROMSReader(NORDIC, sampling="regrid")
+        o.add_reader(r)
+        o.set_config("general:use_auto_landmask", False)
+        o.set_config("drift:advection_scheme", "runge-kutta4")
+        o.set_config("drift:horizontal_diffusivity", 0.0)
+        o.set_config("drift:truncate_ocean_model_below_m", 0.0)
+        o.set_config("drift:advection_single_fetch", True)
+        rng = np.random.default_rng(0)
+        o.seed_elements(lon=rng.uniform(13.0, 14.5, 300),
+                        lat=rng.uniform(66.9, 67.8, 300),
+                        time=r.times[0])
+        o.run(duration=timedelta(hours=3), time_step=900)
+        results[tier] = (np.asarray(o.result["lon"]),
+                         np.asarray(o.result["lat"]))
+    np.testing.assert_array_equal(results["0"][0], results["1"][0])
+    np.testing.assert_array_equal(results["0"][1], results["1"][1])
 
 
 def test_env_override_disables_xy(monkeypatch):
