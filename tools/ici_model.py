@@ -108,10 +108,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--K", type=int, default=10)
-    ap.add_argument("--compute-rate", type=float, default=2.0e7,
+    ap.add_argument("--compute-rate", type=float, default=None,
                     help="measured single-chip particle-steps/s for the "
                          "same workload (BENCH primary)")
     args = ap.parse_args()
+    if args.compute_rate is None:
+        # default to the bench's last-known-good primary so the
+        # prediction tracks the current engine, not a stale constant
+        import json as _json
+        lkg = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_LKG.json")
+        try:
+            with open(lkg) as f:
+                args.compute_rate = float(_json.load(f)["primary"])
+        except Exception:
+            args.compute_rate = 2.0e7
 
     text, o, K = build_and_lower(args.n, K=args.K)
     stats = collective_bytes(text)
