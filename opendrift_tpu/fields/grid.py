@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .base import BaseReader, STANDARD_NAMES
 from ..ops.interp import (fill_invalid, fill_towards_seafloor, take_rows,
                           maybe_split_table, CompensatedTable,
-                          GATHER_FAST_MAX_ROWS)
+                          PackedSampler, GATHER_FAST_MAX_ROWS)
 
 logger = logging.getLogger(__name__)
 
@@ -458,6 +458,30 @@ class StructuredGridReader(BaseReader):
                     if split in ("u16", "u8"):
                         arr = maybe_split_table(arr, force=split)
                     out["packed"] = arr
+                # narrow u/v companion table for multi-fetch RK stage
+                # refetches: stages 2-4 only need u/v, and narrow rows
+                # gather ~1.5x faster than the full-width rows (fused
+                # cell: 305 vs 192 M rows/s at 44 vs 176 cols) — same
+                # stencil layout, bit-identical values
+                uv = ("x_sea_water_velocity", "y_sea_water_velocity")
+                if (pair_mode in ("xy", "xyz")
+                        and not getattr(self, "_dd_keep_host", False)
+                        and all(v in col_of for v in uv)):
+                    F_blk = pair_factor
+                    uv_sub = []
+                    for v in uv:
+                        c0 = col_of[v][0]
+                        uv_sub.extend(range(c0, c0 + F))
+                    idx = np.concatenate(
+                        [np.asarray(uv_sub, dtype=np.int64) + b * C
+                         for b in range(F_blk)])
+                    out["packed_uv"] = jnp.asarray(
+                        packed_all[:, idx],
+                        dtype=jnp.float32 if compensated
+                        else jnp.dtype(dtype))
+                    self._sampler_uv = PackedSampler(
+                        Z, ny, nx, F,
+                        {uv[0]: (0, "t"), uv[1]: (F, "t")}, pair_mode)
         epoch = self._run_epoch
         out["times"] = jnp.asarray(
             [(self.times[ti] - epoch).total_seconds() for ti in tidx],
@@ -613,6 +637,23 @@ class StructuredGridReader(BaseReader):
             g = take_rows(dev_state["packed"], lin)
             for v in want_n:
                 values[v] = g[:, s.col_of[v][0]].astype(jnp.float32)
+            return values, covers
+        uv_sampler = getattr(self, "_sampler_uv", None)
+        if (not want_n and uv_sampler is not None
+                and "packed_uv" in dev_state
+                and set(want_t) <= set(uv_sampler.col_of)):
+            # RK stage refetch fast path: u/v-only sample from the
+            # narrow companion table — same stencil layout and
+            # arithmetic (bit-identical), ~1.5x the gather rate of the
+            # full-width rows
+            rows = uv_sampler.gather_rows(
+                dev_state["packed_uv"], xi, yi, depth,
+                dev_state["depths"], row_offset=row_offset)
+            values.update(uv_sampler.values(rows, times, t, want_t))
+            if not self.crs.is_latlon:
+                gamma = self.crs.convergence(jnp, lon, lat)
+                values = self.rotate_vectors_sampled(values, varnames,
+                                                     gamma)
             return values, covers
         if want_t or want_n:
             ncols = [self._sampler.col_of[v][0] for v in want_n]
